@@ -1,0 +1,324 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.plans.PlanClassifier
+
+/** The engine facade — the Spark-native analog of the reference's
+  * client + driver + worker topology collapsed into one in-process API.
+  *
+  * The reference is a DuckDB extension that forwards SQL for registered
+  * "remote" tables over Arrow Flight to a driver that partitions work
+  * across workers (ref: /root/reference/src/server/driver/
+  * distributed_flight_server.cpp:131-718). Spark's driver/executor split
+  * *is* that topology, so `Engine` keeps only the observable surface:
+  *
+  *  - a table registry (≈ `duckherder_register_remote_table`,
+  *    duckherder_pragmas.cpp:16-60)
+  *  - `sql()` with per-query execution stats (≈
+  *    `duckherder_get_query_execution_stats()`,
+  *    query_execution_stats_query_function.cpp:22-60)
+  *  - query history (≈ `duckherder_get_query_history()`,
+  *    query_history_query_function.cpp:20-35)
+  *  - DDL/DML verbs: create/drop/alter table, insert, delete, and a
+  *    metadata index registry (≈ duckherder_schema_catalog_entry.cpp)
+  *  - ENUM types with declaration-order comparison semantics
+  *    (≈ enum_type_support.test:62-81)
+  *
+  * Managed tables are copy-on-write DataFrames: DELETE rewrites via an
+  * inverted predicate rather than row collection — the reference's
+  * collect-then-`DELETE WHERE col IN (...)` (distributed_delete.cpp:27-126)
+  * would materialize matched rows on the driver, which is exactly the
+  * anti-pattern to avoid at 100 TB.
+  */
+class Engine private[graft] (val spark: SparkSession) {
+
+  // ---- table registry -------------------------------------------------
+
+  private case class TableEntry(df: DataFrame, rows: Long)
+  private val registry = TrieMap.empty[String, TableEntry]
+  private val enums = TrieMap.empty[String, Seq[String]]
+  private val indexRegistry = TrieMap.empty[String, (String, Seq[String])]
+
+  /** ≈ PRAGMA duckherder_register_remote_table(local, remote): register a
+    * parquet-backed table. Row count (parquet footer metadata only — no
+    * scan) feeds the execution-mode classifier. */
+  def registerTable(name: String, path: String): Unit = {
+    val df = spark.read.parquet(path)
+    put(name, df)
+  }
+
+  def registerTable(name: String, df: DataFrame): Unit = put(name, df)
+
+  def unregisterTable(name: String): Unit = {
+    registry.remove(name)
+    spark.catalog.dropTempView(name)
+  }
+
+  private def put(name: String, df: DataFrame): Unit = {
+    registry.put(name, TableEntry(df, df.count()))
+    df.createOrReplaceTempView(name)
+  }
+
+  def table(name: String): DataFrame =
+    registry.getOrElse(name, missing(name)).df
+
+  def tableNames: Seq[String] = registry.keys.toSeq.sorted
+
+  private def missing(name: String): Nothing =
+    throw new IllegalArgumentException(
+      s"Catalog Error: Table with name $name does not exist!")
+
+  // ---- SQL with stats capture -----------------------------------------
+
+  private case class StatRow(sql: String, mode: String, merge: String,
+      durationMs: Long, workers: Long, tasks: Long, start: Timestamp)
+  private val stats = new ConcurrentLinkedQueue[StatRow]()
+  private val history = new ConcurrentLinkedQueue[(String, Double)]()
+  // engine.sql() parks the query text here; the listener picks it up when
+  // an action actually executes the plan (stats are per-execution, like
+  // the reference's RecordQueryExecution).
+  private val pending = TrieMap.empty[Long, String]
+
+  private val listener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = {
+      val key = qe.analyzed.semanticHash().toLong
+      pending.get(key).foreach { sqlText =>
+        record(sqlText, qe, durationNs)
+        history.add((sqlText, durationNs / 1e6))
+      }
+    }
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = ()
+  }
+  spark.listenerManager.register(listener)
+
+  private def record(sqlText: String, qe: QueryExecution, durNs: Long): Unit = {
+    val rows = scanRows(qe)
+    val workers = workerCount
+    val mode = PlanClassifier.executionMode(qe, rows, workers)
+    val tasks = PlanClassifier.numTasks(mode, rows, workers)
+    stats.add(StatRow(
+      sqlText,
+      mode,
+      PlanClassifier.mergeStrategy(qe),
+      durNs / 1000000L,
+      math.min(workers.toLong, tasks),
+      tasks,
+      new Timestamp(System.currentTimeMillis() - durNs / 1000000L)))
+  }
+
+  /** Largest registered-table cardinality referenced by the plan — the
+    * analog of the reference's table-scan cardinality estimate
+    * (query_plan_analyzer.cpp:58-71). */
+  private def scanRows(qe: QueryExecution): Long = {
+    val text = qe.analyzed.toString
+    val hit = registry.filter { case (n, _) => text.contains(s"`$n`") || text.contains(n) }
+    if (hit.isEmpty) 0L else hit.values.map(_.rows).max
+  }
+
+  /** Run SQL against the engine catalog, recording execution stats when an
+    * action executes the plan. */
+  def sql(q: String): DataFrame = {
+    val df = spark.sql(q)
+    pending.put(castToImpl(df).queryExecution.analyzed.semanticHash().toLong, q)
+    df
+  }
+
+  /** ≈ duckherder_get_query_execution_stats() — identical 7-col schema. */
+  def executionStats: DataFrame = {
+    val rows = stats.asScala.toSeq.map(s =>
+      (s.sql, s.mode, s.merge, s.durationMs, s.workers, s.tasks, s.start))
+    import spark.implicits._
+    rows.toDF("sql", "execution_mode", "merge_strategy", "query_duration_ms",
+      "num_workers_used", "num_tasks_generated", "execution_start_time")
+  }
+
+  /** ≈ duckherder_get_query_history(): (query, latencies). The reference
+    * stores TIME[]; Spark has no TIME type (SURVEY §1.2) — latencies are
+    * milliseconds as DOUBLE[]. */
+  def queryHistory: DataFrame = {
+    import spark.implicits._
+    history.asScala.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toSeq
+      .toDF("query", "latencies")
+  }
+
+  /** ≈ duckherder_clear_query_recorder_stats(). */
+  def clearStats(): Unit = { stats.clear(); history.clear() }
+
+  /** ≈ duckherder_get_worker_count(): executor parallelism. */
+  def workerCount: Int = spark.sparkContext.defaultParallelism
+
+  // ---- DDL -------------------------------------------------------------
+
+  def createTable(name: String, schemaDdl: String): Unit = {
+    if (registry.contains(name))
+      throw new IllegalArgumentException(
+        s"Catalog Error: Table with name \"$name\" already exists!")
+    val schema = StructType.fromDDL(schemaDdl)
+    put(name, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
+  def createTableAs(name: String, df: DataFrame): Unit = {
+    if (registry.contains(name))
+      throw new IllegalArgumentException(
+        s"Catalog Error: Table with name \"$name\" already exists!")
+    put(name, df)
+  }
+
+  def dropTable(name: String, ifExists: Boolean = false): Unit = {
+    if (!registry.contains(name)) {
+      if (ifExists) return else missing(name)
+    }
+    indexRegistry.filterInPlace { case (_, (t, _)) => t != name }
+    unregisterTable(name)
+  }
+
+  // ALTER TABLE matrix (ref: catalog_utils.cpp:23-84 regenerates these as
+  // SQL; here they are DataFrame rewrites on the managed table).
+  def addColumn(name: String, col: String, typeDdl: String,
+      default: Option[Any] = None, ifNotExists: Boolean = false): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    if (e.df.columns.contains(col)) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(
+        s"Catalog Error: Column with name $col already exists!")
+    }
+    val v = default.map(lit).getOrElse(lit(null)).cast(typeDdl)
+    put(name, e.df.withColumn(col, v))
+  }
+
+  def dropColumn(name: String, col: String, ifExists: Boolean = false): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    if (!e.df.columns.contains(col)) {
+      if (ifExists) return
+      throw new IllegalArgumentException(
+        s"Catalog Error: Column with name $col does not exist!")
+    }
+    put(name, e.df.drop(col))
+  }
+
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    if (!e.df.columns.contains(from))
+      throw new IllegalArgumentException(
+        s"Catalog Error: Column with name $from does not exist!")
+    put(name, e.df.withColumnRenamed(from, to))
+  }
+
+  def renameTable(from: String, to: String): Unit = {
+    val e = registry.getOrElse(from, missing(from))
+    if (registry.contains(to))
+      throw new IllegalArgumentException(
+        s"Catalog Error: Table with name \"$to\" already exists!")
+    unregisterTable(from)
+    put(to, e.df)
+  }
+
+  // ---- DML -------------------------------------------------------------
+
+  /** INSERT: the reference buffers all rows driver-side then replays one
+    * giant VALUES statement (distributed_insert.cpp:26-100); here appended
+    * data stays distributed (unionByName of DataFrames). */
+  def insertInto(name: String, df: DataFrame): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    put(name, e.df.unionByName(df.toDF(e.df.columns.toIndexedSeq: _*)))
+  }
+
+  def insertValues(name: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    insertInto(name, spark.createDataFrame(rows.asJava, e.df.schema))
+  }
+
+  /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
+    * (what Delta/Iceberg do per-file), never a driver-side row collect. */
+  def deleteFrom(name: String, cond: Column): Long = {
+    val e = registry.getOrElse(name, missing(name))
+    val remaining = e.df.filter(!cond)
+    val kept = remaining.count()
+    registry.put(name, TableEntry(remaining, kept))
+    remaining.createOrReplaceTempView(name)
+    e.rows - kept
+  }
+
+  // ---- index registry (metadata-only, ≈ duckherder_index_catalog_entry) --
+
+  def createIndex(indexName: String, tableName: String, cols: Seq[String],
+      ifNotExists: Boolean = false): Unit = {
+    registry.getOrElse(tableName, missing(tableName))
+    if (indexRegistry.contains(indexName)) {
+      if (ifNotExists) return
+      throw new IllegalArgumentException(
+        s"Catalog Error: Index with name \"$indexName\" already exists!")
+    }
+    indexRegistry.put(indexName, (tableName, cols))
+  }
+
+  def dropIndex(indexName: String, ifExists: Boolean = false): Unit =
+    if (indexRegistry.remove(indexName).isEmpty && !ifExists)
+      throw new IllegalArgumentException(
+        s"Catalog Error: Index with name \"$indexName\" does not exist!")
+
+  /** ≈ duckdb_indexes() introspection (index_operations.test:50-58). */
+  def indexes: DataFrame = {
+    import spark.implicits._
+    indexRegistry.toSeq.map { case (i, (t, c)) => (i, t, c.mkString(",")) }
+      .toDF("index_name", "table_name", "columns")
+  }
+
+  // ---- ENUM types (declaration-order semantics) -------------------------
+
+  def createEnum(name: String, values: Seq[String]): Unit = {
+    if (enums.contains(name))
+      throw new IllegalArgumentException(
+        s"Catalog Error: Type with name $name already exists!")
+    enums.put(name, values)
+  }
+
+  /** Declaration-order rank of an enum column — ORDER BY / MIN / MAX over
+    * `enumOrd` reproduces DuckDB's enum comparison semantics
+    * (enum_type_support.test:62-81). */
+  def enumOrd(enumName: String, c: Column): Column = {
+    val values = enums.getOrElse(enumName, throw new IllegalArgumentException(
+      s"Catalog Error: Type with name $enumName does not exist!"))
+    array_position(lit(values.toArray), c)
+  }
+
+  def enumValues(name: String): Seq[String] = enums.getOrElse(name, Seq.empty)
+}
+
+object Engine {
+  /** ≈ duckherder_start_local_server(port, n_workers): `local[n]` session.
+    * On a real cluster the same engine runs with any master URL — nothing
+    * here is local-mode-specific. */
+  def start(master: String = "local[4]", appName: String = "graft",
+      shufflePartitions: Int = 32): Engine =
+    apply(SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+
+  def apply(spark: SparkSession): Engine = {
+    graft.functions.DuckAliases.register(spark)
+    new Engine(spark)
+  }
+}

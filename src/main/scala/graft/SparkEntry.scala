@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY.md §2 relational surface +
+  * the beyond-reference dedup/similarity/text/multimodal pipeline layer);
+  * `oracleSql` carries the DuckDB-equivalent SQL for every query whose
+  * semantics are SQL-expressible with engine-independent results. Column
+  * names are aligned on both sides; float aggregates are rounded on both
+  * sides so hash comparison is stable across summation orders. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def all: Seq[NamedQuery] =
+    Relational.defs ++ DmlOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
+      TextOps.defs ++ MultimodalOps.defs
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q06_tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops whose results depend on
+    * engine-defined hashes (minhash/simhash/LSH/rolling fingerprints) —
+    * those get the driver's rows-only check. */
+  def oracleSql: Map[String, String] =
+    all.collect { case NamedQuery(n, Some(sql), _) => n -> sql }.toMap
+
+  /** Headline benchmark subset (graft.Bench): covers scan-agg, join-agg,
+    * window, events time-agg, shingle/minhash dedup, ANN, and text
+    * scoring — the distributed hot paths. */
+  def benchQueries: Seq[String] = Seq(
+    "q05_agg_global", "q06_tpch_q1", "q12_join_agg", "q17_window_rank",
+    "q30_events_hourly", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
+    "q44_embedding_neardup", "q45_ann_topk", "q47_text_tokens")
 }

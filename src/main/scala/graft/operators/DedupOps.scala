@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * beyond the reference's surface (it has none; SURVEY.md §2.2 last row),
+  * designed shuffle-light for the 100 TB case.
+  *
+  * Shared vocabulary: a document's shingle set is its distinct 3-word
+  * n-grams. Exact dedup is a hash groupBy; n-gram Jaccard joins on
+  * shingles (with a document-frequency cap against hot-shingle skew);
+  * MinHash/LSH replaces the quadratic candidate join with banded signature
+  * buckets; SimHash reduces each document to 64 bits and compares by
+  * Hamming distance within prefix buckets.
+  */
+object DedupOps {
+
+  /** Distinct 3-word shingles per doc via the codegen'd
+    * [[graft.functions.ShingleArray]] expression (the built-in
+    * transform/sequence/slice formulation leaves whole-stage codegen and
+    * re-splits the text per element — measured ~20× slower). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ShingleArray.shingleArray(col("text"), 3).as("shingles"))
+
+  /** doc_id → exploded distinct shingle *hashes* (xxhash64 — an 8-byte
+    * join key shuffles and compares far cheaper than the shingle string;
+    * collision odds over any realistic shingle population are ~2⁻⁶⁴·n²,
+    * immaterial next to MinHash's own error). Hot shingles dropped: a
+    * shingle appearing in > maxDf docs (stopword-like) would explode the
+    * pair join quadratically at scale while carrying no dedup signal. */
+  private def shingleTokens(docs: DataFrame, maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
+    sh.join(broadcast(hot), Seq("s"), "left_anti").select("doc_id", "s")
+  }
+
+  /** Exact dedup: hash groupBy on the dedup key, keep min doc_id.
+    * One shuffle on the key; at 100 TB this is the cheapest possible
+    * formulation (map-side partial aggregation halves the shuffle). */
+  val exact: NamedQuery = NamedQuery("q40_dedup_exact",
+    Some("""SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n_copies
+           |FROM documents GROUP BY lang, n_chars""".stripMargin),
+    (s, d) => t(s, d, "documents").groupBy("lang", "n_chars")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies")))
+
+  /** N-gram Jaccard near-dup pairs ≥ 0.5, exact: inverted-index join on
+    * shingles, then |A∩B| / (|A|+|B|−|A∩B|). The maxDf cap bounds the
+    * per-shingle fan-out, so the shuffle is O(Σ df²) over rare shingles
+    * only — the scalable exact formulation. */
+  val ngramJaccard: NamedQuery = NamedQuery("q41_dedup_ngram_jaccard",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(ws) - 1, 1)),
+           |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+           |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+           |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |       round(inter * 1.0 / (sa.n + sb.n - inter), 3) AS jaccard
+           |FROM pair
+           |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+           |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5""".stripMargin),
+    (s, d) => {
+      val sh = shingleTokens(t(s, d, "documents")).cache()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("id_a", "s")
+      val b = sh.toDF("id_b", "s")
+      val pairs = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val jac = col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
+      pairs
+        .join(sz.toDF("id_a", "na"), "id_a")
+        .join(sz.toDF("id_b", "nb"), "id_b")
+        .filter(jac >= 0.5)
+        .select(col("id_a"), col("id_b"), round(jac, 3).as("jaccard"))
+    })
+
+  /** MinHash + LSH: 32 signature slots (min over xxhash64(seed, shingle)),
+    * 8 bands × 4 rows. Docs colliding in any band become candidates;
+    * candidates are verified with exact Jaccard. The candidate join is on
+    * (band, band_hash) buckets — no quadratic pair enumeration, which is
+    * the whole point at 100 TB. No oracle: signature values depend on
+    * Spark's xxhash64 (rows-only check). */
+  val minhashLsh: NamedQuery = NamedQuery("q42_dedup_minhash_lsh", None,
+    (s, d) => {
+      val numHashes = 32
+      val bands = 8
+      val rowsPerBand = numHashes / bands
+      val sh = shingleTokens(t(s, d, "documents"))
+      val hashCols = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      val sig = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      val bandCols = (0 until bands).map { b =>
+        val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+      }
+      val buckets = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val cand = buckets.toDF("id_a", "band", "bh")
+        .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      // verify candidates with exact Jaccard (inverted index restricted to
+      // candidate docs only)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.toDF("id_a", "s").join(sh.toDF("id_b", "s"), Seq("s"))
+        .filter(col("id_a") < col("id_b"))
+        .join(cand, Seq("id_a", "id_b"), "left_semi")
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val jac = col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
+      inter
+        .join(sz.toDF("id_a", "na"), "id_a")
+        .join(sz.toDF("id_b", "nb"), "id_b")
+        .filter(jac >= 0.5)
+        .select(col("id_a"), col("id_b"), round(jac, 3).as("jaccard"))
+    })
+
+  /** SimHash: 64-bit signature — bit j is the sign of Σ_tokens (±1 by bit
+    * j of xxhash64(token)). Near-dups = pairs at Hamming distance ≤ 8,
+    * found by matching on any of 4 16-bit bands (a distance-≤3 guarantee,
+    * probabilistic above), then filtered by bit_count(xor). */
+  val simhash: NamedQuery = NamedQuery("q43_dedup_simhash", None,
+    (s, d) => {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val bitSums = (0 until 64).map(j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$j"))
+      val withBits = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sim = (0 until 64).map(j =>
+        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+        .reduce(_.bitwiseOR(_))
+      val sigs = withBits.select(col("doc_id"), sim.as("simhash"))
+      val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xffff).as("bh"))): _*))
+          .as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+      banded.toDF("id_a", "sh_a", "band", "bh")
+        .join(banded.toDF("id_b", "sh_b", "band", "bh"), Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+    })
+
+  def defs: Seq[NamedQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.CosineSimilarity.cosineSim
+
+/** Similarity search over the embedding column (`array<float>`, 64-dim) —
+  * the beyond-reference ANN layer.
+  *
+  * Cosine is computed by the codegen'd [[graft.functions.CosineSimilarity]]
+  * expression (a higher-order-function formulation would leave whole-stage
+  * codegen on every candidate pair).
+  *
+  * Scale path: brute force is O(N·Q) pairs and exists as the correctness
+  * baseline; the LSH variant buckets vectors by random-hyperplane sign
+  * bits so candidate generation is a bucket equi-join (shuffle on bucket
+  * id), which is the formulation that survives 100 TB.
+  */
+object SimilarityOps {
+
+  /** Embedding near-duplicate pairs (cosine > 0.45), brute force over
+    * id-ordered pairs. Oracle computes the identical double-precision
+    * formula in DuckDB. */
+  val embeddingNearDup: NamedQuery = NamedQuery("q44_embedding_neardup",
+    Some("""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+           |       x -> x * x))) AS nrm
+           |  FROM embeddings)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 3) AS cos_sim
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.45""".stripMargin),
+    (s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val a = e.toDF("id_a", "emb_a")
+      val b = e.toDF("id_b", "emb_b")
+      val cos = cosineSim(col("emb_a"), col("emb_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .filter(cos > 0.45)
+        .select(col("id_a"), col("id_b"), round(cos, 3).as("cos_sim"))
+    })
+
+  /** Brute-force cosine top-k: the 10 nearest neighbors of vec_id 0.
+    * Deterministic ordering: (rounded similarity desc, neighbor id). */
+  val annTopK: NamedQuery = NamedQuery("q45_ann_topk",
+    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+           |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+           |       x -> x * x))) AS qn
+           |  FROM embeddings WHERE vec_id = 0),
+           |n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+           |       x -> x * x))) AS nrm
+           |  FROM embeddings WHERE vec_id <> 0)
+           |SELECT n.vec_id AS neighbor,
+           |  round(list_dot_product(n.e, q.qe) / (n.nrm * q.qn), 4) AS cos_sim
+           |FROM n CROSS JOIN q
+           |ORDER BY cos_sim DESC, neighbor LIMIT 10""".stripMargin),
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cos = round(cosineSim(col("embedding"), col("q_emb")), 4)
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("neighbor"), cos.as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("neighbor"))
+        .limit(10)
+    })
+
+  /** LSH-bucketed ANN: 8 fixed random hyperplanes (seed 42) → 8 sign bits
+    * → 256 buckets; nearest neighbor searched only within a vector's
+    * bucket. Reports each vector's best in-bucket neighbor. No oracle
+    * (bucketing is an approximation by construction); rows-only check. */
+  val annLsh: NamedQuery = NamedQuery("q46_ann_lsh", None,
+    (s, d) => {
+      val dims = 64
+      val planes = 8
+      val rnd = new Random(42)
+      val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
+      val e = t(s, d, "embeddings")
+      val bucket = (0 until planes).map { p =>
+        val dot = (0 until dims).map(j =>
+          element_at(col("embedding"), j + 1) * lit(hyper(p)(j)))
+          .reduce(_ + _)
+        when(dot > 0, shiftleft(lit(1), p)).otherwise(0)
+      }.reduce(_.bitwiseOR(_))
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        bucket.as("bucket"))
+      val cos = cosineSim(col("emb_a"), col("emb_b"))
+      val pairs = bucketed.toDF("id_a", "emb_a", "bucket")
+        .join(bucketed.toDF("id_b", "emb_b", "bucket"), Seq("bucket"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"), round(cos, 4).as("cos_sim"))
+      val w = Window.partitionBy("id_a")
+        .orderBy(col("cos_sim").desc, col("id_b"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id_a").as("vec_id"), col("id_b").as("nn"),
+          col("cos_sim"))
+    })
+
+  def defs: Seq[NamedQuery] = Seq(embeddingNearDup, annTopK, annLsh)
+}

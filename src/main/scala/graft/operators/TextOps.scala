@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.RollingHashFingerprint.rollingFingerprint
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristics, fingerprinting. All are
+  * narrow per-row transforms (no shuffle) — at 100 TB they pipeline
+  * inside the scan stage. */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "data", "big")
+  private val stopwordSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Whitespace token counting + chars-per-token. */
+  val tokens: NamedQuery = NamedQuery("q47_text_tokens",
+    Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           |round(len(text) * 1.0 / len(string_split(text, ' ')), 3)
+           |  AS chars_per_token
+           |FROM documents""".stripMargin),
+    (s, d) => {
+      val n = size(split(col("text"), " "))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        n.cast("bigint").as("n_tokens"),
+        round(length(col("text")) * lit(1.0) / n, 3).as("chars_per_token"))
+    })
+
+  /** Quality scoring: stopword ratio and a [0,1] score combining length
+    * saturation with non-stopword density. Token lengths are derived
+    * arithmetically (chars − separators) so both engines compute the
+    * identical formula. */
+  val quality: NamedQuery = NamedQuery("q48_text_quality",
+    Some(s"""SELECT doc_id,
+            |  round(len(list_filter(string_split(text, ' '),
+            |        w -> w IN ($stopwordSql))) * 1.0
+            |        / len(string_split(text, ' ')), 3) AS stop_ratio,
+            |  round((len(text) - len(string_split(text, ' ')) + 1) * 1.0
+            |        / len(string_split(text, ' ')), 3) AS avg_word_len,
+            |  round(least(len(string_split(text, ' ')) / 50.0, 1.0)
+            |        * (1.0 - len(list_filter(string_split(text, ' '),
+            |              w -> w IN ($stopwordSql))) * 1.0
+            |           / len(string_split(text, ' '))), 3) AS quality_score
+            |FROM documents""".stripMargin),
+    (s, d) => {
+      val ws = split(col("text"), " ")
+      val n = size(ws).cast("double")
+      val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("double")
+      val stopRatio = nStop / n
+      t(s, d, "documents").select(
+        col("doc_id"),
+        round(stopRatio, 3).as("stop_ratio"),
+        round((length(col("text")) - size(ws) + 1) * lit(1.0) / n, 3)
+          .as("avg_word_len"),
+        round(least(n / 50.0, lit(1.0)) * (lit(1.0) - stopRatio), 3)
+          .as("quality_score"))
+    })
+
+  /** Language-ID by function-word n-gram presence — the classic cheap
+    * heuristic (language-characteristic function words as features). The
+    * synthetic corpus shares one vocabulary, so this mostly labels 'en';
+    * the point is the deterministic, oracle-checkable classifier shape. */
+  val langId: NamedQuery = NamedQuery("q49_text_langid",
+    Some("""SELECT doc_id, lang,
+           |CASE WHEN contains(text, ' der ') OR contains(text, ' und ') THEN 'de'
+           |     WHEN contains(text, ' le ') OR contains(text, ' et ') THEN 'fr'
+           |     WHEN contains(text, ' el ') OR contains(text, ' y ') THEN 'es'
+           |     ELSE 'en' END AS pred_lang
+           |FROM documents""".stripMargin),
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"), col("lang"),
+      when(col("text").contains(" der ") || col("text").contains(" und "), "de")
+        .when(col("text").contains(" le ") || col("text").contains(" et "), "fr")
+        .when(col("text").contains(" el ") || col("text").contains(" y "), "es")
+        .otherwise("en").as("pred_lang")))
+
+  /** Content-hash fingerprint (md5 — identical across engines). */
+  val fingerprint: NamedQuery = NamedQuery("q50_text_fingerprint",
+    Some("SELECT doc_id, md5(text) AS fp FROM documents"),
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"), md5(col("text")).as("fp")))
+
+  /** Winnowing-style rolling-hash fingerprint via the custom codegen'd
+    * [[graft.functions.RollingHashFingerprint]] expression. Equal
+    * fingerprints flag shared-substring candidates. No SQL oracle (the
+    * hash is engine-defined); rows-only check. */
+  val rollingFp: NamedQuery = NamedQuery("q51_rolling_fingerprint", None,
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), rollingFingerprint(col("text"), 16).as("fp"))
+      docs.groupBy("fp").agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"))
+    })
+
+  def defs: Seq[NamedQuery] = Seq(tokens, quality, langId, fingerprint, rollingFp)
+}

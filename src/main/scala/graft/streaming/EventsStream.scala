@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: the streaming analog of
+  * q30_events_hourly. The reference has no streaming surface (SURVEY.md
+  * §2.2 last row) — this is part of the beyond-reference layer.
+  *
+  * Watermark + tumbling-window aggregation: state is bounded (windows
+  * older than watermark are evicted), so the same query runs indefinitely
+  * against a 100 TB/day firehose. Locally the parquet directory is drained
+  * with Trigger.AvailableNow into a memory sink.
+  */
+object EventsStream {
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (read via nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly per-type counts computed as a stream; blocks until the source
+    * is drained and returns the materialized result. */
+  def hourlyCounts(spark: SparkSession, dir: String,
+      queryName: String = "graft_events_stream"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      .select(col("window.start").as("h"), col("event_type"),
+        col("n"), col("sum_v"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
