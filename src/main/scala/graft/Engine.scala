@@ -86,18 +86,24 @@ class Engine private[graft] (val spark: SparkSession) {
       durationMs: Long, workers: Long, tasks: Long, start: Timestamp)
   private val stats = new ConcurrentLinkedQueue[StatRow]()
   private val history = new ConcurrentLinkedQueue[(String, Double)]()
-  // engine.sql() parks the query text here; the listener picks it up when
-  // an action actually executes the plan (stats are per-execution, like
-  // the reference's RecordQueryExecution).
-  private val pending = TrieMap.empty[Long, String]
+  // engine.sql() parks (query text, its own QueryExecution) here; the
+  // listener matches when an action executes the plan (stats are
+  // per-execution, like the reference's RecordQueryExecution). Actions
+  // like count() wrap the query in their own plan, so matching is by
+  // semantic hash over the action plan's subtrees — and classification
+  // uses the original query's plan, not the action wrapper.
+  private val pending = TrieMap.empty[Long, (String, QueryExecution)]
 
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit = {
-      val key = qe.analyzed.semanticHash().toLong
-      pending.get(key).foreach { sqlText =>
-        record(sqlText, qe, durationNs)
-        history.add((sqlText, durationNs / 1e6))
+      val subtreeHashes = qe.analyzed.collect {
+        case p => p.semanticHash().toLong
+      }.toSet
+      subtreeHashes.iterator.flatMap(pending.get).take(1).foreach {
+        case (sqlText, origQe) =>
+          record(sqlText, origQe, durationNs)
+          history.add((sqlText, durationNs / 1e6))
       }
     }
     override def onFailure(funcName: String, qe: QueryExecution,
@@ -133,12 +139,15 @@ class Engine private[graft] (val spark: SparkSession) {
     * action executes the plan. */
   def sql(q: String): DataFrame = {
     val df = spark.sql(q)
-    pending.put(castToImpl(df).queryExecution.analyzed.semanticHash().toLong, q)
+    val qe = castToImpl(df).queryExecution
+    pending.put(qe.analyzed.semanticHash().toLong, (q, qe))
     df
   }
 
   /** ≈ duckherder_get_query_execution_stats() — identical 7-col schema. */
   def executionStats: DataFrame = {
+    // listener callbacks arrive on the async bus; drain before reading
+    org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
     val rows = stats.asScala.toSeq.map(s =>
       (s.sql, s.mode, s.merge, s.durationMs, s.workers, s.tasks, s.start))
     import spark.implicits._
@@ -150,6 +159,7 @@ class Engine private[graft] (val spark: SparkSession) {
     * stores TIME[]; Spark has no TIME type (SURVEY §1.2) — latencies are
     * milliseconds as DOUBLE[]. */
   def queryHistory: DataFrame = {
+    org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
     import spark.implicits._
     history.asScala.toSeq.groupBy(_._1).view
       .mapValues(_.map(_._2)).toSeq

@@ -29,9 +29,12 @@ object EventsStream {
   def hourlyCounts(spark: SparkSession, dir: String,
       queryName: String = "graft_events_stream"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streaming sources need a directory: stream the sf dir with a
+    // filename glob selecting the events table
     val stream = spark.readStream
       .schema(rawSchema)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

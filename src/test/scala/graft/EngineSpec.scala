@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Engine surface parity with the reference's catalog/DDL/DML/stats tests
+  * (table_operations.test, alter_table.test, index_operations.test,
+  * query_stats.test, enum_type_support.test). */
+class EngineSpec extends SparkSpec {
+
+  private lazy val engine: Engine = Engine(spark)
+
+  private def freshTable(prefix: String): String = {
+    val name = s"${prefix}_${System.nanoTime()}"
+    engine.createTable(name, "id INT, name STRING")
+    name
+  }
+
+  test("registerTable + sql + executionStats records the query") {
+    engine.clearStats()
+    engine.registerTable("stats_li", s"$sf/lineitem.parquet")
+    engine.sql("SELECT l_returnflag, count(*) AS n FROM stats_li GROUP BY 1")
+      .count()
+    val stats = engine.executionStats.collect()
+    assert(stats.length == 1)
+    val r = stats.head
+    assert(r.getAs[String]("sql").contains("stats_li"))
+    // 6k rows < 122,880 → DELEGATED (task_partitioner.cpp:14-21 rule)
+    assert(r.getAs[String]("execution_mode") == "DELEGATED")
+    assert(r.getAs[String]("merge_strategy") == "GROUP_BY_MERGE")
+    assert(r.getAs[Long]("num_tasks_generated") == 1L)
+    engine.unregisterTable("stats_li")
+  }
+
+  test("merge strategy classification: aggregate / distinct / concat") {
+    engine.clearStats()
+    engine.registerTable("ms_li", s"$sf/lineitem.parquet")
+    engine.sql("SELECT count(*) AS n FROM ms_li").count()
+    engine.sql("SELECT DISTINCT l_returnflag FROM ms_li").count()
+    engine.sql("SELECT l_orderkey FROM ms_li WHERE l_orderkey < 10").count()
+    val byMerge = engine.executionStats.collect()
+      .map(r => r.getAs[String]("merge_strategy")).sorted
+    assert(byMerge.sameElements(
+      Array("AGGREGATE_MERGE", "CONCATENATE", "DISTINCT_MERGE")))
+    engine.unregisterTable("ms_li")
+  }
+
+  test("query history accumulates latencies per query") {
+    engine.clearStats()
+    engine.registerTable("qh_li", s"$sf/region.parquet")
+    val q = "SELECT count(*) AS n FROM qh_li"
+    engine.sql(q).count()
+    engine.sql(q).count()
+    val h = engine.queryHistory.collect()
+    assert(h.length == 1)
+    assert(h.head.getSeq[Double](h.head.fieldIndex("latencies")).size == 2)
+    engine.unregisterTable("qh_li")
+  }
+
+  test("create table: duplicate errors, drop, if-exists semantics") {
+    val t = freshTable("ops_test")
+    val e = intercept[IllegalArgumentException](engine.createTable(t, "id INT"))
+    assert(e.getMessage.contains("already exists"))
+    engine.dropTable(t)
+    intercept[IllegalArgumentException](engine.dropTable(t))
+    engine.dropTable(t, ifExists = true) // no error
+  }
+
+  test("insert + delete roundtrip (query_stats.test lifecycle)") {
+    val t = freshTable("test_query_table")
+    engine.insertValues(t, Seq(Row(1, "alice"), Row(2, "bob"), Row(3, "eve")))
+    assert(engine.table(t).count() == 3)
+    val deleted = engine.deleteFrom(t, col("id") === 2 || col("id") === 3)
+    assert(deleted == 2)
+    assert(engine.table(t).collect().map(_.getInt(0)).sameElements(Array(1)))
+    engine.dropTable(t)
+  }
+
+  test("alter table matrix: add/drop/rename column, rename table") {
+    val t = freshTable("test_alter_table")
+    engine.insertValues(t, Seq(Row(1, "x")))
+    engine.addColumn(t, "status", "STRING", Some("active"))
+    assert(engine.table(t).columns.contains("status"))
+    assert(engine.table(t).head().getAs[String]("status") == "active")
+    intercept[IllegalArgumentException](engine.addColumn(t, "status", "STRING"))
+    engine.addColumn(t, "status", "STRING", None, ifNotExists = true)
+    engine.renameColumn(t, "status", "state")
+    assert(!engine.table(t).columns.contains("status"))
+    engine.dropColumn(t, "state")
+    intercept[IllegalArgumentException](engine.dropColumn(t, "state"))
+    engine.dropColumn(t, "state", ifExists = true)
+    val t2 = t + "_renamed"
+    engine.renameTable(t, t2)
+    intercept[IllegalArgumentException](engine.table(t))
+    engine.dropTable(t2)
+  }
+
+  test("alter on missing table raises catalog error") {
+    val e = intercept[IllegalArgumentException](
+      engine.addColumn("no_such_table", "c", "INT"))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("index registry: create/drop/introspect (index_operations.test)") {
+    val t = freshTable("idx_test")
+    engine.createIndex("idx_test_id", t, Seq("id"))
+    engine.createIndex("idx_test_name", t, Seq("name"))
+    intercept[IllegalArgumentException](
+      engine.createIndex("idx_test_id", t, Seq("id")))
+    engine.createIndex("idx_test_id", t, Seq("id"), ifNotExists = true)
+    assert(engine.indexes.filter(col("table_name") === t).count() == 2)
+    engine.dropIndex("idx_test_name")
+    intercept[IllegalArgumentException](engine.dropIndex("idx_test_name"))
+    engine.dropIndex("idx_test_name", ifExists = true)
+    // dropping the table drops its indexes from the registry
+    engine.dropTable(t)
+    assert(engine.indexes.filter(col("table_name") === t).count() == 0)
+  }
+
+  test("enum declaration-order MIN/MAX/ORDER BY (enum_type_support.test)") {
+    import spark.implicits._
+    val name = s"mood_${System.nanoTime()}"
+    engine.createEnum(name, Seq("happy", "sad", "neutral"))
+    intercept[IllegalArgumentException](engine.createEnum(name, Seq("x")))
+    val df = Seq((1, "sad"), (2, "happy"), (3, "neutral"), (4, "happy"))
+      .toDF("id", "person_mood")
+    val ord = engine.enumOrd(name, col("person_mood"))
+    // min/max by declaration order: happy < sad < neutral
+    val r = df.agg(
+      min_by(col("person_mood"), ord).as("mn"),
+      max_by(col("person_mood"), ord).as("mx")).head()
+    assert(r.getString(0) == "happy" && r.getString(1) == "neutral")
+    val sorted = df.orderBy(ord, col("id")).collect().map(_.getString(1))
+    assert(sorted.sameElements(Array("happy", "happy", "sad", "neutral")))
+  }
+
+  test("workerCount reflects local parallelism") {
+    assert(engine.workerCount == 4)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{CosineSimilarity, RollingHashFingerprint, ShingleArray}
+
+/** Custom Catalyst expressions: codegen path vs reference semantics,
+  * property-checked over ScalaCheck-generated samples (the
+  * scalatest-scalacheck bridge isn't in the offline cache, so samples are
+  * drawn explicitly with a fixed seed). */
+class ExpressionSpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int = 50): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  import spark.implicits._
+
+  test("cosine_similarity matches the higher-order-function formulation") {
+    val e = Tables.t(spark, sf, "embeddings").limit(200)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("emb_b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) /
+      (sqrt(aggregate(transform(col("embedding"), x => x * x),
+        lit(0.0), (a, x) => a + x)) *
+        sqrt(aggregate(transform(col("emb_b"), x => x * x),
+          lit(0.0), (a, x) => a + x)))
+    val both = e.crossJoin(
+        e.select(col("embedding").as("emb_b")).limit(5))
+      .select(
+        CosineSimilarity.cosineSim(col("embedding"), col("emb_b")).as("fast"),
+        hof.as("slow"))
+      .select(abs(col("fast") - col("slow")).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    // zip_with multiplies in float32 before the double accumulate — the
+    // custom expression is the more precise one; compare loosely.
+    assert(both < 1e-6, s"max deviation $both")
+  }
+
+  test("cosine_similarity is 1.0 on identical vectors, registered in SQL") {
+    Tables.t(spark, sf, "embeddings").limit(10)
+      .createOrReplaceTempView("cs_emb")
+    val r = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) AS c FROM cs_emb")
+      .agg(min("c"), max("c")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("shingle expression matches the SQL transform formulation") {
+    val docs = Tables.t(spark, sf, "documents").limit(100)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("ws"))
+    val sqlForm = array_distinct(
+      when(size(col("ws")) >= 3,
+        transform(sequence(lit(0), size(col("ws")) - 3), k =>
+          concat_ws(" ", slice(col("ws"), k + 1, lit(3)))))
+        .otherwise(array()))
+    val diff = docs.select(
+      ShingleArray.shingleArray(col("text"), 3).as("fast"),
+      sqlForm.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(diff == 0)
+  }
+
+  test("shingles property: count equals distinct sliding windows") {
+    val texts = samples(Gen.listOf(Gen.oneOf("a", "bb", "ccc")))
+      .map(_.mkString(" "))
+    val out = texts.toDF("t")
+      .select(col("t"), ShingleArray.shingleArray(col("t"), 3).as("s"))
+      .collect()
+    out.foreach { r =>
+      val words = r.getString(0).split(" ", -1)
+      val got = r.getSeq[String](1)
+      if (words.length < 3) assert(got.isEmpty)
+      else assert(got.toSet == words.sliding(3).map(_.mkString(" ")).toSet)
+    }
+  }
+
+  test("rolling fingerprint: equal texts agree, is substring-stable") {
+    val strs = samples(Gen.alphaNumStr, 100).filter(_.length >= 24)
+    assert(strs.nonEmpty)
+    val fps = (strs ++ strs).toDF("t")
+      .select(col("t"), RollingHashFingerprint.rollingFingerprint(col("t"), 8))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val again = strs.toDF("t")
+      .select(col("t"), RollingHashFingerprint.rollingFingerprint(col("t"), 8))
+      .collect()
+    again.foreach(r => assert(fps(r.getString(0)) == r.getLong(1)))
+    // min-window hash of a text is among the window hashes of any supertext
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val sup = s"prefix words here $base and suffix words"
+    val Array(f1, f2) = Seq(base, sup).toDF("t")
+      .select(RollingHashFingerprint.rollingFingerprint(col("t"), 8))
+      .collect().map(_.getLong(0))
+    // not necessarily equal (supertext may have a smaller window), but
+    // the supertext min can never exceed the subtext min (unsigned)
+    assert(java.lang.Long.compareUnsigned(f2, f1) <= 0)
+  }
+
+  test("len / list_contains / list_extract SQL aliases work") {
+    Tables.t(spark, sf, "embeddings").limit(5)
+      .createOrReplaceTempView("alias_emb")
+    val r = spark.sql(
+      """SELECT len(embedding) AS l,
+        |list_contains(array(1,2,3), 2) AS c,
+        |list_extract(array('x','y'), 1) AS e FROM alias_emb""".stripMargin)
+      .head()
+    assert(r.getInt(0) == 64 && r.getBoolean(1) && r.getString(2) == "x")
+  }
+}

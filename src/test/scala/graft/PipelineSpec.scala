@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior checks for the dedup/similarity/text pipeline layer: the
+  * approximate methods (MinHash-LSH, SimHash) must find the exact
+  * near-dup pairs the n-gram Jaccard baseline finds. */
+class PipelineSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    run("q41_dedup_ngram_jaccard")
+      .filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("planted near-duplicate docs exist (jaccard >= 0.9)") {
+    assert(exactPairs.nonEmpty)
+  }
+
+  test("minhash-LSH recovers the high-jaccard pairs") {
+    val lsh = run("q42_dedup_minhash_lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical shingle sets → identical signatures → must collide
+    assert(exactPairs.subsetOf(lsh))
+  }
+
+  test("simhash finds low-hamming pairs and they overlap exact dups") {
+    val sim = run("q43_dedup_simhash")
+      .filter(col("hamming") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert(exactPairs.intersect(sim).nonEmpty)
+  }
+
+  test("exact dedup groups cover the full table") {
+    val total = run("q40_dedup_exact").agg(sum("n_copies")).head().getLong(0)
+    assert(total == Tables.t(spark, sf, "documents").count())
+  }
+
+  test("ann top-k is ordered and self-excluding") {
+    val rows = run("q45_ann_topk").collect()
+    assert(rows.length == 10)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sortBy(-(_: Double))))
+  }
+
+  test("lsh ann returns a best neighbor per probed vector") {
+    val nn = run("q46_ann_lsh")
+    assert(nn.groupBy("vec_id").count().agg(max("count")).head().getLong(0) == 1)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = run("q44_embedding_neardup").collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.45))
+  }
+
+  test("text quality scores are in [0,1]") {
+    val bad = run("q48_text_quality")
+      .filter(col("quality_score") < 0 || col("quality_score") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprints are unique for distinct texts") {
+    val docs = Tables.t(spark, sf, "documents")
+    val fps = run("q50_text_fingerprint").select("fp").distinct().count()
+    assert(fps == docs.select("text").distinct().count())
+  }
+
+  test("multimodal decode emits one row per document with stub features") {
+    val d = run("q53_multimodal_decode")
+    assert(d.count() == Tables.t(spark, sf, "documents").count())
+    assert(d.filter(col("width") < 32 || col("height") < 32).count() == 0)
+  }
+}
