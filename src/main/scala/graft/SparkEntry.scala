@@ -15,8 +15,8 @@ import graft.operators._
 object SparkEntry {
 
   private def all: Seq[NamedQuery] =
-    Relational.defs ++ DmlOps.defs ++ DedupOps.defs ++ SimilarityOps.defs ++
-      TextOps.defs ++ MultimodalOps.defs
+    Relational.defs ++ TypeOps.defs ++ AdvancedOps.defs ++ DmlOps.defs ++
+      DedupOps.defs ++ SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

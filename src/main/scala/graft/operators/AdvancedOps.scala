@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Beyond-basics relational surface: multi-dimensional aggregation
+  * (ROLLUP/GROUPING SETS), exact percentiles, pivot, sessionization,
+  * as-of join, and correlated subqueries. The reference recognizes most
+  * of these plan shapes only to refuse distribution
+  * (query_plan_analyzer.cpp:107-187) — here they are all distributed. */
+object AdvancedOps {
+
+  private def viewsSql(q: String, tables: String*): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      tables.foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(q)
+    }
+
+  private val rollup: NamedQuery = {
+    val q = """SELECT l_returnflag, l_linestatus,
+              |CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+              |CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+              |count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+              |FROM lineitem
+              |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+    NamedQuery("q54_rollup", Some(q), viewsSql(q, "lineitem"))
+  }
+
+  private val groupingSets: NamedQuery = {
+    val q = """SELECT l_returnflag, l_linestatus, count(*) AS n
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+    NamedQuery("q55_grouping_sets", Some(q), viewsSql(q, "lineitem"))
+  }
+
+  /** Exact interpolated percentiles: Spark `percentile` ≡ DuckDB
+    * `quantile_cont`; `median` matches by name. (approx_percentile /
+    * approx_count_distinct exist but are engine-specific sketches — no
+    * oracle possible.) */
+  private val percentiles: NamedQuery = NamedQuery("q56_percentiles",
+    Some("""SELECT l_returnflag,
+           |round(median(l_extendedprice), 4) AS med_price,
+           |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           |round(quantile_cont(l_extendedprice, 0.1), 4) AS p10_price
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      round(median(col("l_extendedprice")), 4).as("med_price"),
+      round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
+      round(percentile(col("l_extendedprice"), lit(0.1)), 4).as("p10_price")))
+
+  private val pivotQ: NamedQuery = NamedQuery("q59_pivot",
+    Some("""SELECT l_linestatus,
+           |round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           |round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           |round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+           |FROM lineitem GROUP BY l_linestatus""".stripMargin),
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum("l_quantity"), 2)))
+
+  /** Sessionization: 30-minute inactivity gap splits a user's event
+    * stream. One shuffle (by user), lag within partition — the streaming
+    * analog is EventsStream's session window. */
+  private val sessions: NamedQuery = NamedQuery("q57_events_sessions",
+    Some("""WITH g AS (
+           |  SELECT user_id,
+           |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+           |            - lag(CAST(floor(epoch(ts)) AS BIGINT))
+           |              OVER (PARTITION BY user_id ORDER BY ts) > 1800
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM events)
+           |SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions
+           |FROM g GROUP BY user_id""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      t(s, d, "events")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+        .withColumn("brk",
+          when(col("es") - lag("es", 1).over(
+            Window.partitionBy("user_id").orderBy("es")) > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg((sum("brk") + 1).as("n_sessions"))
+    })
+
+  /** As-of join — for each 'error' event, the most recent prior 'signup'
+    * of the same user. DuckDB has a native ASOF JOIN; Spark lacks one,
+    * and the scalable composition is union + last_value(ignoreNulls) over
+    * a (user, time)-sorted window: one shuffle, no range blow-up —
+    * preferred over a custom SparkPlan because built-ins keep AQE and
+    * codegen (SURVEY §4.2 guidance). */
+  private val asof: NamedQuery = NamedQuery("q58_asof_join",
+    Some("""SELECT e.event_id, s.ts AS signup_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'error') e
+           |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin),
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_probe"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"),
+          lit(null).cast("timestamp").as("signup_ts"),
+          col("event_id"), lit(1).as("is_probe"))
+      // sort signups before probes at identical ts so ts >= ts matches
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signups.unionByName(errors)
+        .withColumn("matched", last("signup_ts", ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1 && col("matched").isNotNull)
+        .select(col("event_id"), col("matched").as("signup_ts"))
+    })
+
+  private val correlated: NamedQuery = {
+    val q = """SELECT c_custkey,
+              |(SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+              |  AS n_orders
+              |FROM customer WHERE c_custkey < 100""".stripMargin
+    NamedQuery("q60_correlated_scalar", Some(q), viewsSql(q, "customer", "orders"))
+  }
+
+  private val stringAdv: NamedQuery = NamedQuery("q62_string_advanced",
+    Some("""SELECT p_partkey,
+           |levenshtein(p_brand, 'Brand#11') AS lev,
+           |regexp_extract(p_name, '[0-9]+', 0) AS first_num,
+           |split_part(p_type, ' ', 1) AS type_head,
+           |lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           |trim(lower(p_brand)) AS brand_lc,
+           |replace(p_type, ' ', '_') AS type_us,
+           |reverse(p_brand) AS brand_rev
+           |FROM part""".stripMargin),
+    (s, d) => t(s, d, "part").select(
+      col("p_partkey"),
+      levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+      regexp_extract(col("p_name"), "[0-9]+", 0).as("first_num"),
+      split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+      trim(lower(col("p_brand"))).as("brand_lc"),
+      regexp_replace(col("p_type"), " ", "_").as("type_us"),
+      reverse(col("p_brand")).as("brand_rev")))
+
+  private val mathFuncs: NamedQuery = NamedQuery("q63_math_funcs",
+    Some("""SELECT l_orderkey, l_linenumber,
+           |round(abs(l_extendedprice - 30000), 4) AS absd,
+           |CAST(ceil(l_quantity) AS BIGINT) AS cq,
+           |CAST(floor(l_quantity) AS BIGINT) AS fq,
+           |round(sqrt(l_extendedprice), 6) AS sq,
+           |round(ln(l_extendedprice), 6) AS lnp,
+           |round(log10(l_extendedprice), 6) AS lgp,
+           |round(power(l_discount + 1, 3), 8) AS pw,
+           |CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
+           |CAST(l_orderkey % 97 AS BIGINT) AS md
+           |FROM lineitem WHERE l_orderkey <= 500""".stripMargin),
+    (s, d) => t(s, d, "lineitem").filter(col("l_orderkey") <= 500).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(abs(col("l_extendedprice") - 30000), 4).as("absd"),
+      ceil(col("l_quantity")).as("cq"),
+      floor(col("l_quantity")).as("fq"),
+      round(sqrt(col("l_extendedprice")), 6).as("sq"),
+      round(log(col("l_extendedprice")), 6).as("lnp"),
+      round(log10(col("l_extendedprice")), 6).as("lgp"),
+      round(pow(col("l_discount") + 1, 3), 8).as("pw"),
+      signum(col("l_discount") - 0.05).cast("bigint").as("sg"),
+      (col("l_orderkey") % 97).as("md")))
+
+  private val dateFuncs: NamedQuery = NamedQuery("q64_date_funcs",
+    Some("""SELECT o_orderkey,
+           |CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+           |CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+           |CAST(extract(day FROM o_orderdate) AS BIGINT) AS d,
+           |CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS q,
+           |CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS ld,
+           |CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+           |CAST(date_diff('day', CAST(o_orderdate AS DATE),
+           |               DATE '2002-01-01') AS BIGINT) AS days_to
+           |FROM orders WHERE o_orderkey <= 300""".stripMargin),
+    (s, d) => t(s, d, "orders").filter(col("o_orderkey") <= 300).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("bigint").as("y"),
+      month(col("o_orderdate")).cast("bigint").as("m"),
+      dayofmonth(col("o_orderdate")).cast("bigint").as("d"),
+      quarter(col("o_orderdate")).cast("bigint").as("q"),
+      last_day(col("o_orderdate")).as("ld"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .cast("bigint").as("days_to")))
+
+  def defs: Seq[NamedQuery] = Seq(rollup, groupingSets, percentiles, pivotQ,
+    sessions, asof, correlated, stringAdv, mathFuncs, dateFuncs)
+}
