@@ -16,7 +16,8 @@ object SparkEntry {
 
   private def all: Seq[NamedQuery] =
     Relational.defs ++ TypeOps.defs ++ AdvancedOps.defs ++ DmlOps.defs ++
-      DedupOps.defs ++ SimilarityOps.defs ++ TextOps.defs ++ MultimodalOps.defs
+      DedupOps.defs ++ SimilarityOps.defs ++ TextOps.defs ++
+      MultimodalOps.defs ++ StreamingOps.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

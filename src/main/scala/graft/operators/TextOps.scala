@@ -94,5 +94,24 @@ object TextOps {
         min("doc_id").as("first_doc"))
     })
 
-  def defs: Seq[NamedQuery] = Seq(tokens, quality, langId, fingerprint, rollingFp)
+  /** Regex ("BPE-ish") tokenization: letter runs / digit runs as separate
+    * tokens, vowel counting — the lexer-level statistics a tokenizer
+    * pipeline samples before training. Same regex dialect both engines. */
+  val bpeTokens: NamedQuery = NamedQuery("q65_text_bpe_tokens",
+    Some("""SELECT doc_id,
+           |len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_bpe_tokens,
+           |len(regexp_extract_all(text, '[aeiou]')) AS n_vowels,
+           |len(regexp_extract_all(text, '[a-z]{6,}')) AS n_long_words
+           |FROM documents""".stripMargin),
+    (s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+        .cast("bigint").as("n_bpe_tokens"),
+      size(regexp_extract_all(col("text"), lit("[aeiou]"), lit(0)))
+        .cast("bigint").as("n_vowels"),
+      size(regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)))
+        .cast("bigint").as("n_long_words")))
+
+  def defs: Seq[NamedQuery] =
+    Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens)
 }

@@ -137,4 +137,37 @@ class EngineSpec extends SparkSpec {
   test("workerCount reflects local parallelism") {
     assert(engine.workerCount == 4)
   }
+
+  test("execution modes at reference thresholds (BASELINE.md tiers)") {
+    import spark.implicits._
+    engine.clearStats()
+    // 200,000 rows: 2 row groups < 4 workers → NATURAL_PARTITION
+    // (range_partitioning.test:63-69); 500,000: ~5 row groups → ROW_GROUP
+    // (row_group_partitioning.test:27-31); ORDER BY → LOCAL
+    // (local_execution.test:30-46); 1,000 → DELEGATED (small_table rule).
+    engine.registerTable("mode_medium",
+      spark.range(200000).select(col("id"), (col("id") % 5).as("cat")))
+    engine.registerTable("mode_large",
+      spark.range(500000).select(col("id"), (col("id") % 5).as("cat")))
+    engine.registerTable("mode_small", spark.range(1000).toDF("id"))
+    engine.sql("SELECT cat, count(*) AS n FROM mode_medium GROUP BY cat").count()
+    engine.sql("SELECT cat, count(*) AS n FROM mode_large GROUP BY cat").count()
+    engine.sql("SELECT count(*) AS n FROM mode_small").count()
+    engine.sql("SELECT id FROM mode_small ORDER BY id").count()
+    val modes = engine.executionStats.collect()
+      .map(r => r.getAs[String]("sql") -> r.getAs[String]("execution_mode"))
+      .toMap
+    assert(modes.find(_._1.contains("mode_medium")).get._2 == "NATURAL_PARTITION")
+    assert(modes.find(_._1.contains("mode_large")).get._2 == "ROW_GROUP_PARTITION")
+    assert(modes.find(kv => kv._1.contains("mode_small") && kv._1.contains("count"))
+      .get._2 == "DELEGATED")
+    assert(modes.find(_._1.contains("ORDER BY")).get._2 == "LOCAL")
+    val tasks = engine.executionStats.collect()
+      .map(r => r.getAs[String]("sql") -> r.getAs[Long]("num_tasks_generated"))
+      .toMap
+    // task clamp: max(rowGroups, workers)=4 for medium, min(...,16)
+    assert(tasks.find(_._1.contains("mode_medium")).get._2 == 4L)
+    assert(tasks.find(_._1.contains("mode_large")).get._2 == 5L)
+    Seq("mode_medium", "mode_large", "mode_small").foreach(engine.unregisterTable)
+  }
 }
