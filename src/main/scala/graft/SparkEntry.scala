@@ -40,5 +40,6 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q05_agg_global", "q06_tpch_q1", "q12_join_agg", "q17_window_rank",
     "q30_events_hourly", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
-    "q44_embedding_neardup", "q45_ann_topk", "q47_text_tokens")
+    "q44_embedding_neardup", "q45_ann_topk", "q47_text_tokens",
+    "q56_percentiles", "q57_events_sessions", "q58_asof_join")
 }

@@ -46,10 +46,15 @@ object AdvancedOps {
            |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
            |round(quantile_cont(l_extendedprice, 0.1), 4) AS p10_price
            |FROM lineitem GROUP BY l_returnflag""".stripMargin),
-    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
-      round(median(col("l_extendedprice")), 4).as("med_price"),
-      round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"),
-      round(percentile(col("l_extendedprice"), lit(0.1)), 4).as("p10_price")))
+    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+      // one percentile buffer for all three quantiles (3 separate
+      // median/percentile aggs would sort-buffer the group three times)
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.1))).as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("med_price"),
+        round(element_at(col("ps"), 2), 4).as("p90_price"),
+        round(element_at(col("ps"), 3), 4).as("p10_price")))
 
   private val pivotQ: NamedQuery = NamedQuery("q59_pivot",
     Some("""SELECT l_linestatus,

