@@ -136,12 +136,18 @@ class Engine private[graft] (val spark: SparkSession) {
   }
 
   /** Run SQL against the engine catalog, recording execution stats when an
-    * action executes the plan. */
+    * action executes the plan. DDL/DML statements route to the engine
+    * catalog (the reference drives its whole surface through SQL —
+    * duckherder_schema_catalog_entry.cpp intercepts the same verbs). */
   def sql(q: String): DataFrame = {
-    val df = spark.sql(q)
-    val qe = castToImpl(df).queryExecution
-    pending.put(qe.analyzed.semanticHash().toLong, (q, qe))
-    df
+    SqlRouter.route(this, q) match {
+      case Some(df) => df
+      case None =>
+        val df = spark.sql(q)
+        val qe = castToImpl(df).queryExecution
+        pending.put(qe.analyzed.semanticHash().toLong, (q, qe))
+        df
+    }
   }
 
   /** ≈ duckherder_get_query_execution_stats() — identical 7-col schema. */

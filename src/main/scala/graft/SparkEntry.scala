@@ -15,7 +15,8 @@ import graft.operators._
 object SparkEntry {
 
   private def all: Seq[NamedQuery] =
-    Relational.defs ++ TypeOps.defs ++ AdvancedOps.defs ++ DmlOps.defs ++
+    Relational.defs ++ TypeOps.defs ++ AdvancedOps.defs ++ JoinOps.defs ++
+      DmlOps.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ TextOps.defs ++
       MultimodalOps.defs ++ StreamingOps.defs
 

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.expr
+
+/** Routes DDL/DML statement SQL to the engine catalog, mirroring the verb
+  * set the reference intercepts at its catalog layer (CREATE/DROP/ALTER
+  * TABLE, CREATE/DROP INDEX, INSERT, DELETE — duckherder_catalog.cpp,
+  * duckherder_schema_catalog_entry.cpp). SELECT-shaped statements return
+  * None and fall through to Spark SQL. Matching is keyword-level (the
+  * payloads — column lists, predicates, source queries — are parsed by
+  * Spark itself, not by regexes).
+  */
+private[graft] object SqlRouter {
+
+  private val CreateTable =
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*""".r
+  private val CreateTableAs =
+    """(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+AS\s+(.+)""".r
+  private val DropTable =
+    """(?is)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*""".r
+  private val AlterAdd =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(\w+(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
+  private val AlterDrop =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val AlterRenameCol =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val AlterRenameTable =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
+  private val CreateIndex =
+    """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+([\w.]+)\s*\(([\w\s,]+)\)\s*""".r
+  private val DropIndex =
+    """(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val InsertSql =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s*.+|SELECT\s+.+|FROM\s+.+)""".r
+  private val DeleteSql =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)""".r
+
+  /** Some(result) when routed; None → plain Spark SQL. */
+  def route(e: Engine, q: String): Option[DataFrame] = q match {
+    case CreateTable(ifNot, name, cols) =>
+      val exists = e.tableNames.contains(name)
+      if (exists && ifNot == null)
+        throw new IllegalArgumentException(
+          s"""Catalog Error: Table with name "$name" already exists!""")
+      if (!exists) e.createTable(name, cols)
+      Some(emptyOk(e))
+    case CreateTableAs(name, query) =>
+      e.createTableAs(name, e.spark.sql(query)); Some(emptyOk(e))
+    case DropTable(ifEx, name) =>
+      e.dropTable(name, ifExists = ifEx != null); Some(emptyOk(e))
+    case AlterAdd(name, ifNot, col, typ, default) =>
+      e.addColumn(name, col, typ,
+        Option(default).map(d => e.spark.sql(s"SELECT ($d) AS v").head().get(0)),
+        ifNotExists = ifNot != null)
+      Some(emptyOk(e))
+    case AlterDrop(name, ifEx, col) =>
+      e.dropColumn(name, col, ifExists = ifEx != null); Some(emptyOk(e))
+    case AlterRenameCol(name, from, to) =>
+      e.renameColumn(name, from, to); Some(emptyOk(e))
+    case AlterRenameTable(from, to) =>
+      e.renameTable(from, to); Some(emptyOk(e))
+    case CreateIndex(ifNot, idx, table, cols) =>
+      e.createIndex(idx, table, cols.split(",").map(_.trim).toSeq,
+        ifNotExists = ifNot != null)
+      Some(emptyOk(e))
+    case DropIndex(ifEx, idx) =>
+      e.dropIndex(idx, ifExists = ifEx != null); Some(emptyOk(e))
+    case InsertSql(name, source) =>
+      val src =
+        if (source.trim.toUpperCase.startsWith("VALUES"))
+          e.spark.sql(s"SELECT * FROM ($source) AS __v")
+        else e.spark.sql(source)
+      e.insertInto(name, src)
+      Some(emptyOk(e))
+    case DeleteSql(name, cond) =>
+      val n = e.deleteFrom(name, expr(cond))
+      import e.spark.implicits._
+      Some(Seq(n).toDF("deleted_rows"))
+    case _ => None
+  }
+
+  private def emptyOk(e: Engine): DataFrame = {
+    import e.spark.implicits._
+    Seq(true).toDF("ok")
+  }
+}

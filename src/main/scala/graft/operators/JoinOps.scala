@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Multi-way join pipelines in TPC-H shapes — the workload class the
+  * reference's analyzer can only refuse to distribute
+  * (query_plan_analyzer.cpp:122-131). Join order: fact table streams,
+  * every dimension broadcast (none of them grows with the fact table at
+  * scale) while orders/customer — which scale with the facts — are left
+  * to AQE: broadcast locally, sort-merge with skew-split at 100 TB. */
+object JoinOps {
+
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * open orders ⋈ late-shipped lineitems, top-10 revenue. */
+  val tpchQ3: NamedQuery = NamedQuery("q68_tpch_q3",
+    Some("""SELECT l_orderkey,
+           |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      // orders/customer scale with the fact table — no broadcast hint;
+      // AQE broadcasts them locally and falls back to SMJ at real scale
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    })
+
+  /** TPC-H Q5 shape (local supplier volume): region→nation→customer and
+    * supplier co-location constraint over the order/lineitem facts. */
+  val tpchQ5: NamedQuery = NamedQuery("q69_tpch_q5",
+    Some("""SELECT n_name,
+           |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM region
+           |JOIN nation ON n_regionkey = r_regionkey
+           |JOIN customer ON c_nationkey = n_nationkey
+           |JOIN orders ON o_custkey = c_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |  AND s_nationkey = c_nationkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+           |GROUP BY n_name""".stripMargin),
+    (s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    })
+
+  /** Approximate sketches — HLL++ distinct counts and t-digest-style
+    * percentiles. Engine-specific sketch internals → no cross-engine
+    * oracle; ApproxSpec bounds them against the exact answers. */
+  val approxSketches: NamedQuery = NamedQuery("q70_approx_sketches", None,
+    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      count_distinct(col("l_orderkey")).as("exact_orders"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+        .as("approx_median")))
+
+  def defs: Seq[NamedQuery] = Seq(tpchQ3, tpchQ5, approxSketches)
+}

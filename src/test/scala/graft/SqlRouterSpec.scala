@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** SQL-driven DDL/DML routing (the reference's whole surface is SQL) and
+  * the skew utilities. */
+class SqlRouterSpec extends SparkSpec {
+
+  private lazy val engine: Engine = Engine(spark)
+
+  test("full SQL lifecycle: create, insert, delete, alter, index, drop") {
+    val t = s"sql_life_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, name STRING, age INT)")
+    intercept[IllegalArgumentException](engine.sql(s"CREATE TABLE $t (id INT)"))
+    engine.sql(s"CREATE TABLE IF NOT EXISTS $t (id INT)") // no-op
+    engine.sql(s"INSERT INTO $t VALUES (1, 'alice', 30), (2, 'bob', 41), (3, 'eve', 22)")
+    assert(engine.table(t).count() == 3)
+    engine.sql(s"INSERT INTO $t SELECT 4, 'mallory', 99")
+    assert(engine.table(t).count() == 4)
+    val del = engine.sql(s"DELETE FROM $t WHERE id = 2 OR id = 3")
+    assert(del.head().getLong(0) == 2)
+    assert(engine.table(t).count() == 2)
+    engine.sql(s"ALTER TABLE $t ADD COLUMN status STRING DEFAULT 'active'")
+    assert(engine.table(t).select("status").distinct().head().getString(0) == "active")
+    engine.sql(s"ALTER TABLE $t RENAME COLUMN status TO state")
+    engine.sql(s"ALTER TABLE $t DROP COLUMN state")
+    assert(!engine.table(t).columns.contains("state"))
+    engine.sql(s"CREATE INDEX idx_$t ON $t (id, name)")
+    assert(engine.indexes.filter(col("index_name") === s"idx_$t").count() == 1)
+    engine.sql(s"DROP INDEX idx_$t")
+    engine.sql(s"ALTER TABLE $t RENAME TO ${t}_2")
+    engine.sql(s"DROP TABLE ${t}_2")
+    engine.sql(s"DROP TABLE IF EXISTS ${t}_2")
+  }
+
+  test("CREATE TABLE AS SELECT routes through the catalog") {
+    val t = s"ctas_${System.nanoTime()}"
+    engine.registerTable("ctas_src", s"$sf/region.parquet")
+    engine.sql(s"CREATE TABLE $t AS SELECT r_regionkey FROM ctas_src")
+    assert(engine.table(t).count() == 5)
+    engine.sql(s"DROP TABLE $t")
+    engine.unregisterTable("ctas_src")
+  }
+
+  test("SELECT statements fall through to Spark SQL") {
+    assert(engine.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+
+  test("salted join equals plain join on a skewed key") {
+    import spark.implicits._
+    // 90% of left rows share one key — the shape AQE skew-split targets,
+    // pre-split here via salting
+    val left = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, 7L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val right = Seq((7L, "hot"), (20L, "cold"), (30L, "cold")).toDF("k", "w")
+    val plain = left.join(right, Seq("k")).agg(
+      count(lit(1)), sum("v")).head()
+    val salted = Skew.saltedJoin(left, right, "k", salt = 8).agg(
+      count(lit(1)), sum("v")).head()
+    assert(plain == salted)
+    assert(Skew.keySkew(left, "k").head().getLong(1) == 9000)
+  }
+}
