@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Remaining parity batch: ENUM declaration-order semantics over real
+  * data, cross-source canonical dedup, and the full window-function
+  * suite. */
+object ExtrasOps {
+
+  /** ENUM declaration-order comparison (enum_type_support.test:62-81):
+    * the engine maps an enum column to its declaration rank
+    * (Engine.enumOrd / array_position) for ORDER BY / MIN / MAX. Both
+    * engines evaluate the same rank mapping — DuckDB's `CREATE TYPE`
+    * cannot appear in a single oracle statement, and its *anonymous*
+    * enums sort lexically, so the rank formulation is the portable one. */
+  val enumOrder: NamedQuery = NamedQuery("q71_enum_order",
+    Some("""SELECT lang, count(*) AS n,
+           |CAST(list_position(['zh','en','de','fr','es'], lang) AS BIGINT)
+           |  AS lang_rank
+           |FROM documents GROUP BY lang ORDER BY lang_rank""".stripMargin),
+    (s, d) => {
+      val rank = array_position(
+        lit(Array("zh", "en", "de", "fr", "es")), col("lang"))
+      t(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n"), rank.cast("bigint").as("lang_rank"))
+        .orderBy("lang_rank")
+    })
+
+  /** Cross-source canonical dedup: per duplicate group, keep the doc from
+    * the lexically-first source (argmin) — the "source priority" rule a
+    * multi-crawl pipeline applies after near-dup clustering. */
+  val crossSource: NamedQuery = NamedQuery("q72_dedup_cross_source",
+    Some("""SELECT lang, n_chars,
+           |min_by(doc_id, source || '#' || CAST(doc_id AS VARCHAR)) AS keep_id,
+           |count(*) AS n_copies,
+           |count(DISTINCT source) AS n_sources
+           |FROM documents GROUP BY lang, n_chars""".stripMargin),
+    (s, d) => t(s, d, "documents").groupBy("lang", "n_chars").agg(
+      min_by(col("doc_id"),
+        concat(col("source"), lit("#"), col("doc_id").cast("string")))
+        .as("keep_id"),
+      count(lit(1)).as("n_copies"),
+      countDistinct(col("source")).as("n_sources")))
+
+  /** Full window-function battery over a unique ordering key. */
+  val windowSuite: NamedQuery = NamedQuery("q73_window_suite",
+    Some("""SELECT o_custkey, o_orderkey,
+           |lag(o_orderkey) OVER w AS prev_ok,
+           |lead(o_orderkey) OVER w AS next_ok,
+           |first_value(o_orderkey) OVER w AS first_ok,
+           |dense_rank() OVER w AS dr,
+           |ntile(4) OVER w AS nt,
+           |round(percent_rank() OVER w, 6) AS pr,
+           |round(cume_dist() OVER w, 6) AS cd
+           |FROM orders WHERE o_custkey < 50
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      t(s, d, "orders").filter(col("o_custkey") < 50).select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_ok"),
+        lead("o_orderkey", 1).over(w).as("next_ok"),
+        first("o_orderkey").over(w).as("first_ok"),
+        dense_rank().over(w).cast("bigint").as("dr"),
+        ntile(4).over(w).cast("bigint").as("nt"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+    })
+
+  def defs: Seq[NamedQuery] = Seq(enumOrder, crossSource, windowSuite)
+}
