@@ -96,7 +96,7 @@ object DedupOps {
       val numHashes = 32
       val bands = 8
       val rowsPerBand = numHashes / bands
-      val sh = shingleTokens(t(s, d, "documents"))
+      val sh = shingleTokens(t(s, d, "documents")).cache()
       val hashCols = (0 until numHashes).map(i =>
         min(xxhash64(lit(i), col("s"))).as(s"h$i"))
       val sig = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
@@ -111,10 +111,15 @@ object DedupOps {
         .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      // verify candidates with exact Jaccard (inverted index restricted to
-      // candidate docs only)
+      // verify candidates with exact Jaccard — restrict the inverted
+      // index to candidate docs BEFORE the pair join, so verification
+      // cost scales with |candidates|, not with the full corpus
+      val candDocs = cand.select(col("id_a").as("doc_id"))
+        .union(cand.select(col("id_b").as("doc_id"))).distinct()
+      val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .select("doc_id", "s")
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.toDF("id_a", "s").join(sh.toDF("id_b", "s"), Seq("s"))
+      val inter = shCand.toDF("id_a", "s").join(shCand.toDF("id_b", "s"), Seq("s"))
         .filter(col("id_a") < col("id_b"))
         .join(cand, Seq("id_a", "id_b"), "left_semi")
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))

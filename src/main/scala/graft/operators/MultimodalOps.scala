@@ -53,5 +53,33 @@ object MultimodalOps {
       }.toDF("doc_id", "width", "height", "mean_luma")
     })
 
-  def defs: Seq[NamedQuery] = Seq(meta, decode)
+  /** Frame sampling: treat the payload as a "video" of fixed-size frames
+    * and emit every k-th frame as its own row with a feature stub — the
+    * one-to-many partition-wise expansion a video pipeline runs (decode
+    * stubbed; schema/batching/distribution real). Output is bounded by
+    * maxFrames per document, so row explosion is controlled. */
+  val frameSample: NamedQuery = NamedQuery("q54b_multimodal_frames", None,
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val frameBytes = 64
+      val stride = 4
+      val maxFrames = 8
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          // STUB decode: fixed-size byte windows stand in for frames
+          val nFrames = bytes.length / frameBytes
+          (0 until nFrames by stride).take(maxFrames).map { f =>
+            val frame = bytes.slice(f * frameBytes, (f + 1) * frameBytes)
+            val luma = if (frame.isEmpty) 0.0
+              else frame.map(b => (b & 0xff).toDouble).sum / frame.length
+            (id, f, frame.length, math.rint(luma * 100) / 100)
+          }
+        }
+        .toDF("doc_id", "frame_idx", "frame_bytes", "mean_luma")
+    })
+
+  def defs: Seq[NamedQuery] = Seq(meta, decode, frameSample)
 }
