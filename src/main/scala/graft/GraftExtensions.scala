@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ElementAt, Expression, ExpressionInfo, Size}
+
+import graft.functions.{CosineSimilarity, RollingHashFingerprint, ShingleArray}
+
+/** SparkSessionExtensions entry point — the standard deployment path for
+  * a Spark library's Catalyst extensions:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Injects the engine's custom expressions (cosine_similarity,
+  * shingle_array, rolling_fingerprint) and the DuckDB-name aliases
+  * (len, list_contains, list_extract) into every session derived from
+  * the extended builder. `Engine.apply` registers the same set
+  * imperatively for sessions built without extensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft", name),
+          builder))
+    }
+}
+
+object GraftExtensions {
+  private def intLit(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (e => CosineSimilarity(e(0), e(1))),
+    "shingle_array" -> {
+      case Seq(c) => ShingleArray(c, 3)
+      case Seq(c, n) => ShingleArray(c, intLit(n))
+    },
+    "rolling_fingerprint" -> {
+      case Seq(c) => RollingHashFingerprint(c, 8)
+      case Seq(c, w) => RollingHashFingerprint(c, intLit(w))
+    },
+    "len" -> (e => Size(e.head)),
+    "list_contains" -> (e => ArrayContains(e(0), e(1))),
+    "list_extract" -> (e => ElementAt(e(0), e(1))))
+}

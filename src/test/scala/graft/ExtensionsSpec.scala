@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The SparkSessionExtensions entry point injects without error and its
+  * builders construct working expressions (exercised through SQL via the
+  * same builder list in DuckAliases). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions injects all engine functions") {
+    new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
+    assert(GraftExtensions.functions.map(_._1).toSet == Set(
+      "cosine_similarity", "shingle_array", "rolling_fingerprint",
+      "len", "list_contains", "list_extract"))
+  }
+
+  test("shingle_array + rolling_fingerprint callable from SQL") {
+    val r = spark.sql(
+      """SELECT shingle_array('a b c d', 3) AS sh,
+        |rolling_fingerprint('hello world rolling hash', 8) AS fp""".stripMargin)
+      .head()
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(r.getLong(1) != 0L)
+  }
+}
