@@ -23,9 +23,16 @@ import graft.functions.CosineSimilarity.cosineSim
   */
 object SimilarityOps {
 
-  /** Embedding near-duplicate pairs (cosine > 0.45), brute force over
-    * id-ordered pairs. Oracle computes the identical double-precision
-    * formula in DuckDB. */
+  /** Embedding near-duplicate pairs (cosine > 0.45), brute force.
+    * Oracle computes the identical double-precision formula in DuckDB.
+    *
+    * Implementation: the right side is broadcast once as a primitive
+    * float matrix and each partition scans its vectors against it with
+    * tight primitive loops — a join-shaped BroadcastNestedLoopJoin would
+    * copy both 64-float arrays into a joined row per candidate pair
+    * (measured ~6× slower). The broadcast side must be the smaller
+    * relation; when neither side fits an executor, the LSH-bucketed path
+    * (q46) is the formulation that scales. */
   val embeddingNearDup: NamedQuery = NamedQuery("q44_embedding_neardup",
     Some("""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
            |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
@@ -36,13 +43,39 @@ object SimilarityOps {
            |FROM n a JOIN n b ON a.vec_id < b.vec_id
            |WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.45""".stripMargin),
     (s, d) => {
+      val spark = s
+      import spark.implicits._
       val e = t(s, d, "embeddings").select("vec_id", "embedding")
-      val a = e.toDF("id_a", "emb_a")
-      val b = e.toDF("id_b", "emb_b")
-      val cos = cosineSim(col("emb_a"), col("emb_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .filter(cos > 0.45)
-        .select(col("id_a"), col("id_b"), round(cos, 3).as("cos_sim"))
+        .as[(Long, Array[Float])]
+      val all = s.sparkContext.broadcast(e.collect().sortBy(_._1))
+      val out = e.mapPartitions { it =>
+        val mat = all.value
+        val norms = mat.map { case (_, v) =>
+          var s2 = 0.0; var i = 0
+          while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
+          math.sqrt(s2)
+        }
+        it.flatMap { case (idA, va) =>
+          var na = 0.0
+          var i = 0
+          while (i < va.length) { na += va(i).toDouble * va(i); i += 1 }
+          val sqNa = math.sqrt(na)
+          mat.indices.iterator.filter(j => mat(j)._1 > idA).flatMap { j =>
+            val vb = mat(j)._2
+            var dot = 0.0
+            var k = 0
+            while (k < va.length && k < vb.length) {
+              dot += va(k).toDouble * vb(k); k += 1
+            }
+            val cos = dot / (sqNa * norms(j))
+            // HALF_UP to match round(x, 3) in both SQL engines
+            if (cos > 0.45) Some((idA, mat(j)._1, BigDecimal(cos)
+              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            else None
+          }
+        }
+      }.toDF("id_a", "id_b", "cos_sim")
+      out
     })
 
   /** Brute-force cosine top-k: the 10 nearest neighbors of vec_id 0.
