@@ -76,6 +76,14 @@ class Engine private[graft] (val spark: SparkSession) {
 
   def tableNames: Seq[String] = registry.keys.toSeq.sorted
 
+  /** ≈ duckdb_tables() introspection (extension.test:50-59). */
+  def tables: DataFrame = {
+    import spark.implicits._
+    registry.toSeq.sortBy(_._1)
+      .map { case (n, e) => (n, e.rows, e.df.columns.length) }
+      .toDF("table_name", "row_count", "column_count")
+  }
+
   private def missing(name: String): Nothing =
     throw new IllegalArgumentException(
       s"Catalog Error: Table with name $name does not exist!")

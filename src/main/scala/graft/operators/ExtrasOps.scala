@@ -70,5 +70,24 @@ object ExtrasOps {
         round(cume_dist().over(w), 6).as("cd"))
     })
 
-  def defs: Seq[NamedQuery] = Seq(enumOrder, crossSource, windowSuite)
+  /** List NULL semantics (list_type_support.test: empty lists, NULL
+    * lists, NULL elements): len/size, 1-based indexing (try_element_at —
+    * ANSI mode errors on out-of-bound where DuckDB yields NULL),
+    * list_contains — all NULL-propagating identically. */
+  val listNulls: NamedQuery = NamedQuery("q74_list_nulls",
+    // has1 cast to INT on both sides: pandas renders a nullable Spark
+    // boolean as object None but a nullable DuckDB boolean as float NaN
+    Some("""SELECT id, len(x) AS n, x[1] AS first_e,
+           |CAST(list_contains(x, 1) AS INTEGER) AS has1
+           |FROM (VALUES (1, [1, NULL, 3]), (2, []), (3, NULL), (4, [4, 5]))
+           |  AS t(id, x)""".stripMargin),
+    (s, _) => s.sql(
+      """SELECT id, size(x) AS n, try_element_at(x, 1) AS first_e,
+        |CAST(array_contains(x, 1) AS INT) AS has1
+        |FROM VALUES (1, array(1, CAST(NULL AS INT), 3)), (2, array()),
+        |            (3, CAST(NULL AS ARRAY<INT>)), (4, array(4, 5))
+        |  AS t(id, x)""".stripMargin))
+
+  def defs: Seq[NamedQuery] =
+    Seq(enumOrder, crossSource, windowSuite, listNulls)
 }

@@ -137,5 +137,52 @@ object SimilarityOps {
           col("cos_sim"))
     })
 
-  def defs: Seq[NamedQuery] = Seq(embeddingNearDup, annTopK, annLsh)
+  /** IVF-style ANN: a coarse quantizer assigns every vector to its
+    * nearest centroid cell; queries probe only their `nprobe` nearest
+    * cells. Centroids here are a deterministic stub (the first 16
+    * vectors — production would k-means a sample); the *structure* is
+    * the real IVF skeleton: cell assignment is a broadcast argmax, the
+    * probe is a cell-keyed equi-join — candidate generation never
+    * enumerates all pairs, which is the property that survives 100 TB.
+    * No oracle (approximate by construction); PipelineSpec bounds
+    * recall@10 against the brute-force baseline. */
+  val annIvf: NamedQuery = NamedQuery("q75_ann_ivf", None,
+    (s, d) => {
+      val nprobe = 4
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") < 16)
+        .toDF("cid", "cent")
+      val cos = cosineSim(col("embedding"), col("cent"))
+      // cell assignment: argmax cosine over the broadcast centroids
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("c").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"), cos.as("c"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      // queries probe their nprobe nearest cells
+      val queries = e.filter(col("vec_id") < 10).toDF("qid", "q_emb")
+      val wProbe = Window.partitionBy("qid")
+        .orderBy(col("qc").desc, col("cid"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .select(col("qid"), col("q_emb"), col("cid"),
+          cosineSim(col("q_emb"), col("cent")).as("qc"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= nprobe)
+        .select(col("qid"), col("q_emb"), col("cid").as("cell"))
+      // search only within probed cells
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      probes.join(assigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosineSim(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id").as("neighbor"), col("cos_sim"),
+          col("rn").as("rank"))
+    })
+
+  def defs: Seq[NamedQuery] = Seq(embeddingNearDup, annTopK, annLsh, annIvf)
 }

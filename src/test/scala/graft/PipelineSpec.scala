@@ -46,6 +46,25 @@ class PipelineSpec extends SparkSpec {
     assert(sims.sameElements(sims.sortBy(-(_: Double))))
   }
 
+  test("ivf ann recall@10 against brute force") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(spark, sf, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10).toDF("qid", "q_emb")
+    val w = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))
+    val brute = q.crossJoin(e)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.CosineSimilarity.cosineSim(col("q_emb"), col("embedding")).as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = run("q75_ann_ivf")
+      .select("qid", "neighbor")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@10 $recall")
+  }
+
   test("lsh ann returns a best neighbor per probed vector") {
     val nn = run("q46_ann_lsh")
     assert(nn.groupBy("vec_id").count().agg(max("count")).head().getLong(0) == 1)
