@@ -52,11 +52,36 @@ class Engine private[graft] (val spark: SparkSession) {
   private val indexRegistry = TrieMap.empty[String, (String, Seq[String])]
 
   /** ≈ PRAGMA duckherder_register_remote_table(local, remote): register a
-    * parquet-backed table. Row count (parquet footer metadata only — no
-    * scan) feeds the execution-mode classifier. */
-  def registerTable(name: String, path: String): Unit = {
-    val df = spark.read.parquet(path)
+    * file-backed table. Row count (parquet footer metadata only — no
+    * scan) feeds the execution-mode classifier. Formats mirror the
+    * reference's source surface (SURVEY §2.3: parquet primary, CSV/JSON
+    * via `duckherder_load_extension`). */
+  def registerTable(name: String, path: String, format: String = "parquet"): Unit = {
+    val df = format match {
+      case "parquet" => spark.read.parquet(path)
+      case "csv" => spark.read.option("header", "true")
+        .option("inferSchema", "true").csv(path)
+      case "json" => spark.read.json(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported format: $other")
+    }
     put(name, df)
+  }
+
+  /** Sink: write a managed table out (the reference's only sink is its
+    * INSERT path; Spark's DataFrameWriter adds the file formats). */
+  def writeTable(name: String, path: String,
+      format: String = "parquet"): Unit = {
+    val df = table(name)
+    val w = df.coalesce(math.max(1, df.rdd.getNumPartitions)).write
+      .mode("overwrite")
+    format match {
+      case "parquet" => w.parquet(path)
+      case "csv" => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case other => throw new IllegalArgumentException(
+        s"unsupported format: $other")
+    }
   }
 
   def registerTable(name: String, df: DataFrame): Unit = put(name, df)
@@ -185,6 +210,9 @@ class Engine private[graft] (val spark: SparkSession) {
 
   /** ≈ duckherder_get_worker_count(): executor parallelism. */
   def workerCount: Int = spark.sparkContext.defaultParallelism
+
+  /** ≈ duckherder_stop_local_server(). */
+  def stop(): Unit = spark.stop()
 
   // ---- DDL -------------------------------------------------------------
 
