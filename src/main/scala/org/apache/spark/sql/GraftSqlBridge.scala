@@ -9,4 +9,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build the V2 parquet Table for a path (internal constructor —
+    * bridged for the GraftCatalog TableCatalog plugin). */
+  def parquetTable(name: String, path: String): connector.catalog.Table =
+    execution.datasources.v2.parquet.ParquetTable(
+      name,
+      classic.SparkSession.active,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", path)),
+      Seq(path),
+      None,
+      classOf[execution.datasources.parquet.ParquetFileFormat])
 }
