@@ -97,12 +97,12 @@ object DedupOps {
       val bands = 8
       val rowsPerBand = numHashes / bands
       val sh = shingleTokens(t(s, d, "documents")).cache()
-      val hashCols = (0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-      val sig = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      val sig = sh.groupBy("doc_id").agg(
+        graft.functions.MinHashSignature.minhashSignature(col("s"), numHashes)
+          .as("sig"))
       val bandCols = (0 until bands).map { b =>
-        val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-        struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+        val bandSlice = slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+        struct(lit(b).as("band"), xxhash64(bandSlice).as("bh"))
       }
       val buckets = sig
         .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))

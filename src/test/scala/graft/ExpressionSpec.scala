@@ -98,6 +98,25 @@ class ExpressionSpec extends SparkSpec {
     assert(java.lang.Long.compareUnsigned(f2, f1) <= 0)
   }
 
+  test("minhash signature agg equals the k-column min formulation") {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    val data = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 99L))
+      .toDF("doc", "s")
+    val k = 8
+    val sig = data.groupBy("doc").agg(
+      graft.functions.MinHashSignature.minhashSignature(col("s"), k).as("sig"))
+    val minCols = (0 until k).map(i => min(GraftSqlBridge.column(
+      new XxHash64(Seq(GraftSqlBridge.expression(col("s"))), i)))
+      .as(s"h$i"))
+    val mins = data.groupBy("doc").agg(minCols.head, minCols.tail: _*)
+    val joined = sig.join(mins, "doc").collect()
+    joined.foreach { r =>
+      val arr = r.getSeq[Long](r.fieldIndex("sig"))
+      (0 until k).foreach(i => assert(arr(i) == r.getAs[Long](s"h$i")))
+    }
+  }
+
   test("len / list_contains / list_extract SQL aliases work") {
     Tables.t(spark, sf, "embeddings").limit(5)
       .createOrReplaceTempView("alias_emb")
