@@ -101,6 +101,9 @@ class Engine private[graft] (val spark: SparkSession) {
 
   def tableNames: Seq[String] = registry.keys.toSeq.sorted
 
+  /** ≈ the Flight server's TableExists action. */
+  def tableExists(name: String): Boolean = registry.contains(name)
+
   /** ≈ duckdb_tables() introspection (extension.test:50-59). */
   def tables: DataFrame = {
     import spark.implicits._

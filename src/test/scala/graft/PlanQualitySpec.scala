@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-quality regressions: the properties that matter at 100 TB —
+  * filter pushdown to parquet, column pruning, broadcast of dimensions,
+  * partial+final aggregation, bounded shuffle count — asserted on the
+  * physical plans so a future refactor can't silently lose them. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    val qe = castToImpl(df).queryExecution
+    qe.executedPlan.toString() + "\n" + qe.optimizedPlan.toString()
+  }
+
+  private def scans(df: DataFrame) =
+    castToImpl(df).queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+    }.flatMap {
+      case s: FileSourceScanExec => Seq(s)
+      case ss: Seq[_] => ss.asInstanceOf[Seq[FileSourceScanExec]]
+    }
+
+  test("q03 filter is pushed to the parquet scan") {
+    val df = SparkEntry.queries("q03_filter")(spark, sf)
+    val scan = scans(df)
+    assert(scan.nonEmpty)
+    val pushed = scan.head.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed != "[]", s"no pushed filters: $pushed")
+  }
+
+  test("q02 projection prunes the read schema") {
+    val df = SparkEntry.queries("q02_projection")(spark, sf)
+    val schema = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(schema == Set("l_orderkey", "l_partkey", "l_quantity"),
+      s"read schema not pruned: $schema")
+  }
+
+  test("q12 joins broadcast (no fact-table shuffle for the dimension join)") {
+    val df = SparkEntry.queries("q12_join_agg")(spark, sf)
+    df.collect() // let AQE finalize
+    assert(planString(df).contains("BroadcastHashJoin"))
+  }
+
+  test("q06 aggregates partially before the shuffle") {
+    val df = SparkEntry.queries("q06_tpch_q1")(spark, sf)
+    val s = planString(df)
+    // partial+final pairs appear as two HashAggregate levels
+    assert("HashAggregate".r.findAllIn(s).size >= 2)
+  }
+
+  test("q1_agg runs with exactly one shuffle") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.collect()
+    val qe = castToImpl(df).queryExecution
+    val exchanges = qe.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+    }
+    assert(exchanges.size <= 2, s"unexpected shuffles: ${exchanges.size}")
+  }
+}

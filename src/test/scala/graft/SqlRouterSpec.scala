@@ -48,6 +48,20 @@ class SqlRouterSpec extends SparkSpec {
     assert(engine.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("DML/DDL on missing tables raises catalog errors") {
+    assert(!engine.tableExists("router_missing"))
+    val e1 = intercept[IllegalArgumentException](
+      engine.sql("DELETE FROM router_missing WHERE id = 1"))
+    assert(e1.getMessage.contains("does not exist"))
+    val e2 = intercept[IllegalArgumentException](
+      engine.sql("ALTER TABLE router_missing ADD COLUMN c INT"))
+    assert(e2.getMessage.contains("does not exist"))
+    intercept[IllegalArgumentException](
+      engine.sql("CREATE INDEX ix ON router_missing (id)"))
+    intercept[IllegalArgumentException](
+      engine.sql("DROP TABLE router_missing"))
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     // 90% of left rows share one key — the shape AQE skew-split targets,
