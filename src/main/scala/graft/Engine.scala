@@ -299,6 +299,19 @@ class Engine private[graft] (val spark: SparkSession) {
     insertInto(name, spark.createDataFrame(rows.asJava, e.df.schema))
   }
 
+  /** Exact dedup of a managed table (beyond-reference pipeline verb):
+    * keeps one row per key set — hash groupBy underneath (dropDuplicates),
+    * one shuffle on the key columns. Returns rows removed. */
+  def dedupTable(name: String, keys: Seq[String] = Seq.empty): Long = {
+    val e = registry.getOrElse(name, missing(name))
+    val deduped =
+      if (keys.isEmpty) e.df.dropDuplicates() else e.df.dropDuplicates(keys)
+    val kept = deduped.count()
+    registry.put(name, TableEntry(deduped, kept))
+    deduped.createOrReplaceTempView(name)
+    e.rows - kept
+  }
+
   /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
     * (what Delta/Iceberg do per-file), never a driver-side row collect. */
   def deleteFrom(name: String, cond: Column): Long = {

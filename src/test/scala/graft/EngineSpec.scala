@@ -138,6 +138,19 @@ class EngineSpec extends SparkSpec {
     assert(engine.workerCount == 4)
   }
 
+  test("dedupTable removes exact duplicates") {
+    val t = freshTable("dedup_tbl")
+    engine.insertValues(t, Seq(Row(1, "a"), Row(1, "a"), Row(2, "b"),
+      Row(2, "c"), Row(2, "c")))
+    // full-row dedup
+    assert(engine.dedupTable(t) == 2)
+    assert(engine.table(t).count() == 3)
+    // key dedup keeps one row per id
+    assert(engine.dedupTable(t, Seq("id")) == 1)
+    assert(engine.table(t).count() == 2)
+    engine.dropTable(t)
+  }
+
   test("execution modes at reference thresholds (BASELINE.md tiers)") {
     import spark.implicits._
     engine.clearStats()
