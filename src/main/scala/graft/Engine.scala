@@ -176,8 +176,17 @@ class Engine private[graft] (val spark: SparkSession) {
     * catalog (the reference drives its whole surface through SQL —
     * duckherder_schema_catalog_entry.cpp intercepts the same verbs). */
   def sql(q: String): DataFrame = {
+    val t0 = System.nanoTime()
     SqlRouter.route(this, q) match {
-      case Some(df) => df
+      case Some(df) =>
+        // DDL/DML execute eagerly on the driver — recorded as LOCAL,
+        // like the reference's HandleExecuteSQL path
+        // (distributed_flight_server.cpp:281-340 → RecordQueryExecution).
+        val durNs = System.nanoTime() - t0
+        stats.add(StatRow(q, "LOCAL", "CONCATENATE", durNs / 1000000L,
+          1L, 1L, new Timestamp(System.currentTimeMillis() - durNs / 1000000L)))
+        history.add((q, durNs / 1e6))
+        df
       case None =>
         val df = spark.sql(q)
         val qe = castToImpl(df).queryExecution

@@ -35,6 +35,18 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"DROP TABLE IF EXISTS ${t}_2")
   }
 
+  test("routed DDL/DML lands in executionStats as LOCAL") {
+    engine.clearStats()
+    val t = s"stats_ddl_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT)")
+    engine.sql(s"INSERT INTO $t VALUES (1), (2)")
+    engine.sql(s"DELETE FROM $t WHERE id = 1")
+    val stats = engine.executionStats.collect()
+    assert(stats.length == 3)
+    assert(stats.forall(_.getAs[String]("execution_mode") == "LOCAL"))
+    engine.dropTable(t)
+  }
+
   test("CREATE TABLE AS SELECT routes through the catalog") {
     val t = s"ctas_${System.nanoTime()}"
     engine.registerTable("ctas_src", s"$sf/region.parquet")
