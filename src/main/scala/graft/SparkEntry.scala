@@ -16,7 +16,7 @@ object SparkEntry {
 
   private def all: Seq[NamedQuery] =
     Relational.defs ++ TypeOps.defs ++ AdvancedOps.defs ++ JoinOps.defs ++
-      ExtrasOps.defs ++ DmlOps.defs ++
+      ExtrasOps.defs ++ TpchOps.defs ++ DmlOps.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ TextOps.defs ++
       MultimodalOps.defs ++ StreamingOps.defs
 
