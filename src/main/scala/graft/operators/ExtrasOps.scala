@@ -88,6 +88,52 @@ object ExtrasOps {
         |            (3, CAST(NULL AS ARRAY<INT>)), (4, array(4, 5))
         |  AS t(id, x)""".stripMargin))
 
+  /** CUBE — all grouping combinations (completes the ROLLUP/GROUPING
+    * SETS family). */
+  val cube: NamedQuery = {
+    val q = """SELECT l_returnflag, l_linestatus,
+              |CAST(grouping(l_returnflag) AS BIGINT) AS g_f,
+              |CAST(grouping(l_linestatus) AS BIGINT) AS g_s,
+              |count(*) AS n
+              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+    NamedQuery("q86_cube", Some(q), (s, d) => {
+      graft.Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(q)
+    })
+  }
+
+  /** Multiset set-ops: EXCEPT ALL / INTERSECT ALL keep duplicates. */
+  val setopsAll: NamedQuery = {
+    val q = """SELECT 'except' AS op, ok FROM (
+              |  SELECT o_orderkey AS ok FROM orders
+              |  EXCEPT ALL SELECT l_orderkey AS ok FROM lineitem)
+              |UNION ALL
+              |SELECT 'intersect' AS op, ok FROM (
+              |  SELECT o_orderkey AS ok FROM orders
+              |  INTERSECT ALL SELECT l_orderkey AS ok FROM lineitem)""".stripMargin
+    NamedQuery("q87_setops_all", Some(q), (s, d) => {
+      Seq("orders", "lineitem").foreach(n =>
+        graft.Tables.t(s, d, n).createOrReplaceTempView(n))
+      s.sql(q)
+    })
+  }
+
+  /** Semi-structured extraction from the events JSON props column. */
+  val jsonExtract: NamedQuery = NamedQuery("q88_json_extract",
+    Some("""SELECT event_type,
+           |count(*) AS n,
+           |CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           |  AS BIGINT) AS sum_k,
+           |CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           |  AS BIGINT) AS max_k
+           |FROM events GROUP BY event_type""".stripMargin),
+    (s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      graft.Tables.t(s, d, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), max(k).as("max_k"))
+    })
+
   def defs: Seq[NamedQuery] =
-    Seq(enumOrder, crossSource, windowSuite, listNulls)
+    Seq(enumOrder, crossSource, windowSuite, listNulls, cube, setopsAll,
+      jsonExtract)
 }
