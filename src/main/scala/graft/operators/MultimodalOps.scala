@@ -40,6 +40,7 @@ object MultimodalOps {
       val payloads = t(s, d, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
+      val targetW = 224 // resize target (vision-model input size)
       payloads.mapPartitions { it =>
         it.map { case (id, bytes) =>
           // STUB: deterministic fake of an image decode. Real impl: hand
@@ -48,9 +49,13 @@ object MultimodalOps {
           val h = bytes.length % 200 + 32
           val luma = if (bytes.isEmpty) 0.0
             else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
-          (id, w, h, math.rint(luma * 100) / 100)
+          // resize stub: aspect-preserving scale to targetW wide — the
+          // arithmetic a real resampler applies, minus the pixels
+          val scale = targetW.toDouble / w
+          val rh = math.max(1, math.round(h * scale).toInt)
+          (id, w, h, targetW, rh, math.rint(luma * 100) / 100)
         }
-      }.toDF("doc_id", "width", "height", "mean_luma")
+      }.toDF("doc_id", "width", "height", "resized_w", "resized_h", "mean_luma")
     })
 
   /** Frame sampling: treat the payload as a "video" of fixed-size frames
