@@ -116,14 +116,9 @@ object SimilarityOps {
       val rnd = new Random(42)
       val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
       val e = t(s, d, "embeddings")
-      val bucket = (0 until planes).map { p =>
-        val dot = (0 until dims).map(j =>
-          element_at(col("embedding"), j + 1) * lit(hyper(p)(j)))
-          .reduce(_ + _)
-        when(dot > 0, shiftleft(lit(1), p)).otherwise(0)
-      }.reduce(_.bitwiseOR(_))
       val bucketed = e.select(col("vec_id"), col("embedding"),
-        bucket.as("bucket"))
+        graft.functions.HyperplaneBucket
+          .hyperplaneBucket(col("embedding"), hyper).as("bucket"))
       val cos = cosineSim(col("emb_a"), col("emb_b"))
       val pairs = bucketed.toDF("id_a", "emb_a", "bucket")
         .join(bucketed.toDF("id_b", "emb_b", "bucket"), Seq("bucket"))
