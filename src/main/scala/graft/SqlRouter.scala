@@ -33,8 +33,12 @@ private[graft] object SqlRouter {
     """(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val InsertSql =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s*.+|SELECT\s+.+|FROM\s+.+)""".r
+  private val InsertColsSql =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*\(([\w\s,]+)\)\s+(VALUES\s*.+|SELECT\s+.+|FROM\s+.+)""".r
   private val DeleteSql =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)""".r
+  private val DeleteAllSql =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*""".r
 
   /** Some(result) when routed; None → plain Spark SQL. */
   def route(e: Engine, q: String): Option[DataFrame] = q match {
@@ -66,19 +70,39 @@ private[graft] object SqlRouter {
       Some(emptyOk(e))
     case DropIndex(ifEx, idx) =>
       e.dropIndex(idx, ifExists = ifEx != null); Some(emptyOk(e))
+    case InsertColsSql(name, cols, source) =>
+      // explicit column list (alter_table.test:99-101): remaining columns
+      // of the target fill with NULL
+      val colNames = cols.split(",").map(_.trim)
+      val src = sourceDf(e, source).toDF(colNames.toIndexedSeq: _*)
+      val target = e.table(name)
+      val full = target.columns.foldLeft(src) { (df, c) =>
+        if (colNames.contains(c)) df
+        else df.withColumn(c,
+          org.apache.spark.sql.functions.lit(null)
+            .cast(target.schema(c).dataType))
+      }.select(target.columns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+      e.insertInto(name, full)
+      Some(emptyOk(e))
     case InsertSql(name, source) =>
-      val src =
-        if (source.trim.toUpperCase.startsWith("VALUES"))
-          e.spark.sql(s"SELECT * FROM ($source) AS __v")
-        else e.spark.sql(source)
-      e.insertInto(name, src)
+      e.insertInto(name, sourceDf(e, source))
       Some(emptyOk(e))
     case DeleteSql(name, cond) =>
       val n = e.deleteFrom(name, expr(cond))
       import e.spark.implicits._
       Some(Seq(n).toDF("deleted_rows"))
+    case DeleteAllSql(name) if e.tableExists(name) =>
+      val n = e.deleteFrom(name, expr("true"))
+      import e.spark.implicits._
+      Some(Seq(n).toDF("deleted_rows"))
     case _ => None
   }
+
+  private def sourceDf(e: Engine, source: String): DataFrame =
+    if (source.trim.toUpperCase.startsWith("VALUES"))
+      e.spark.sql(s"SELECT * FROM ($source) AS __v")
+    else e.spark.sql(source)
 
   private def emptyOk(e: Engine): DataFrame = {
     import e.spark.implicits._

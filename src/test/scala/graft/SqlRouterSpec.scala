@@ -47,6 +47,20 @@ class SqlRouterSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("INSERT with explicit column list fills remaining columns with NULL") {
+    val t = s"ins_cols_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, name STRING, age INT)")
+    engine.sql(s"INSERT INTO $t (id, name) VALUES (1, 'a'), (2, 'b')")
+    val rows = engine.table(t).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(2)))
+    assert(rows.map(_.getString(1)).sameElements(Array("a", "b")))
+    // DELETE without WHERE empties the table
+    assert(engine.sql(s"DELETE FROM $t").head().getLong(0) == 2)
+    assert(engine.table(t).count() == 0)
+    engine.dropTable(t)
+  }
+
   test("CREATE TABLE AS SELECT routes through the catalog") {
     val t = s"ctas_${System.nanoTime()}"
     engine.registerTable("ctas_src", s"$sf/region.parquet")
