@@ -152,7 +152,9 @@ object DedupOps {
       val sim = (0 until 64).map(j =>
         when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
         .reduce(_.bitwiseOR(_))
-      val sigs = withBits.select(col("doc_id"), sim.as("simhash"))
+      // cache: the banded table self-joins — uncached, both join sides
+      // recompute the 64-bit-sum aggregation
+      val sigs = withBits.select(col("doc_id"), sim.as("simhash")).cache()
       val banded = sigs.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 16).bitwiseAND(0xffff).as("bh"))): _*))

@@ -116,9 +116,12 @@ object SimilarityOps {
       val rnd = new Random(42)
       val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
       val e = t(s, d, "embeddings")
+      // cache: the bucketed table self-joins — uncached, both sides
+      // recompute the plane projections
       val bucketed = e.select(col("vec_id"), col("embedding"),
         graft.functions.HyperplaneBucket
           .hyperplaneBucket(col("embedding"), hyper).as("bucket"))
+        .cache()
       val cos = cosineSim(col("emb_a"), col("emb_b"))
       val pairs = bucketed.toDF("id_a", "emb_a", "bucket")
         .join(bucketed.toDF("id_b", "emb_b", "bucket"), Seq("bucket"))
