@@ -133,7 +133,22 @@ object ExtrasOps {
         .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), max(k).as("max_k"))
     })
 
+  /** Aggregate-to-list (DuckDB list()/Spark collect_list), canonicalized
+    * as a sorted CSV of ints so the comparator sees plain strings. */
+  val arrayAgg: NamedQuery = NamedQuery("q89_array_agg",
+    Some("""SELECT l_orderkey,
+           |array_to_string(list_sort(list(l_linenumber)), ',') AS line_nums,
+           |count(*) AS n
+           |FROM lineitem WHERE l_orderkey <= 200
+           |GROUP BY l_orderkey""".stripMargin),
+    (s, d) => t(s, d, "lineitem").filter(col("l_orderkey") <= 200)
+      .groupBy("l_orderkey")
+      .agg(
+        array_join(sort_array(collect_list(col("l_linenumber"))), ",")
+          .as("line_nums"),
+        count(lit(1)).as("n")))
+
   def defs: Seq[NamedQuery] =
     Seq(enumOrder, crossSource, windowSuite, listNulls, cube, setopsAll,
-      jsonExtract)
+      jsonExtract, arrayAgg)
 }
