@@ -148,7 +148,22 @@ object ExtrasOps {
           .as("line_nums"),
         count(lit(1)).as("n")))
 
+  /** ANSI aggregate FILTER clause — identical SQL both engines. */
+  val filterClause: NamedQuery = {
+    val q = """SELECT l_returnflag,
+              |count(*) AS n_all,
+              |count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+              |round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+              |  AS disc_price,
+              |round(avg(l_tax) FILTER (WHERE l_linestatus = 'F'), 4) AS avg_tax_f
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    NamedQuery("q90_filter_clause", Some(q), (s, d) => {
+      graft.Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(q)
+    })
+  }
+
   def defs: Seq[NamedQuery] =
     Seq(enumOrder, crossSource, windowSuite, listNulls, cube, setopsAll,
-      jsonExtract, arrayAgg)
+      jsonExtract, arrayAgg, filterClause)
 }
