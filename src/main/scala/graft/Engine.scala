@@ -46,7 +46,14 @@ class Engine private[graft] (val spark: SparkSession) {
 
   // ---- table registry -------------------------------------------------
 
-  private case class TableEntry(df: DataFrame, rows: Long)
+  /** Registry entry. The row count is lazy: DDL verbs (register/alter/
+    * insert) must not scan the table — at 100 TB an ALTER TABLE ADD COLUMN
+    * must stay metadata-only. The count materializes on first classifier
+    * or introspection use, and DML verbs that already counted pass the
+    * number forward. */
+  private final class TableEntry(val df: DataFrame, known: Long = -1L) {
+    lazy val rows: Long = if (known >= 0L) known else df.count()
+  }
   private val registry = TrieMap.empty[String, TableEntry]
   private val enums = TrieMap.empty[String, Seq[String]]
   private val indexRegistry = TrieMap.empty[String, (String, Seq[String])]
@@ -73,8 +80,7 @@ class Engine private[graft] (val spark: SparkSession) {
   def writeTable(name: String, path: String,
       format: String = "parquet"): Unit = {
     val df = table(name)
-    val w = df.coalesce(math.max(1, df.rdd.getNumPartitions)).write
-      .mode("overwrite")
+    val w = df.write.mode("overwrite")
     format match {
       case "parquet" => w.parquet(path)
       case "csv" => w.option("header", "true").csv(path)
@@ -91,8 +97,8 @@ class Engine private[graft] (val spark: SparkSession) {
     spark.catalog.dropTempView(name)
   }
 
-  private def put(name: String, df: DataFrame): Unit = {
-    registry.put(name, TableEntry(df, df.count()))
+  private def put(name: String, df: DataFrame, knownRows: Long = -1L): Unit = {
+    registry.put(name, new TableEntry(df, knownRows))
     df.createOrReplaceTempView(name)
   }
 
@@ -136,7 +142,10 @@ class Engine private[graft] (val spark: SparkSession) {
       val subtreeHashes = qe.analyzed.collect {
         case p => p.semanticHash().toLong
       }.toSet
-      subtreeHashes.iterator.flatMap(pending.get).take(1).foreach {
+      // remove on match: un-evicted entries accumulate over a long
+      // session and a colliding 32-bit hash could mis-attribute stats
+      subtreeHashes.iterator
+        .flatMap(h => pending.remove(h).iterator).take(1).foreach {
         case (sqlText, origQe) =>
           record(sqlText, origQe, durationNs)
           history.add((sqlText, durationNs / 1e6))
@@ -166,8 +175,17 @@ class Engine private[graft] (val spark: SparkSession) {
     * analog of the reference's table-scan cardinality estimate
     * (query_plan_analyzer.cpp:58-71). */
   private def scanRows(qe: QueryExecution): Long = {
-    val text = qe.analyzed.toString
-    val hit = registry.filter { case (n, _) => text.contains(s"`$n`") || text.contains(n) }
+    // registered tables are temp views; after analysis each appears as a
+    // SubqueryAlias carrying its identifier — exact-match those instead
+    // of substring-scanning the plan text (a table named `t` would match
+    // every plan containing the letter)
+    val names = qe.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        a.identifier.name.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+    val hit = registry.filter { case (n, _) =>
+      names.contains(n.toLowerCase(java.util.Locale.ROOT))
+    }
     if (hit.isEmpty) 0L else hit.values.map(_.rows).max
   }
 
@@ -316,20 +334,22 @@ class Engine private[graft] (val spark: SparkSession) {
     val deduped =
       if (keys.isEmpty) e.df.dropDuplicates() else e.df.dropDuplicates(keys)
     val kept = deduped.count()
-    registry.put(name, TableEntry(deduped, kept))
-    deduped.createOrReplaceTempView(name)
-    e.rows - kept
+    val before = e.rows
+    put(name, deduped, kept)
+    before - kept
   }
 
   /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
     * (what Delta/Iceberg do per-file), never a driver-side row collect. */
   def deleteFrom(name: String, cond: Column): Long = {
     val e = registry.getOrElse(name, missing(name))
-    val remaining = e.df.filter(!cond)
+    // SQL DELETE removes only rows where the predicate is TRUE; a row
+    // where it evaluates NULL must be KEPT (plain `!cond` would drop it)
+    val remaining = e.df.filter(!coalesce(cond, lit(false)))
     val kept = remaining.count()
-    registry.put(name, TableEntry(remaining, kept))
-    remaining.createOrReplaceTempView(name)
-    e.rows - kept
+    val before = e.rows
+    put(name, remaining, kept)
+    before - kept
   }
 
   // ---- index registry (metadata-only, ≈ duckherder_index_catalog_entry) --

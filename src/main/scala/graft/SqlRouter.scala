@@ -73,9 +73,13 @@ private[graft] object SqlRouter {
     case InsertColsSql(name, cols, source) =>
       // explicit column list (alter_table.test:99-101): remaining columns
       // of the target fill with NULL
-      val colNames = cols.split(",").map(_.trim)
-      val src = sourceDf(e, source).toDF(colNames.toIndexedSeq: _*)
+      // resolve the user's column list against the target schema
+      // case-insensitively, like Spark's own identifier resolution
       val target = e.table(name)
+      val colNames = cols.split(",").map(_.trim).map { c =>
+        target.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
+      }
+      val src = sourceDf(e, source).toDF(colNames.toIndexedSeq: _*)
       val full = target.columns.foldLeft(src) { (df, c) =>
         if (colNames.contains(c)) df
         else df.withColumn(c,

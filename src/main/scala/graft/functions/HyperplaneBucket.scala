@@ -22,6 +22,19 @@ case class HyperplaneBucket(child: Expression, planes: Array[Array[Double]])
 
   override def dataType: DataType = IntegerType
 
+  // getFloat on a non-float array silently reads garbage — fail analysis
+  // instead (mirrors CosineSimilarity's input validation)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bucket needs array<float>, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(input: Any): Any =
     HyperplaneBucket.bucket(input.asInstanceOf[ArrayData], planes)
 

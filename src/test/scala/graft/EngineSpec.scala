@@ -138,6 +138,43 @@ class EngineSpec extends SparkSpec {
     assert(engine.workerCount == 4)
   }
 
+  test("DELETE keeps rows where the predicate evaluates to NULL") {
+    val t = freshTable("del_null")
+    engine.insertValues(t, Seq(Row(1, "a"), Row(2, null), Row(3, "b")))
+    // name = 'a' is NULL for row 2 → SQL DELETE must keep it
+    val deleted = engine.deleteFrom(t, col("name") === "a")
+    assert(deleted == 1)
+    val kept = engine.table(t).collect().map(_.getInt(0)).sorted
+    assert(kept.sameElements(Array(2, 3)))
+    engine.dropTable(t)
+  }
+
+  test("DDL/DML verbs are metadata-only: zero Spark jobs launched") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val t = s"lazy_cnt_${System.nanoTime()}"
+      engine.registerTable(t, spark.range(100).toDF("id"))
+      engine.addColumn(t, "c", "INT", Some(7))
+      engine.renameColumn(t, "c", "d")
+      engine.insertInto(t, spark.range(5).toDF("id")
+        .withColumn("d", lit(1)))
+      org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"expected metadata-only DDL/DML, saw ${jobs.get()} Spark jobs")
+      // the count still materializes (lazily) for the classifier
+      assert(engine.tables.filter(col("table_name") === t)
+        .head().getAs[Long]("row_count") == 105L)
+      engine.dropTable(t)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("dedupTable removes exact duplicates") {
     val t = freshTable("dedup_tbl")
     engine.insertValues(t, Seq(Row(1, "a"), Row(1, "a"), Row(2, "b"),

@@ -117,6 +117,22 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane_bucket rejects non-float arrays at analysis") {
+    val planes = Array(Array(1.0, -1.0))
+    val doubles = Seq(Seq(1.0, 2.0)).toDF("v") // array<double>
+    val err = intercept[Exception] {
+      doubles.select(graft.functions.HyperplaneBucket
+        .hyperplaneBucket(col("v"), planes)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<float>")
+      || err.getMessage.contains("DATATYPE_MISMATCH"))
+    // and still works on array<float>
+    val floats = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    val b = floats.select(graft.functions.HyperplaneBucket
+      .hyperplaneBucket(col("v"), planes)).head().getInt(0)
+    assert(b == 0) // 1*1 + 2*(-1) = -1 < 0 → bit clear
+  }
+
   test("len / list_contains / list_extract SQL aliases work") {
     Tables.t(spark, sf, "embeddings").limit(5)
       .createOrReplaceTempView("alias_emb")

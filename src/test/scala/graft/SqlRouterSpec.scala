@@ -61,6 +61,15 @@ class SqlRouterSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("INSERT column list resolves case-insensitively") {
+    val t = s"ins_case_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, name STRING)")
+    engine.sql(s"INSERT INTO $t (ID, NAME) VALUES (1, 'a')")
+    val r = engine.table(t).head()
+    assert(r.getInt(0) == 1 && r.getString(1) == "a")
+    engine.dropTable(t)
+  }
+
   test("CREATE TABLE AS SELECT routes through the catalog") {
     val t = s"ctas_${System.nanoTime()}"
     engine.registerTable("ctas_src", s"$sf/region.parquet")
