@@ -13,6 +13,17 @@ case class NamedQuery(name: String,
     oracle: Option[String],
     fn: (SparkSession, String) => DataFrame)
 
+object NamedQuery {
+  /** Row-count estimate from Catalyst plan statistics (file footprint ÷
+    * bytes per row) — lets operators size blocks/buckets to the corpus
+    * without running a count job at query-construction time. */
+  def estimatedRows(df: DataFrame, bytesPerRow: Long): Long = {
+    val sz = org.apache.spark.sql.classic.ClassicConversions.castToImpl(df)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    (sz / bytesPerRow).toLong.max(1L)
+  }
+}
+
 /** The reference's delegated SQL surface (SURVEY.md §2.2), re-expressed as
   * declarative DataFrame programs so Catalyst plans the distribution:
   * filters/projections reach the parquet scan, aggregates run

@@ -23,16 +23,20 @@ import graft.functions.CosineSimilarity.cosineSim
   */
 object SimilarityOps {
 
-  /** Embedding near-duplicate pairs (cosine > 0.45), brute force.
+  /** Embedding near-duplicate pairs (cosine > 0.45), exact brute force.
     * Oracle computes the identical double-precision formula in DuckDB.
     *
-    * Implementation: the right side is broadcast once as a primitive
-    * float matrix and each partition scans its vectors against it with
-    * tight primitive loops — a join-shaped BroadcastNestedLoopJoin would
-    * copy both 64-float arrays into a joined row per candidate pair
-    * (measured ~6× slower). The broadcast side must be the smaller
-    * relation; when neither side fits an executor, the LSH-bucketed path
-    * (q46) is the formulation that scales. */
+    * Implementation: distributed tiled self-join. Vectors are assigned to
+    * B blocks; every unordered block pair (i ≤ j) becomes one cogroup key,
+    * the left role replicating block i and the right role block j. Each
+    * cogroup task holds exactly two blocks in memory and compares them
+    * with tight primitive loops — no driver-side collect, no broadcast of
+    * the full table, no per-pair row materialization (a join-shaped plan
+    * copies both 64-float arrays into every candidate-pair row; measured
+    * ~6× slower). Shuffle volume is O(N·B) = O(N^1.5/√blockSize); the
+    * O(N²) pair comparisons are inherent to the exact formulation — the
+    * LSH (q46) and IVF (q75) paths are the sub-quadratic alternatives.
+    * B is derived from plan statistics (no job at construction time). */
   val embeddingNearDup: NamedQuery = NamedQuery("q44_embedding_neardup",
     Some("""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
            |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
@@ -47,35 +51,39 @@ object SimilarityOps {
       import spark.implicits._
       val e = t(s, d, "embeddings").select("vec_id", "embedding")
         .as[(Long, Array[Float])]
-      val all = s.sparkContext.broadcast(e.collect().sortBy(_._1))
-      val out = e.mapPartitions { it =>
-        val mat = all.value
-        val norms = mat.map { case (_, v) =>
-          var s2 = 0.0; var i = 0
-          while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
-          math.sqrt(s2)
-        }
-        it.flatMap { case (idA, va) =>
-          var na = 0.0
-          var i = 0
-          while (i < va.length) { na += va(i).toDouble * va(i); i += 1 }
-          val sqNa = math.sqrt(na)
-          mat.indices.iterator.filter(j => mat(j)._1 > idA).flatMap { j =>
-            val vb = mat(j)._2
-            var dot = 0.0
-            var k = 0
-            while (k < va.length && k < vb.length) {
-              dot += va(k).toDouble * vb(k); k += 1
+      // block count from size stats (parquet footprint / bytes-per-row);
+      // target ~1k vectors per block → ~1M dot products per block pair
+      val est = graft.operators.NamedQuery.estimatedRows(e.toDF(), 64 * 4 + 8)
+      val b = math.max(1, math.ceil(est.toDouble / 1024.0).toInt)
+      val rows = e.map { case (id, v) =>
+        var s2 = 0.0; var i = 0
+        while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
+        (id, v, math.sqrt(s2), (id % b).toInt)
+      }
+      val left = rows.flatMap { case (id, v, nm, blk) =>
+        Iterator.range(blk, b).map(j => (blk * b + j, id, v, nm)) }
+      val right = rows.flatMap { case (id, v, nm, blk) =>
+        Iterator.range(0, blk + 1).map(i => (i * b + blk, id, v, nm)) }
+      left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) { (pk, ls, rs) =>
+        val diag = (pk / b) == (pk % b)
+        val la = ls.toArray
+        val ra = rs.toArray
+        la.iterator.flatMap { case (_, ida, va, na) =>
+          ra.iterator
+            .filter { case (_, idb, _, _) => if (diag) idb > ida else idb != ida }
+            .flatMap { case (_, idb, vb, nb) =>
+              var dot = 0.0; var k = 0
+              val m = math.min(va.length, vb.length)
+              while (k < m) { dot += va(k).toDouble * vb(k); k += 1 }
+              val cos = dot / (na * nb)
+              // HALF_UP to match round(x, 3) in both SQL engines
+              if (cos > 0.45)
+                Some((math.min(ida, idb), math.max(ida, idb), BigDecimal(cos)
+                  .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              else None
             }
-            val cos = dot / (sqNa * norms(j))
-            // HALF_UP to match round(x, 3) in both SQL engines
-            if (cos > 0.45) Some((idA, mat(j)._1, BigDecimal(cos)
-              .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble))
-            else None
-          }
         }
       }.toDF("id_a", "id_b", "cos_sim")
-      out
     })
 
   /** Brute-force cosine top-k: the 10 nearest neighbors of vec_id 0.

@@ -56,6 +56,22 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).size >= 2)
   }
 
+  test("no query plan reads driver-materialized data (collect-free law)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // q67's memory sink is the stream test harness's sink (production
+    // writeStream targets files/kafka), not an operator collecting data
+    val exempt = Set("q67_stream_hourly")
+    SparkEntry.queries.filterNot(q => exempt(q._1)).foreach {
+      case (name, fn) =>
+        val rows = castToImpl(fn(spark, sf)).queryExecution.optimizedPlan
+          .collect { case l: LocalRelation => l.data.size }.sum
+        // literal VALUES clauses (a handful of rows) are fine; a collected
+        // table is not
+        assert(rows <= 100,
+          s"$name materializes $rows driver-side rows (LocalRelation)")
+    }
+  }
+
   test("q1_agg runs with exactly one shuffle") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect()
