@@ -24,8 +24,11 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep the raw nanos as `ts_ns` (the §1.2 TIMESTAMP_NS side-channel:
+      // full ns precision survives as LONG even though TimestampType is µs)
       spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }

@@ -1,5 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
 /** The reference's tested type surface (SURVEY.md §1.2;
   * /root/reference/test/sql/type_support.test) re-expressed with Spark's
   * type system and hash-checked against DuckDB evaluating the *native*
@@ -114,6 +119,152 @@ object TypeOps {
       |FROM (VALUES (1, 1), (2, NULL), (NULL, NULL), (4, 4), (NULL, 5))
       |  AS t(x, y)""".stripMargin)
 
+  // ---- TIME mapping (§1.2; type_support.test:34,113-121) ----------------
+  // Spark has no TIME type: a time-of-day is carried as microseconds since
+  // midnight (LONG). Ordering, MIN/MAX and range filters on the LONG are
+  // exactly DuckDB's TIME semantics; `timeString` renders DuckDB's
+  // canonical display form for output parity.
+
+  /** Time-of-day in microseconds from an epoch-nanosecond LONG column.
+    * pmod first (day-remainder ns < 2^47) so the /1000 runs in exact
+    * double range — epoch-ns itself exceeds 2^53. */
+  def timeOfDayUs(tsNs: Column): Column =
+    (pmod(tsNs, lit(86400000000000L)) / lit(1000L)).cast("long")
+
+  /** DuckDB-style TIME rendering: HH:MM:SS with a trailing-zero-trimmed
+    * 6-digit fraction ('12:00:00', '01:02:03.5'). */
+  def timeString(us: Column): Column = {
+    val base = format_string("%02d:%02d:%02d",
+      (us / 3600000000L).cast("int"),
+      (pmod(us, lit(3600000000L)) / 60000000L).cast("int"),
+      (pmod(us, lit(60000000L)) / 1000000L).cast("int"))
+    val frac = regexp_replace(
+      format_string("%06d", pmod(us, lit(1000000L)).cast("int")), "0+$", "")
+    when(frac === "", base).otherwise(concat(base, lit("."), frac))
+  }
+
+  /** TIME column: MIN/MAX/filter over events' time-of-day, hash-checked
+    * against DuckDB evaluating a native TIME column (ref
+    * type_support.test:34,113-121). */
+  private val timeType: NamedQuery = NamedQuery("q91_types_time",
+    Some("""SELECT count(*) AS n,
+           |CAST(min(t) AS VARCHAR) AS min_t,
+           |CAST(max(t) AS VARCHAR) AS max_t,
+           |CAST(sum(CAST(3600000000 AS BIGINT) * hour(t)
+           |  + 60000000 * minute(t) + extract(microseconds FROM t))
+           |  AS BIGINT) AS sum_us
+           |FROM (SELECT CAST(ts AS TIME) AS t FROM events) x
+           |WHERE t >= TIME '06:30:00' AND t < TIME '23:00:00'""".stripMargin),
+    (s, d) => {
+      t(s, d, "events").select(timeOfDayUs(col("ts_ns")).as("tus"))
+        .filter(col("tus") >= 23400000000L && col("tus") < 82800000000L)
+        .agg(count(lit(1)).as("n"),
+          timeString(min("tus")).as("min_t"),
+          timeString(max("tus")).as("max_t"),
+          sum("tus").as("sum_us"))
+    })
+
+  // ---- stored INTERVAL comparison (§1.2; type_support.test:294-318) -----
+
+  /** DuckDB-style day-time interval rendering: 'N day(s)' plus HH:MM:SS
+    * (fraction trimmed), the time part omitted when zero and days
+    * nonzero. */
+  def dayTimeIntervalString(dur: Column): Column = {
+    val d = date_part(lit("DAY"), dur).cast("int")
+    val us = (date_part(lit("HOUR"), dur).cast("long") * 3600000000L
+      + date_part(lit("MINUTE"), dur).cast("long") * 60000000L
+      + (date_part(lit("SECOND"), dur).cast("double") * 1e6).cast("long"))
+    val dayPart = when(d === 1, lit("1 day"))
+      .otherwise(format_string("%d days", d))
+    val timePart = timeString(us)
+    when(d === 0, timePart)
+      .when(us === 0L, dayPart)
+      .otherwise(concat(dayPart, lit(" "), timePart))
+  }
+
+  /** DuckDB-style year-month interval rendering ('1 year 2 months'). */
+  def yearMonthIntervalString(ym: Column): Column = {
+    val y = date_part(lit("YEAR"), ym).cast("int")
+    val m = date_part(lit("MONTH"), ym).cast("int")
+    val yPart = when(y === 1, lit("1 year"))
+      .otherwise(format_string("%d years", y))
+    val mPart = when(m === 1, lit("1 month"))
+      .otherwise(format_string("%d months", m))
+    when(y > 0 && m > 0, concat(yPart, lit(" "), mPart))
+      .when(y > 0, yPart).otherwise(mPart)
+  }
+
+  /** INTERVAL columns stored in a table, compared against a literal
+    * (`dur > INTERVAL '1 day'`), displayed round-trip — the reference's
+    * stored-interval surface (type_support.test:294-318). Spark carries
+    * ANSI DAY-TO-SECOND / YEAR-TO-MONTH intervals; DuckDB one INTERVAL. */
+  private val intervalStored: NamedQuery = NamedQuery("q92_types_interval",
+    Some("""SELECT id, CAST(dur AS VARCHAR) AS dur_str,
+           |round(CAST(epoch(dur) AS DOUBLE), 1) AS dur_s,
+           |CAST(ym AS VARCHAR) AS ym_str
+           |FROM (VALUES
+           |  (1, INTERVAL '12' HOUR, INTERVAL '3' MONTH),
+           |  (2, INTERVAL '1' DAY, INTERVAL '1' YEAR),
+           |  (3, INTERVAL '1' DAY + INTERVAL '12' HOUR, INTERVAL '14' MONTH),
+           |  (4, INTERVAL '3' DAY + INTERVAL '1' HOUR + INTERVAL '2' MINUTE
+           |      + INTERVAL '3500' MILLISECOND, INTERVAL '2' YEAR),
+           |  (5, INTERVAL '2' DAY, INTERVAL '1' MONTH)) AS v(id, dur, ym)
+           |WHERE dur > INTERVAL '1' DAY ORDER BY id""".stripMargin),
+    (s, _) => {
+      val rows = s.sql(
+        """SELECT id, dur, ym FROM VALUES
+          |  (1, INTERVAL '0 12:00:00' DAY TO SECOND, INTERVAL '0-3' YEAR TO MONTH),
+          |  (2, INTERVAL '1 00:00:00' DAY TO SECOND, INTERVAL '1-0' YEAR TO MONTH),
+          |  (3, INTERVAL '1 12:00:00' DAY TO SECOND, INTERVAL '1-2' YEAR TO MONTH),
+          |  (4, INTERVAL '3 01:02:03.5' DAY TO SECOND, INTERVAL '2-0' YEAR TO MONTH),
+          |  (5, INTERVAL '2 00:00:00' DAY TO SECOND, INTERVAL '0-1' YEAR TO MONTH)
+          |  AS v(id, dur, ym)""".stripMargin)
+      val durS = round(
+        date_part(lit("DAY"), col("dur")).cast("double") * 86400
+          + date_part(lit("HOUR"), col("dur")).cast("double") * 3600
+          + date_part(lit("MINUTE"), col("dur")).cast("double") * 60
+          + date_part(lit("SECOND"), col("dur")).cast("double"), 1)
+      rows.filter(col("dur") > expr("INTERVAL '1 00:00:00' DAY TO SECOND"))
+        .select(col("id"),
+          dayTimeIntervalString(col("dur")).as("dur_str"),
+          durS.as("dur_s"),
+          yearMonthIntervalString(col("ym")).as("ym_str"))
+        .orderBy("id")
+    })
+
+  // ---- TIMESTAMP_NS sub-µs round trip (type_support.test:263-292) -------
+
+  /** Nanosecond precision survives the §1.2 LONG side-channel: Spark
+    * carries epoch-nanos as BIGINT (events.ts_ns is this mapping read
+    * straight off TIMESTAMP(NANOS) parquet) and renders all 9 fractional
+    * digits. The oracle builds the same canonical ns values with BIGINT
+    * arithmetic: DuckDB v1.0.0 parses a TIMESTAMP_NS *literal* through
+    * the µs path (sub-µs digits are lost before epoch_ns can see them),
+    * so integer arithmetic is the precision-honest formulation on both
+    * engines. */
+  private val timestampNs: NamedQuery = NamedQuery("q93_types_timestamp_ns",
+    Some("""SELECT id, CAST(tns AS BIGINT) AS ns_epoch,
+           |strftime(make_timestamp(CAST(tns // 1000000000 AS BIGINT)
+           |    * 1000000), '%Y-%m-%d %H:%M:%S') || '.' ||
+           |  printf('%09d', CAST(tns % 1000000000 AS BIGINT)) AS ns_str
+           |FROM (SELECT id, epoch_us(sec) * 1000 + frac AS tns FROM (VALUES
+           |  (1, TIMESTAMP '2024-01-01 00:00:00', 123456789),
+           |  (2, TIMESTAMP '1999-12-31 23:59:59', 999999999),
+           |  (3, TIMESTAMP '2024-06-15 12:30:45', 1)) AS v(id, sec, frac)) x
+           |ORDER BY id""".stripMargin),
+    (s, _) => s.sql(
+      """SELECT id, tns AS ns_epoch,
+        |concat(date_format(timestamp_micros((tns DIV 1000000000) * 1000000),
+        |  'yyyy-MM-dd HH:mm:ss'), '.',
+        |  format_string('%09d', tns % 1000000000)) AS ns_str
+        |FROM (SELECT id,
+        |  unix_micros(sec) * 1000 + frac AS tns FROM VALUES
+        |  (1, TIMESTAMP '2024-01-01 00:00:00', 123456789L),
+        |  (2, TIMESTAMP '1999-12-31 23:59:59', 999999999L),
+        |  (3, TIMESTAMP '2024-06-15 12:30:45', 1L) AS v(id, sec, frac))
+        |ORDER BY id""".stripMargin))
+
   def defs: Seq[NamedQuery] =
-    Seq(intTypes, decimalAgg, temporal, blob, uuid, hugeint, nulls)
+    Seq(intTypes, decimalAgg, temporal, blob, uuid, hugeint, nulls,
+      timeType, intervalStored, timestampNs)
 }
