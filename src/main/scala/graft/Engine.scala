@@ -55,8 +55,28 @@ class Engine private[graft] (val spark: SparkSession) {
     lazy val rows: Long = if (known >= 0L) known else df.count()
   }
   private val registry = TrieMap.empty[String, TableEntry]
-  private val enums = TrieMap.empty[String, Seq[String]]
+  private val enums = Engine.enums
   private val indexRegistry = TrieMap.empty[String, (String, Seq[String])]
+  // column-level constraint metadata (ref ALTER matrix,
+  // catalog_utils.cpp:59-78): (table, column) → default SQL expression /
+  // NOT NULL flag. Enforced lazily inside insert plans — never an eager
+  // table scan.
+  private val defaults = TrieMap.empty[(String, String), String]
+  private val notNullCols = TrieMap.empty[(String, String), Unit]
+  // columns declared with a registered ENUM type (CREATE TABLE t (c mood))
+  private val enumCols = TrieMap.empty[(String, String), String]
+
+  // declaration-order rank of enum values, callable from SQL:
+  // enum_ord('mood', col) — the piece that makes ORDER BY / MIN / MAX on
+  // enum columns reproduce DuckDB's declaration-order semantics in pure
+  // SQL (enum_type_support.test:62-81)
+  spark.udf.register("enum_ord", (tpe: String, v: String) => {
+    if (v == null) null
+    else {
+      val i = Engine.enums.getOrElse(tpe, Seq.empty).indexOf(v)
+      if (i < 0) null else Integer.valueOf(i + 1)
+    }
+  }: Integer)
 
   /** ≈ PRAGMA duckherder_register_remote_table(local, remote): register a
     * file-backed table. Row count (parquet footer metadata only — no
@@ -250,7 +270,17 @@ class Engine private[graft] (val spark: SparkSession) {
     if (registry.contains(name))
       throw new IllegalArgumentException(
         s"Catalog Error: Table with name \"$name\" already exists!")
-    val schema = StructType.fromDDL(schemaDdl)
+    // columns typed with a registered ENUM map to STRING (SURVEY §1.2) and
+    // are recorded so enum_ord / introspection can recover the type
+    var ddl = schemaDdl
+    enums.keys.foreach { en =>
+      val p = s"(?i)(\\b\\w+\\s+)${java.util.regex.Pattern.quote(en)}\\b".r
+      p.findAllMatchIn(ddl).foreach { m =>
+        enumCols.put((name, m.group(1).trim), en)
+      }
+      ddl = p.replaceAllIn(ddl, "$1STRING")
+    }
+    val schema = StructType.fromDDL(ddl)
     put(name, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
   }
@@ -267,6 +297,9 @@ class Engine private[graft] (val spark: SparkSession) {
       if (ifExists) return else missing(name)
     }
     indexRegistry.filterInPlace { case (_, (t, _)) => t != name }
+    defaults.filterInPlace { case ((t, _), _) => t != name }
+    notNullCols.filterInPlace { case ((t, _), _) => t != name }
+    enumCols.filterInPlace { case ((t, _), _) => t != name }
     unregisterTable(name)
   }
 
@@ -291,6 +324,7 @@ class Engine private[graft] (val spark: SparkSession) {
       throw new IllegalArgumentException(
         s"Catalog Error: Column with name $col does not exist!")
     }
+    rekeyColumnMeta(name, col, None)
     put(name, e.df.drop(col))
   }
 
@@ -299,6 +333,7 @@ class Engine private[graft] (val spark: SparkSession) {
     if (!e.df.columns.contains(from))
       throw new IllegalArgumentException(
         s"Catalog Error: Column with name $from does not exist!")
+    rekeyColumnMeta(name, from, Some(to))
     put(name, e.df.withColumnRenamed(from, to))
   }
 
@@ -307,8 +342,80 @@ class Engine private[graft] (val spark: SparkSession) {
     if (registry.contains(to))
       throw new IllegalArgumentException(
         s"Catalog Error: Table with name \"$to\" already exists!")
+    def rekey[V](m: TrieMap[(String, String), V]): Unit =
+      m.keys.filter(_._1 == from).foreach { k =>
+        m.remove(k).foreach(v => m.put((to, k._2), v))
+      }
+    rekey(defaults); rekey(notNullCols); rekey(enumCols)
     unregisterTable(from)
     put(to, e.df)
+  }
+
+  /** ALTER COLUMN c TYPE t (catalog_utils.cpp:59-62): in-place cast
+    * preserving column position. */
+  def alterColumnType(name: String, colName: String, typeDdl: String): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    if (!e.df.columns.contains(colName))
+      throw new IllegalArgumentException(
+        s"Catalog Error: Column with name $colName does not exist!")
+    put(name, e.df.withColumn(colName, e.df.col(colName).cast(typeDdl)))
+  }
+
+  /** ALTER COLUMN c SET DEFAULT expr (catalog_utils.cpp:63-68): the
+    * default applies to later INSERTs that omit the column. */
+  def setDefault(name: String, colName: String, exprSql: String): Unit = {
+    requireColumn(name, colName)
+    defaults.put((name, colName), exprSql)
+  }
+
+  def dropDefault(name: String, colName: String): Unit = {
+    requireColumn(name, colName)
+    defaults.remove((name, colName))
+  }
+
+  /** Default expression for a column, if one was SET. */
+  def columnDefault(name: String, colName: String): Option[String] =
+    defaults.get((name, colName))
+
+  /** ALTER COLUMN c SET NOT NULL (catalog_utils.cpp:69-73). Existing rows
+    * are validated with an early-terminating probe; future inserts carry
+    * the check inside the insert plan (distributed, lazy — no extra
+    * scan pass). */
+  def setNotNull(name: String, colName: String): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    requireColumn(name, colName)
+    if (e.df.filter(e.df.col(colName).isNull).head(1).nonEmpty)
+      throw new IllegalArgumentException(
+        s"Constraint Error: column $colName contains NULL values")
+    notNullCols.put((name, colName), ())
+  }
+
+  def dropNotNull(name: String, colName: String): Unit = {
+    requireColumn(name, colName)
+    notNullCols.remove((name, colName))
+  }
+
+  def isNotNull(name: String, colName: String): Boolean =
+    notNullCols.contains((name, colName))
+
+  /** ENUM type declared for a column at CREATE TABLE, if any. */
+  def enumTypeOf(name: String, colName: String): Option[String] =
+    enumCols.get((name, colName))
+
+  private def requireColumn(name: String, colName: String): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    if (!e.df.columns.contains(colName))
+      throw new IllegalArgumentException(
+        s"Catalog Error: Column with name $colName does not exist!")
+  }
+
+  private def rekeyColumnMeta(table: String, from: String,
+      to: Option[String]): Unit = {
+    def rekey[V](m: TrieMap[(String, String), V]): Unit =
+      m.remove((table, from)).foreach { v =>
+        to.foreach(t => m.put((table, t), v))
+      }
+    rekey(defaults); rekey(notNullCols); rekey(enumCols)
   }
 
   // ---- DML -------------------------------------------------------------
@@ -318,7 +425,19 @@ class Engine private[graft] (val spark: SparkSession) {
     * data stays distributed (unionByName of DataFrames). */
   def insertInto(name: String, df: DataFrame): Unit = {
     val e = registry.getOrElse(name, missing(name))
-    put(name, e.df.unionByName(df.toDF(e.df.columns.toIndexedSeq: _*)))
+    val aligned = df.toDF(e.df.columns.toIndexedSeq: _*)
+    // NOT NULL enforcement probes only the incoming delta (bounded by the
+    // insert, early-terminating) so a rejected insert leaves the table
+    // untouched — atomic like the reference's per-row constraint check
+    val nn = e.df.columns.filter(c => notNullCols.contains((name, c)))
+    if (nn.nonEmpty) {
+      val anyNull = nn.map(aligned.col(_).isNull).reduce(_ || _)
+      if (aligned.filter(anyNull).head(1).nonEmpty)
+        throw new IllegalArgumentException(
+          s"Constraint Error: NOT NULL constraint failed: " +
+            s"$name(${nn.mkString(",")})")
+    }
+    put(name, e.df.unionByName(aligned))
   }
 
   def insertValues(name: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
@@ -386,6 +505,11 @@ class Engine private[graft] (val spark: SparkSession) {
     enums.put(name, values)
   }
 
+  def dropEnum(name: String, ifExists: Boolean = false): Unit =
+    if (enums.remove(name).isEmpty && !ifExists)
+      throw new IllegalArgumentException(
+        s"Catalog Error: Type with name $name does not exist!")
+
   /** Declaration-order rank of an enum column — ORDER BY / MIN / MAX over
     * `enumOrd` reproduces DuckDB's enum comparison semantics
     * (enum_type_support.test:62-81). */
@@ -399,6 +523,11 @@ class Engine private[graft] (val spark: SparkSession) {
 }
 
 object Engine {
+  /** ENUM type catalog — session-global like DuckDB's (a type created by
+    * any engine handle is visible to all, and to the `enum_ord` SQL
+    * function regardless of which handle registered it). */
+  private[graft] val enums = TrieMap.empty[String, Seq[String]]
+
   /** ≈ duckherder_start_local_server(port, n_workers): `local[n]` session.
     * On a real cluster the same engine runs with any master URL — nothing
     * here is local-mode-specific. */

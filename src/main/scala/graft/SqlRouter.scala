@@ -23,6 +23,22 @@ private[graft] object SqlRouter {
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+COLUMN\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(\w+(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
   private val AlterDrop =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
+  // ALTER COLUMN matrix (ref catalog_utils.cpp:59-78); NOT NULL / DEFAULT
+  // variants are matched before the generic SET DEFAULT expression
+  private val AlterColType =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+(?:TYPE|SET\s+DATA\s+TYPE)\s+(\w+(?:\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*""".r
+  private val AlterSetNotNull =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL\s*""".r
+  private val AlterDropNotNull =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL\s*""".r
+  private val AlterDropDefault =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+DROP\s+DEFAULT\s*""".r
+  private val AlterSetDefault =
+    """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+DEFAULT\s+(.+?)\s*""".r
+  private val CreateType =
+    """(?is)\s*CREATE\s+TYPE\s+(\w+)\s+AS\s+ENUM\s*\((.+)\)\s*""".r
+  private val DropType =
+    """(?is)\s*DROP\s+TYPE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val AlterRenameCol =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val AlterRenameTable =
@@ -60,6 +76,22 @@ private[graft] object SqlRouter {
       Some(emptyOk(e))
     case AlterDrop(name, ifEx, col) =>
       e.dropColumn(name, col, ifExists = ifEx != null); Some(emptyOk(e))
+    case AlterColType(name, colName, typ) =>
+      e.alterColumnType(name, colName, typ); Some(emptyOk(e))
+    case AlterSetNotNull(name, colName) =>
+      e.setNotNull(name, colName); Some(emptyOk(e))
+    case AlterDropNotNull(name, colName) =>
+      e.dropNotNull(name, colName); Some(emptyOk(e))
+    case AlterDropDefault(name, colName) =>
+      e.dropDefault(name, colName); Some(emptyOk(e))
+    case AlterSetDefault(name, colName, d) =>
+      e.setDefault(name, colName, d.trim); Some(emptyOk(e))
+    case CreateType(name, values) =>
+      e.createEnum(name,
+        "'([^']*)'".r.findAllMatchIn(values).map(_.group(1)).toSeq)
+      Some(emptyOk(e))
+    case DropType(ifEx, name) =>
+      e.dropEnum(name, ifExists = ifEx != null); Some(emptyOk(e))
     case AlterRenameCol(name, from, to) =>
       e.renameColumn(name, from, to); Some(emptyOk(e))
     case AlterRenameTable(from, to) =>
@@ -82,9 +114,13 @@ private[graft] object SqlRouter {
       val src = sourceDf(e, source).toDF(colNames.toIndexedSeq: _*)
       val full = target.columns.foldLeft(src) { (df, c) =>
         if (colNames.contains(c)) df
-        else df.withColumn(c,
-          org.apache.spark.sql.functions.lit(null)
-            .cast(target.schema(c).dataType))
+        else {
+          // omitted columns fill with their SET DEFAULT expression when
+          // one is registered, NULL otherwise
+          val fill = e.columnDefault(name, c).map(expr)
+            .getOrElse(org.apache.spark.sql.functions.lit(null))
+          df.withColumn(c, fill.cast(target.schema(c).dataType))
+        }
       }.select(target.columns.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
       e.insertInto(name, full)

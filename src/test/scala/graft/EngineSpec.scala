@@ -95,6 +95,37 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t2)
   }
 
+  test("alter column type / default / not-null matrix (catalog_utils)") {
+    val t = freshTable("alter_matrix")
+    engine.insertValues(t, Seq(Row(1, "x"), Row(2, "y")))
+    // ALTER COLUMN TYPE: in-place cast, position preserved
+    engine.alterColumnType(t, "id", "STRING")
+    assert(engine.table(t).schema.fieldNames.head == "id")
+    assert(engine.table(t).schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(engine.table(t).orderBy("id").head().getString(0) == "1")
+    intercept[IllegalArgumentException](
+      engine.alterColumnType(t, "nope", "INT"))
+    // SET / DROP DEFAULT round trip
+    engine.setDefault(t, "name", "'dflt'")
+    assert(engine.columnDefault(t, "name").contains("'dflt'"))
+    engine.dropDefault(t, "name")
+    assert(engine.columnDefault(t, "name").isEmpty)
+    // SET NOT NULL validates existing rows, then rejects bad inserts
+    engine.setNotNull(t, "name")
+    assert(engine.isNotNull(t, "name"))
+    val bad = intercept[IllegalArgumentException](
+      engine.insertValues(t, Seq(Row("3", null))))
+    assert(bad.getMessage.contains("NOT NULL"))
+    assert(engine.table(t).count() == 2) // rejected insert left no trace
+    engine.dropNotNull(t, "name")
+    engine.insertValues(t, Seq(Row("3", null)))
+    assert(engine.table(t).count() == 3)
+    // SET NOT NULL on a column that now has NULLs errors
+    intercept[IllegalArgumentException](engine.setNotNull(t, "name"))
+    engine.dropTable(t)
+  }
+
   test("alter on missing table raises catalog error") {
     val e = intercept[IllegalArgumentException](
       engine.addColumn("no_such_table", "c", "INT"))

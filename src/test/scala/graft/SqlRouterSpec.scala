@@ -70,6 +70,61 @@ class SqlRouterSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("ALTER COLUMN TYPE / DEFAULT / NOT NULL route through SQL") {
+    val t = s"alter_sql_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, name STRING, score INT)")
+    engine.sql(s"ALTER TABLE $t ALTER COLUMN score TYPE DOUBLE")
+    assert(engine.table(t).schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    engine.sql(s"ALTER TABLE $t ALTER COLUMN score SET DEFAULT 1.5")
+    engine.sql(s"INSERT INTO $t (id, name) VALUES (1, 'a')")
+    assert(engine.table(t).head().getDouble(2) == 1.5)
+    engine.sql(s"ALTER TABLE $t ALTER COLUMN score DROP DEFAULT")
+    engine.sql(s"INSERT INTO $t (id, name) VALUES (2, 'b')")
+    assert(engine.table(t).filter(col("id") === 2).head().isNullAt(2))
+    engine.sql(s"ALTER TABLE $t ALTER COLUMN name SET NOT NULL")
+    val bad = intercept[IllegalArgumentException](
+      engine.sql(s"INSERT INTO $t VALUES (3, NULL, 2.0)"))
+    assert(bad.getMessage.contains("NOT NULL"))
+    engine.sql(s"ALTER TABLE $t ALTER COLUMN name DROP NOT NULL")
+    engine.sql(s"INSERT INTO $t VALUES (3, NULL, 2.0)")
+    assert(engine.table(t).count() == 3)
+    engine.dropTable(t)
+  }
+
+  test("enum lifecycle in pure SQL (enum_type_support.test)") {
+    val ty = s"mood_${System.nanoTime()}"
+    val t = s"enum_tbl_${System.nanoTime()}"
+    engine.sql(s"CREATE TYPE $ty AS ENUM ('happy', 'sad', 'neutral')")
+    engine.sql(s"CREATE TABLE $t (id INTEGER, person_mood $ty, description STRING)")
+    assert(engine.enumTypeOf(t, "person_mood").contains(ty))
+    engine.sql(s"INSERT INTO $t VALUES " +
+      "(1, 'happy', 'a'), (2, 'sad', 'b'), (3, 'neutral', 'c')")
+    assert(engine.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 3)
+    assert(engine.sql(
+      s"SELECT count(*) AS n FROM $t WHERE person_mood = 'neutral'")
+      .head().getLong(0) == 1)
+    // declaration-order ORDER BY / MIN / MAX via enum_ord
+    val ordered = engine.sql(
+      s"SELECT person_mood FROM $t ORDER BY enum_ord('$ty', person_mood)")
+      .collect().map(_.getString(0))
+    assert(ordered.sameElements(Array("happy", "sad", "neutral")))
+    val mm = engine.sql(
+      s"""SELECT min_by(person_mood, enum_ord('$ty', person_mood)) AS mn,
+         |max_by(person_mood, enum_ord('$ty', person_mood)) AS mx
+         |FROM $t""".stripMargin).head()
+    assert(mm.getString(0) == "happy" && mm.getString(1) == "neutral")
+    // NULL handling
+    engine.sql(s"INSERT INTO $t VALUES (4, NULL, 'no mood')")
+    assert(engine.sql(
+      s"SELECT count(*) AS n FROM $t WHERE person_mood IS NULL")
+      .head().getLong(0) == 1)
+    engine.sql(s"DROP TABLE $t")
+    engine.sql(s"DROP TYPE $ty")
+    intercept[IllegalArgumentException](engine.sql(s"DROP TYPE $ty"))
+    engine.sql(s"DROP TYPE IF EXISTS $ty")
+  }
+
   test("CREATE TABLE AS SELECT routes through the catalog") {
     val t = s"ctas_${System.nanoTime()}"
     engine.registerTable("ctas_src", s"$sf/region.parquet")
