@@ -37,6 +37,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        // drop per-invocation operator caches: a cache carried across
+        // repeats would measure cache hits, not the operator
+        finally spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

@@ -113,60 +113,155 @@ object SimilarityOps {
         .limit(10)
     })
 
-  /** LSH-bucketed ANN: 8 fixed random hyperplanes (seed 42) → 8 sign bits
-    * → 256 buckets; nearest neighbor searched only within a vector's
-    * bucket. Reports each vector's best in-bucket neighbor. No oracle
-    * (bucketing is an approximation by construction); rows-only check. */
+  /** Hyperplane count sized to the corpus: 2^p buckets ≈ N / occupancy,
+    * so the in-bucket self-join does O(N · occupancy) comparisons —
+    * linear in N — instead of the O(N²/2^p) a fixed p degrades to.
+    * Clamped to [4, 24] (HyperplaneBucket packs bits into an INT). */
+  def planeCount(n: Long, targetOccupancy: Long = 32L): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetOccupancy)) / math.log(2.0))
+    math.max(4, math.min(24, needed.toInt))
+  }
+
+  /** In-bucket candidate pairs under adaptive random-hyperplane LSH —
+    * shared by q46 and the asymptotics spec (which runs it on a 10×
+    * corpus to confirm candidate growth stays near-linear). */
+  def lshCandidates(e: DataFrame, seed: Long = 42L,
+      nHint: Option[Long] = None): DataFrame = {
+    val dims = 64
+    // nHint: synthetic (non-file) corpora carry no useful plan stats
+    val est = nHint.getOrElse(NamedQuery.estimatedRows(
+      e.select("vec_id", "embedding"), 64 * 4 + 8))
+    val rnd = new Random(seed)
+    val hyper = Array.fill(planeCount(est), dims)(rnd.nextGaussian())
+    // cache: the bucketed table self-joins — uncached, both sides
+    // recompute the plane projections
+    val bucketed = e.select(col("vec_id"), col("embedding"),
+      graft.functions.HyperplaneBucket
+        .hyperplaneBucket(col("embedding"), hyper).as("bucket"))
+      .cache()
+    val cos = cosineSim(col("emb_a"), col("emb_b"))
+    bucketed.toDF("id_a", "emb_a", "bucket")
+      .join(bucketed.toDF("id_b", "emb_b", "bucket"), Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cos, 4).as("cos_sim"))
+  }
+
+  /** LSH-bucketed ANN: corpus-adaptive hyperplane sign buckets; nearest
+    * neighbor searched only within a vector's bucket. One shuffle on
+    * bucket id, then tight primitive loops per bucket emit each vector's
+    * best neighbor directly — no candidate-pair rows materialize and no
+    * second Window shuffle (the join-then-rank formulation copies both
+    * 64-float arrays into every pair row; clustered corpora skew buckets,
+    * making that materialization the dominant cost). No oracle
+    * (approximate by construction); rows-only check + PipelineSpec. */
   val annLsh: NamedQuery = NamedQuery("q46_ann_lsh", None,
     (s, d) => {
-      val dims = 64
-      val planes = 8
-      val rnd = new Random(42)
-      val hyper = Array.fill(planes, dims)(rnd.nextGaussian())
+      val spark = s
+      import spark.implicits._
       val e = t(s, d, "embeddings")
-      // cache: the bucketed table self-joins — uncached, both sides
-      // recompute the plane projections
-      val bucketed = e.select(col("vec_id"), col("embedding"),
-        graft.functions.HyperplaneBucket
-          .hyperplaneBucket(col("embedding"), hyper).as("bucket"))
-        .cache()
-      val cos = cosineSim(col("emb_a"), col("emb_b"))
-      val pairs = bucketed.toDF("id_a", "emb_a", "bucket")
-        .join(bucketed.toDF("id_b", "emb_b", "bucket"), Seq("bucket"))
-        .filter(col("id_a") =!= col("id_b"))
-        .select(col("id_a"), col("id_b"), round(cos, 4).as("cos_sim"))
-      val w = Window.partitionBy("id_a")
-        .orderBy(col("cos_sim").desc, col("id_b"))
-      pairs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("id_a").as("vec_id"), col("id_b").as("nn"),
-          col("cos_sim"))
+      val est = NamedQuery.estimatedRows(
+        e.select("vec_id", "embedding"), 64 * 4 + 8)
+      val rnd = new Random(42)
+      val hyper = Array.fill(planeCount(est), 64)(rnd.nextGaussian())
+      e.select(col("vec_id"), col("embedding"),
+          graft.functions.HyperplaneBucket
+            .hyperplaneBucket(col("embedding"), hyper).as("bucket"))
+        .as[(Long, Array[Float], Int)]
+        .groupByKey(_._3)
+        .flatMapGroups { (_, it) =>
+          val arr = it.toArray
+          val norms = arr.map { case (_, v, _) =>
+            var s2 = 0.0; var i = 0
+            while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
+            math.sqrt(s2)
+          }
+          arr.indices.iterator.flatMap { i =>
+            val (ida, va, _) = arr(i)
+            var bestId = -1L
+            var bestCos = Double.MinValue
+            var j = 0
+            while (j < arr.length) {
+              if (j != i) {
+                val vb = arr(j)._2
+                var dot = 0.0; var k = 0
+                val m = math.min(va.length, vb.length)
+                while (k < m) { dot += va(k).toDouble * vb(k); k += 1 }
+                val cos = BigDecimal(dot / (norms(i) * norms(j)))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                // deterministic tie-break: higher cos, then smaller id
+                if (cos > bestCos ||
+                  (cos == bestCos && arr(j)._1 < bestId)) {
+                  bestCos = cos; bestId = arr(j)._1
+                }
+              }
+              j += 1
+            }
+            if (bestId >= 0) Some((ida, bestId, bestCos)) else None
+          }
+        }.toDF("vec_id", "nn", "cos_sim")
     })
 
-  /** IVF-style ANN: a coarse quantizer assigns every vector to its
-    * nearest centroid cell; queries probe only their `nprobe` nearest
-    * cells. Centroids here are a deterministic stub (the first 16
-    * vectors — production would k-means a sample); the *structure* is
-    * the real IVF skeleton: cell assignment is a broadcast argmax, the
-    * probe is a cell-keyed equi-join — candidate generation never
-    * enumerates all pairs, which is the property that survives 100 TB.
-    * No oracle (approximate by construction); PipelineSpec bounds
-    * recall@10 against the brute-force baseline. */
+  /** IVF cell count ≈ √N — the classical sizing: with nprobe cells
+    * probed, per-query work is nprobe·N/nlist = O(√N). Capped at 4096
+    * (beyond that the centroid argmax itself wants its own index). */
+  def ivfNlist(n: Long): Int =
+    math.max(4, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** IVF coarse quantizer: distributed k-means (MLlib Lloyd's) over a
+    * bounded sample of L2-normalized vectors — Euclidean on the unit
+    * sphere orders like cosine. The sample cap keeps training cost flat
+    * as the corpus grows; centroids (≈√N rows) are metadata-sized and
+    * feed a broadcast argmax. */
+  def ivfCentroids(s: SparkSession, e: DataFrame, nlist: Int): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val est = NamedQuery.estimatedRows(
+      e.select("vec_id", "embedding"), 64 * 4 + 8)
+    val frac = math.min(1.0, 65536.0 / est.toDouble)
+    val sample =
+      if (frac >= 1.0) e else e.sample(withReplacement = false, frac, 7L)
+    val feats = sample.select("embedding").as[Array[Float]].map { v =>
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+      val nm = math.sqrt(n2)
+      v.map(x => if (nm == 0.0) 0.0 else x / nm)
+    }.toDF("arr").select(
+      org.apache.spark.ml.functions.array_to_vector(col("arr"))
+        .as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(7L).setMaxIter(5).setTol(1e-3)
+      .fit(feats)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cid", "cent")
+  }
+
+  /** Cell assignment: argmax cosine over the broadcast centroids. */
+  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cos = cosineSim(col("embedding"), col("cent"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c").desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"), cos.as("c"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+  }
+
+  /** IVF ANN: the sampled-k-means coarse quantizer assigns every vector
+    * to its nearest centroid cell (broadcast argmax); queries probe only
+    * their `nprobe` nearest cells via a cell-keyed equi-join — candidate
+    * generation never enumerates all pairs, which is the property that
+    * survives 100 TB. No oracle (approximate by construction);
+    * PipelineSpec bounds recall@10 against the brute-force baseline. */
   val annIvf: NamedQuery = NamedQuery("q75_ann_ivf", None,
     (s, d) => {
       val nprobe = 4
       val e = t(s, d, "embeddings").select("vec_id", "embedding")
-      val cents = e.filter(col("vec_id") < 16)
-        .toDF("cid", "cent")
-      val cos = cosineSim(col("embedding"), col("cent"))
-      // cell assignment: argmax cosine over the broadcast centroids
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("c").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"), cos.as("c"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+      val est = NamedQuery.estimatedRows(e, 64 * 4 + 8)
+      val cents = ivfCentroids(s, e, ivfNlist(est))
+      val assigned = ivfAssign(e, cents)
       // queries probe their nprobe nearest cells
       val queries = e.filter(col("vec_id") < 10).toDF("qid", "q_emb")
       val wProbe = Window.partitionBy("qid")

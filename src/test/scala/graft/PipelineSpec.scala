@@ -76,6 +76,52 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(2) >= 0.45))
   }
 
+  // 10× synthetic corpus: each vector replicated with per-copy noise so
+  // copies are distinct (the BENCH_NOTES "scale-asymptotics check" shape)
+  private def corpus10x(e: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    e.as[(Long, Array[Float])].flatMap { case (id, v) =>
+      (0 until 10).map { k =>
+        val r = new scala.util.Random(id * 10 + k)
+        (id * 10 + k, v.map(x => x + (r.nextFloat() - 0.5f) * 0.02f))
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("adaptive LSH keeps candidate growth near-linear on a 10x corpus") {
+    import graft.operators.SimilarityOps
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.t(spark, sf01, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    // bucket count adapts to the corpus
+    assert(SimilarityOps.planeCount(n) < SimilarityOps.planeCount(10 * n))
+    val c1 = SimilarityOps.lshCandidates(e, nHint = Some(n)).count()
+    val c10 = SimilarityOps.lshCandidates(corpus10x(e),
+      nHint = Some(10 * n)).count()
+    // fixed planes grow candidates ~100× on a 10× corpus; adaptive
+    // buckets hold growth near-linear (clamp granularity allows ~2×10)
+    assert(c10.toDouble / c1 <= 40.0,
+      s"candidate growth ${c10.toDouble / c1} (c1=$c1 c10=$c10)")
+  }
+
+  test("ivf cells stay populated and bounded on a 10x corpus") {
+    import graft.operators.SimilarityOps
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.t(spark, sf01, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    assert(SimilarityOps.ivfNlist(n) < SimilarityOps.ivfNlist(10 * n))
+    val big = corpus10x(e)
+    val nlist = SimilarityOps.ivfNlist(10 * n)
+    val occ = SimilarityOps
+      .ivfAssign(big, SimilarityOps.ivfCentroids(spark, big, nlist))
+      .groupBy("cell").count()
+    val nonEmpty = occ.count()
+    assert(nonEmpty >= nlist / 2, s"cells collapsed: $nonEmpty of $nlist")
+    val maxOcc = occ.agg(max("count")).head().getLong(0)
+    // probe work per query is O(occupancy); no runaway hot cell
+    assert(maxOcc <= 20L * (10 * n) / nlist, s"hot cell $maxOcc rows")
+  }
+
   test("text quality scores are in [0,1]") {
     val bad = run("q48_text_quality")
       .filter(col("quality_score") < 0 || col("quality_score") > 1).count()
