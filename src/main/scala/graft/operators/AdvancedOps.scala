@@ -40,6 +40,11 @@ object AdvancedOps {
     * `quantile_cont`; `median` matches by name. (approx_percentile /
     * approx_count_distinct exist but are engine-specific sketches — no
     * oracle possible.) */
+  /** Exact percentiles buffer every group's values (Spark's sort-based
+    * quantile): correct, and the oracle-checkable formulation — but a
+    * hot group's buffer is O(group size), so the 100 TB headline path is
+    * [[percentilesApprox]] (bounded-memory sketch, rank error ≤ 1e-4);
+    * exact stays the small-group/audit path. */
   private val percentiles: NamedQuery = NamedQuery("q56_percentiles",
     Some("""SELECT l_returnflag,
            |round(median(l_extendedprice), 4) AS med_price,
@@ -55,6 +60,21 @@ object AdvancedOps {
         round(element_at(col("ps"), 1), 4).as("med_price"),
         round(element_at(col("ps"), 2), 4).as("p90_price"),
         round(element_at(col("ps"), 3), 4).as("p10_price")))
+
+  /** The scale path for quantiles: percentile_approx's fixed-size sketch
+    * (accuracy 10000 → rank error ≤ 1e-4) makes per-group memory O(1)
+    * regardless of group size — a hot group can't OOM the buffer. No
+    * oracle (DuckDB's approx_quantile is a different sketch);
+    * ApproxSpec brackets every value between exact neighbors at p±0.01. */
+  private val percentilesApprox: NamedQuery =
+    NamedQuery("q94_percentiles_approx", None,
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.1)), lit(10000)).as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("med_price"),
+          round(element_at(col("ps"), 2), 4).as("p90_price"),
+          round(element_at(col("ps"), 3), 4).as("p10_price")))
 
   private val pivotQ: NamedQuery = NamedQuery("q59_pivot",
     Some("""SELECT l_linestatus,
@@ -196,6 +216,7 @@ object AdvancedOps {
       datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
         .cast("bigint").as("days_to")))
 
-  def defs: Seq[NamedQuery] = Seq(rollup, groupingSets, percentiles, pivotQ,
+  def defs: Seq[NamedQuery] = Seq(rollup, groupingSets, percentiles,
+    percentilesApprox, pivotQ,
     sessions, asof, correlated, stringAdv, mathFuncs, dateFuncs)
 }
