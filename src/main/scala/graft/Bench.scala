@@ -10,6 +10,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional comma-separated subset (scale-tier runs time only the
+    // heavyweights)
+    val wanted = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val benchSet = SparkEntry.benchQueries
+      .filter(q => wanted.forall(_.contains(q)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,14 +28,14 @@ object Bench {
     graft.functions.DuckAliases.register(spark)
     // JVM + codegen warmup on the smallest sf, so measured numbers are the
     // steady-state throughput a long-lived cluster session would see.
-    SparkEntry.benchQueries.foreach { name =>
+    benchSet.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
     // best-of-3: single-shot timings on a shared host are ±3x noisy
     // (GC + contention); the minimum is the steady-state throughput
-    val results = SparkEntry.benchQueries.map { name =>
+    val results = benchSet.map { name =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)

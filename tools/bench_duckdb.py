@@ -11,6 +11,8 @@ import json
 import sys
 import time
 
+import os
+
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -23,15 +25,18 @@ HEADLINE = ["q05_agg_global", "q06_tpch_q1", "q12_join_agg",
             "q57_events_sessions", "q58_asof_join"]
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def main(sf_dir: str, out_dir: str, only=None) -> None:
     con = duckdb.connect()
     con.execute("PRAGMA threads=32")
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark writes parquet as a directory
+            path = f"{path}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
-    for name in HEADLINE:
+    for name in (only or HEADLINE):
         if name not in oracle:
             continue
         best = None
@@ -48,4 +53,5 @@ def main(sf_dir: str, out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2],
+         sys.argv[3].split(",") if len(sys.argv) > 3 else None)
