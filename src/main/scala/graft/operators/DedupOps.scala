@@ -170,5 +170,70 @@ object DedupOps {
         .filter(col("hamming") <= 8)
     })
 
-  def defs: Seq[NamedQuery] = Seq(exact, ngramJaccard, minhashLsh, simhash)
+  /** Near-dup clustering: connected components over the jaccard ≥ 0.9
+    * pair graph, each doc labeled with its component's min doc_id (the
+    * canonical representative a pipeline keeps). Distributed min-label
+    * propagation with a driver-side convergence loop — per iteration one
+    * join + partial-aggregated min, state O(vertices); near-dup
+    * components have tiny diameter so the loop converges in a handful of
+    * rounds (cap 20; a general-graph deployment would switch to
+    * large-star/small-star for O(log n) rounds). Oracle: DuckDB computes
+    * the same components via a recursive transitive-closure CTE. */
+  val nearDupClusters: NamedQuery = NamedQuery("q95_dedup_clusters",
+    Some("""WITH RECURSIVE
+           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(ws) - 1, 1)),
+           |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+           |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+           |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2),
+           |p09 AS (SELECT id_a, id_b FROM pair
+           |        JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+           |        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9),
+           |edges AS (SELECT id_a AS s, id_b AS d FROM p09
+           |          UNION SELECT id_b, id_a FROM p09),
+           |reach(a, b) AS (
+           |  SELECT s, d FROM edges
+           |  UNION
+           |  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+           |rep AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+           |        FROM reach GROUP BY a)
+           |SELECT doc_id, cluster_rep,
+           |  count(*) OVER (PARTITION BY cluster_rep) AS n_members
+           |FROM rep ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = ngramJaccard.fn(s, d).filter(col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+      val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("src", "dst").cache()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("rep", col("id")).cache()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = edges.join(labels, col("dst") === col("id"))
+          .select(col("src").as("id"), col("rep"))
+        val next = labels.select("id", "rep").union(prop)
+          .groupBy("id").agg(min("rep").as("rep")).cache()
+        changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+          .filter(col("rep") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        iter += 1
+      }
+      labels
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("rep")))
+        .select(col("id").as("doc_id"), col("rep").as("cluster_rep"),
+          col("n_members"))
+        .orderBy("doc_id")
+    })
+
+  def defs: Seq[NamedQuery] =
+    Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters)
 }

@@ -33,6 +33,20 @@ class PipelineSpec extends SparkSpec {
     assert(exactPairs.intersect(sim).nonEmpty)
   }
 
+  test("near-dup clusters: pair endpoints share a rep; rep is the min") {
+    val labels = run("q95_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // every jaccard>=0.9 pair is in one component
+    exactPairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // the representative is a member, and is the minimum member
+    labels.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keySet.min == rep)
+    }
+  }
+
   test("exact dedup groups cover the full table") {
     val total = run("q40_dedup_exact").agg(sum("n_copies")).head().getLong(0)
     assert(total == Tables.t(spark, sf, "documents").count())
