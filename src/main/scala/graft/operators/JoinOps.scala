@@ -62,20 +62,33 @@ object JoinOps {
            |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
            |GROUP BY n_name""".stripMargin),
     (s, d) => {
+      // Push the region predicate transitively: ASIA → its 5 nations →
+      // only ASIA suppliers and customers enter the fact joins. Catalyst
+      // cannot derive this across join keys (no dynamic filters on flat
+      // files), so it's applied structurally: the supplier broadcast
+      // prunes lineitem ~5×, the pruned customer set shrinks enough to
+      // broadcast, and the orders equi-join stays the single shuffle.
       val r = t(s, d, "region").filter(col("r_name") === "ASIA")
-      val n = t(s, d, "nation")
-      val c = t(s, d, "customer")
+      val asiaN = t(s, d, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val suA = t(s, d, "supplier")
+        .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
+      val cA = t(s, d, "customer")
+        .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
       val o = t(s, d, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
       val li = t(s, d, "lineitem")
-      val su = t(s, d, "supplier")
-      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(suA), col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey")
+        .join(broadcast(cA), col("o_custkey") === col("c_custkey")
           && col("s_nationkey") === col("c_nationkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
