@@ -96,11 +96,15 @@ class Engine private[graft] (val spark: SparkSession) {
   }
 
   /** Sink: write a managed table out (the reference's only sink is its
-    * INSERT path; Spark's DataFrameWriter adds the file formats). */
+    * INSERT path; Spark's DataFrameWriter adds the file formats).
+    * `partitionBy` lays the files out hive-style — the 100 TB idiom:
+    * later scans that filter on a partition column prune whole
+    * directories instead of reading footers. */
   def writeTable(name: String, path: String,
-      format: String = "parquet"): Unit = {
+      format: String = "parquet", partitionBy: Seq[String] = Seq.empty): Unit = {
     val df = table(name)
-    val w = df.write.mode("overwrite")
+    val w0 = df.write.mode("overwrite")
+    val w = if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*)
     format match {
       case "parquet" => w.parquet(path)
       case "csv" => w.option("header", "true").csv(path)

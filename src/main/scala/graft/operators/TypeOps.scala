@@ -264,7 +264,63 @@ object TypeOps {
         |  (3, TIMESTAMP '2024-06-15 12:30:45', 1L) AS v(id, sec, frac))
         |ORDER BY id""".stripMargin))
 
+  /** TIMESTAMP_S / TIMESTAMP_MS round-trips (type_support.test:263-292
+    * covers all four precisions): Spark's µs TimestampType carries both
+    * losslessly; rendering mirrors DuckDB's trailing-zero-trimmed
+    * fraction ('.123', '.12', '.001'). */
+  private val tsPrecisions: NamedQuery = NamedQuery("q99_types_ts_precisions",
+    Some("""SELECT id, CAST(ts_s AS VARCHAR) AS s_str,
+           |CAST(ts_ms AS VARCHAR) AS ms_str,
+           |CAST(epoch_us(CAST(ts_ms AS TIMESTAMP)) AS BIGINT) AS ms_us
+           |FROM (VALUES
+           | (1, TIMESTAMP_S '2024-01-01 12:34:56',
+           |     TIMESTAMP_MS '2024-01-01 12:34:56.123'),
+           | (2, TIMESTAMP_S '1999-12-31 23:59:59',
+           |     TIMESTAMP_MS '1999-12-31 23:59:59.120'),
+           | (3, TIMESTAMP_S '2000-02-29 00:00:00',
+           |     TIMESTAMP_MS '2000-02-29 00:00:00.001'))
+           | v(id, ts_s, ts_ms) ORDER BY id""".stripMargin),
+    (s, _) => {
+      val rows = s.sql(
+        """SELECT id, ts_s, ts_ms FROM VALUES
+          | (1, TIMESTAMP '2024-01-01 12:34:56',
+          |     TIMESTAMP '2024-01-01 12:34:56.123'),
+          | (2, TIMESTAMP '1999-12-31 23:59:59',
+          |     TIMESTAMP '1999-12-31 23:59:59.120'),
+          | (3, TIMESTAMP '2000-02-29 00:00:00',
+          |     TIMESTAMP '2000-02-29 00:00:00.001')
+          | AS v(id, ts_s, ts_ms)""".stripMargin)
+      val frac = regexp_replace(date_format(col("ts_ms"), "SSS"), "0+$", "")
+      val msStr = when(frac === "",
+        date_format(col("ts_ms"), "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(concat(date_format(col("ts_ms"), "yyyy-MM-dd HH:mm:ss"),
+          lit("."), frac))
+      rows.select(col("id"),
+        date_format(col("ts_s"), "yyyy-MM-dd HH:mm:ss").as("s_str"),
+        msStr.as("ms_str"),
+        unix_micros(col("ts_ms")).as("ms_us"))
+        .orderBy("id")
+    })
+
+  /** STRUCT / MAP — beyond the reference, which falls back to VARCHAR
+    * for nested types (arrow_utils.cpp:616-618; roadmap unchecked).
+    * Field access, map extraction, keys/values and cardinality evaluate
+    * natively in both engines (DuckDB map extraction yields a list —
+    * indexed to the scalar for identical output). */
+  private val structMap: NamedQuery = NamedQuery("q100_struct_map",
+    Some("""SELECT (struct_pack(a := 7, b := 'x')).a AS sa,
+           |(struct_pack(a := 7, b := 'x')).b AS sb,
+           |map(['k1','k2'], [10, 20])['k1'][1] AS mv,
+           |list_sort(map_keys(map(['k2','k1'], [1, 2]))) AS mk,
+           |CAST(cardinality(map(['k1','k2'], [10, 20])) AS BIGINT) AS mlen""".stripMargin),
+    (s, _) => s.sql(
+      """SELECT named_struct('a', 7, 'b', 'x').a AS sa,
+        |named_struct('a', 7, 'b', 'x').b AS sb,
+        |map('k1', 10, 'k2', 20)['k1'] AS mv,
+        |sort_array(map_keys(map('k2', 1, 'k1', 2))) AS mk,
+        |CAST(size(map('k1', 10, 'k2', 20)) AS BIGINT) AS mlen""".stripMargin))
+
   def defs: Seq[NamedQuery] =
     Seq(intTypes, decimalAgg, temporal, blob, uuid, hugeint, nulls,
-      timeType, intervalStored, timestampNs)
+      timeType, intervalStored, timestampNs, tsPrecisions, structMap)
 }

@@ -56,6 +56,38 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).size >= 2)
   }
 
+  test("q12 pre-aggregates below the join: no expand, bounded shuffles") {
+    val df = SparkEntry.queries("q12_join_agg")(spark, sf)
+    df.collect()
+    val s = planString(df)
+    // count(DISTINCT) would plan an Expand node; the per-order pre-agg
+    // makes it count(*) — assert the expand never comes back
+    assert(!s.contains("Expand"), "q12 regressed to expand-based distinct")
+    assert("HashAggregate".r.findAllIn(s).size >= 2, "partial agg missing")
+  }
+
+  test("q69 runs with a single shuffle join; dimensions broadcast") {
+    val df = SparkEntry.queries("q69_tpch_q5")(spark, sf)
+    df.collect()
+    val s = planString(df)
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3,
+      "pruned dimensions must broadcast")
+    assert(!s.contains("SortMergeJoin"),
+      "q69 fact join should be hash-based with broadcast dims")
+  }
+
+  test("q97 window partitions by language (no single-partition sort)") {
+    val df = SparkEntry.queries("q97_shard_packing")(spark, sf)
+    val s = planString(df)
+    // a global (unpartitioned) window would plan Exchange SinglePartition
+    // before the Window — per-language windows must not
+    val windowIdx = s.indexOf("Window")
+    assert(windowIdx >= 0)
+    assert(!s.substring(0, windowIdx).contains("SinglePartition")
+      || !s.contains("Exchange SinglePartition"),
+      "shard packing serialized into one partition")
+  }
+
   test("no query plan reads driver-materialized data (collect-free law)") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     // q67's memory sink is the stream test harness's sink (production

@@ -30,6 +30,37 @@ class SourcesSpec extends SparkSpec {
   test("csv roundtrip")(roundtrip("csv"))
   test("json roundtrip")(roundtrip("json"))
 
+  test("partitioned write prunes partitions on a filtered read") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val base = s"part_write_${System.nanoTime()}"
+    val dir = Files.createTempDirectory("graft_part").toString
+    engine.registerTable(base, Tables.t(spark, sf, "events")
+      .select("event_id", "event_type", "value"))
+    engine.writeTable(base, s"$dir/out", "parquet", Seq("event_type"))
+    engine.registerTable(s"${base}_back", s"$dir/out")
+    val filtered = engine.table(s"${base}_back")
+      .filter(col("event_type") === "click")
+    val expected = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "click").count()
+    assert(filtered.count() == expected)
+    // the partition filter must reach the scan: pruned scans read only
+    // the matching directory, never the full table
+    val scans = castToImpl(filtered).queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case sc: FileSourceScanExec => sc
+      }
+      case sc: FileSourceScanExec => Seq(sc)
+    }.flatten
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.nonEmpty,
+      "partition filter not pushed to the scan")
+    assert(scans.head.relation.partitionSchema.fieldNames
+      .contains("event_type"))
+    engine.dropTable(base); engine.dropTable(s"${base}_back")
+  }
+
   test("unsupported format raises") {
     intercept[IllegalArgumentException](
       engine.registerTable("nope", "/tmp/x", "avro"))
