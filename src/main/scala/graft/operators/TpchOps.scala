@@ -98,6 +98,161 @@ object TpchOps {
     NamedQuery("q85_tpch_q22", Some(q), viewsSql(q, "customer", "orders"))
   }
 
+  /** Q7 shape: bilateral shipping volume between two nations by year —
+    * the double-nation-join plan where both nation dims broadcast. */
+  private val q7ish: NamedQuery = {
+    val q = """SELECT supp_nation, cust_nation, l_year,
+              |round(sum(volume), 2) AS revenue
+              |FROM (
+              |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |         CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
+              |         l_extendedprice * (1 - l_discount) AS volume
+              |  FROM supplier
+              |  JOIN lineitem ON s_suppkey = l_suppkey
+              |  JOIN orders ON o_orderkey = l_orderkey
+              |  JOIN customer ON c_custkey = o_custkey
+              |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+              |                       AND TIMESTAMP '1997-12-31 00:00:00'
+              |) shipping
+              |GROUP BY supp_nation, cust_nation, l_year
+              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+    NamedQuery("q101_tpch_q7", Some(q),
+      viewsSql(q, "supplier", "lineitem", "orders", "customer", "nation"))
+  }
+
+  /** Q8 shape: one nation's market share inside a region for one part
+    * type (8-table join; the share division runs in DOUBLE so both
+    * engines agree bit-for-bit after round). */
+  private val q8ish: NamedQuery = {
+    val q = """SELECT o_year,
+              |round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+              |  / sum(volume), 4) AS mkt_share
+              |FROM (
+              |  SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+              |         CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS volume,
+              |         n2.n_name AS nation
+              |  FROM part
+              |  JOIN lineitem ON p_partkey = l_partkey
+              |  JOIN supplier ON s_suppkey = l_suppkey
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |  JOIN region ON n1.n_regionkey = r_regionkey
+              |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+              |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+              |                        AND TIMESTAMP '1997-12-31 00:00:00'
+              |) all_nations GROUP BY o_year ORDER BY o_year""".stripMargin
+    NamedQuery("q102_tpch_q8", Some(q), viewsSql(q, "part", "lineitem",
+      "supplier", "orders", "customer", "nation", "region"))
+  }
+
+  /** Q9 shape: profit by supplier nation and year (cost term adapted to
+    * p_retailprice — the synthetic schema has no partsupp). */
+  private val q9ish: NamedQuery = {
+    val q = """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+              |FROM (
+              |  SELECT n_name AS nation,
+              |         CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+              |         CAST(l_extendedprice * (1 - l_discount)
+              |           - 0.6 * p_retailprice * l_quantity AS DOUBLE) AS amount
+              |  FROM part
+              |  JOIN lineitem ON p_partkey = l_partkey
+              |  JOIN supplier ON s_suppkey = l_suppkey
+              |  JOIN orders ON o_orderkey = l_orderkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  WHERE p_name LIKE '%red%'
+              |) profit GROUP BY nation, o_year
+              |ORDER BY nation, o_year DESC""".stripMargin
+    NamedQuery("q103_tpch_q9", Some(q), viewsSql(q, "part", "lineitem",
+      "supplier", "orders", "nation"))
+  }
+
+  /** Q14 shape: promo revenue share over one month. */
+  private val q14ish: NamedQuery = {
+    val q = """SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+              |  THEN CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)
+              |  ELSE 0 END) /
+              |  sum(CAST(l_extendedprice * (1 - l_discount) AS DOUBLE)), 4)
+              |  AS promo_revenue
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'""".stripMargin
+    NamedQuery("q104_tpch_q14", Some(q), viewsSql(q, "lineitem", "part"))
+  }
+
+  /** Q15 shape: the top supplier by quarterly revenue via a scalar MAX
+    * subquery over a CTE evaluated twice. */
+  private val q15ish: NamedQuery = {
+    val q = """WITH revenue AS (
+              |  SELECT l_suppkey AS supplier_no,
+              |         round(sum(l_extendedprice * (1 - l_discount)), 2)
+              |           AS total_revenue
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_revenue
+              |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+              |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+              |ORDER BY s_suppkey""".stripMargin
+    NamedQuery("q105_tpch_q15", Some(q), viewsSql(q, "lineitem", "supplier"))
+  }
+
+  /** Q17 shape: revenue of small-quantity orders against a correlated
+    * per-part average. */
+  private val q17ish: NamedQuery = {
+    val q = """SELECT round(CAST(sum(l_extendedprice) AS DOUBLE) / 7.0, 2)
+              |  AS avg_yearly
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE p_brand = 'Brand#1'
+              |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+              |                    FROM lineitem l2
+              |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+    NamedQuery("q106_tpch_q17", Some(q), viewsSql(q, "lineitem", "part"))
+  }
+
+  /** Q19 shape: disjunctive brand/size/quantity predicates — the plan
+    * where OR-groups must still push the join predicate. */
+  private val q19ish: NamedQuery = {
+    val q = """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+              |  AS revenue
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+              |       AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+              |       AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+    NamedQuery("q107_tpch_q19", Some(q), viewsSql(q, "lineitem", "part"))
+  }
+
+  /** Q21 shape (adapted — no commit/receipt dates in the synthetic
+    * schema): suppliers alone at fault in multi-supplier finished
+    * orders, via chained correlated EXISTS / NOT EXISTS. */
+  private val q21ish: NamedQuery = {
+    val q = """SELECT s_name, count(*) AS numwait
+              |FROM supplier
+              |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+              |JOIN orders ON o_orderkey = l1.l_orderkey
+              |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              |  AND EXISTS (SELECT 1 FROM lineitem l2
+              |              WHERE l2.l_orderkey = l1.l_orderkey
+              |                AND l2.l_suppkey <> l1.l_suppkey)
+              |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              |                  WHERE l3.l_orderkey = l1.l_orderkey
+              |                    AND l3.l_suppkey <> l1.l_suppkey
+              |                    AND l3.l_returnflag = 'R')
+              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+    NamedQuery("q108_tpch_q21", Some(q),
+      viewsSql(q, "supplier", "lineitem", "orders"))
+  }
+
   def defs: Seq[NamedQuery] =
-    Seq(q4ish, q10ish, q13ish, q16ish, q18ish, q22ish)
+    Seq(q4ish, q10ish, q13ish, q16ish, q18ish, q22ish,
+      q7ish, q8ish, q9ish, q14ish, q15ish, q17ish, q19ish, q21ish)
 }
