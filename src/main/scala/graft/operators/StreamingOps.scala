@@ -16,5 +16,18 @@ object StreamingOps {
       queryName = s"graft_stream_q67_${System.nanoTime()}")
       .select("event_type", "h", "n", "sum_v"))
 
-  def defs: Seq[NamedQuery] = Seq(streamHourly)
+  /** Streaming at-least-once dedup (state keyed by event_id under the
+    * watermark) — hash-checked against DuckDB computing the same
+    * DISTINCT-then-aggregate in batch. */
+  val streamDedup: NamedQuery = NamedQuery("q109_stream_dedup",
+    Some("""SELECT event_type, count(*) AS n_unique,
+           |round(sum(value), 2) AS sum_v
+           |FROM (SELECT DISTINCT ON (event_id) event_type, value
+           |      FROM events ORDER BY event_id)
+           |GROUP BY event_type""".stripMargin),
+    (s, d) => EventsStream.dedupCounts(s, d,
+      queryName = s"graft_stream_q109_${System.nanoTime()}")
+      .select("event_type", "n_unique", "sum_v"))
+
+  def defs: Seq[NamedQuery] = Seq(streamHourly, streamDedup)
 }

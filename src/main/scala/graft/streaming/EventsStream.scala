@@ -24,6 +24,33 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming exactly-once dedup: drop duplicate event_ids as they
+    * arrive (state keyed by id, bounded by the watermark — the at-least-
+    * once-delivery dedup every ingestion pipeline needs), then aggregate
+    * per type. Converges to the batch DISTINCT answer. */
+  def dedupCounts(spark: SparkSession, dir: String,
+      queryName: String = "graft_events_dedup"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"),
+        round(sum("value"), 2).as("sum_v"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Hourly per-type counts computed as a stream; blocks until the source
     * is drained and returns the materialized result. */
   def hourlyCounts(spark: SparkSession, dir: String,

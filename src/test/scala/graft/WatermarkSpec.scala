@@ -47,4 +47,35 @@ class WatermarkSpec extends SparkSpec {
     assert(rows("2024-01-01 10:00:00.0") == 2L, rows.toString)
     assert(rows("2024-01-01 12:00:00.0") == 1L)
   }
+
+  test("streaming dedup drops re-delivered events across batches") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.classic.SQLContext =
+      org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+        .sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val deduped = input.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy()
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+    val name = s"graft_dedup_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name).start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    input.addData((1L, t("2024-01-01 10:00:00"), 5.0),
+      (2L, t("2024-01-01 10:01:00"), 7.0))
+    q.processAllAvailable()
+    // at-least-once delivery: id 1 re-arrives in a later batch with a
+    // different payload — the first win is kept, the retry dropped
+    input.addData((1L, t("2024-01-01 10:02:00"), 99.0),
+      (3L, t("2024-01-01 10:03:00"), 11.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val r = spark.table(name).head()
+    assert(r.getLong(0) == 3L, s"expected 3 unique events, got $r")
+    assert(r.getDouble(1) == 23.0, s"retry payload leaked into sum: $r")
+  }
 }
