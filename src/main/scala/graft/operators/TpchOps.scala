@@ -113,8 +113,9 @@ object TpchOps {
               |  JOIN customer ON c_custkey = o_custkey
               |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
               |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-              |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              |  WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+              |    AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+              |    AND n1.n_name <> n2.n_name
               |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
               |                       AND TIMESTAMP '1997-12-31 00:00:00'
               |) shipping
