@@ -52,7 +52,15 @@ class Engine private[graft] (val spark: SparkSession) {
     * or introspection use, and DML verbs that already counted pass the
     * number forward. */
   private final class TableEntry(val df: DataFrame, known: Long = -1L) {
-    lazy val rows: Long = if (known >= 0L) known else df.count()
+    @volatile private var cached = known
+    /** The count if it has materialized; -1 otherwise (lets verbs that
+      * rewrite the table carry a known count forward without forcing
+      * one that was never needed). */
+    def rowsIfKnown: Long = cached
+    lazy val rows: Long = {
+      if (cached < 0L) cached = df.count()
+      cached
+    }
   }
   private val registry = TrieMap.empty[String, TableEntry]
   private val enums = Engine.enums
@@ -261,6 +269,33 @@ class Engine private[graft] (val spark: SparkSession) {
 
   /** ≈ duckherder_clear_query_recorder_stats(). */
   def clearStats(): Unit = { stats.clear(); history.clear() }
+
+  /** Classify a query WITHOUT executing it: execution mode + merge
+    * strategy (the reference's QueryPlanAnalyzer surface, exposed
+    * up-front instead of only in post-hoc stats). */
+  def explain(q: String): DataFrame = {
+    val qe = castToImpl(spark.sql(q)).queryExecution
+    val rows = scanRows(qe)
+    val workers = workerCount
+    val mode = PlanClassifier.executionMode(qe, rows, workers)
+    import spark.implicits._
+    Seq((q, mode, PlanClassifier.mergeStrategy(qe),
+      PlanClassifier.numTasks(mode, rows, workers),
+      qe.optimizedPlan.toString))
+      .toDF("sql", "execution_mode", "merge_strategy",
+        "num_tasks", "plan")
+  }
+
+  /** Compaction: rewrite a managed table into `numFiles` balanced
+    * partitions. Long-lived COW tables accumulate narrow lineage and
+    * future writes fragment into small files — the 100 TB maintenance
+    * verb (what OPTIMIZE does on a lakehouse table). */
+  def compact(name: String, numFiles: Int = 0): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    val target =
+      if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
+    put(name, e.df.repartition(target), e.rowsIfKnown)
+  }
 
   /** ≈ duckherder_get_worker_count(): executor parallelism. */
   def workerCount: Int = spark.sparkContext.defaultParallelism

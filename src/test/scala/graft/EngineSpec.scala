@@ -165,6 +165,32 @@ class EngineSpec extends SparkSpec {
     assert(sorted.sameElements(Array("happy", "happy", "sad", "neutral")))
   }
 
+  test("explain classifies without executing; compact rebalances") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    engine.registerTable("exp_li", s"$sf/lineitem.parquet")
+    engine.tables.collect() // materialize the lazy registry row counts
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = engine.explain(
+        "SELECT l_returnflag, count(*) AS n FROM exp_li GROUP BY 1").head()
+      assert(r.getAs[String]("execution_mode") == "DELEGATED")
+      assert(r.getAs[String]("merge_strategy") == "GROUP_BY_MERGE")
+      assert(r.getAs[String]("plan").contains("Aggregate"))
+      org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
+      assert(jobs.get() == 0, "explain must not execute the query")
+    } finally spark.sparkContext.removeSparkListener(l)
+    engine.compact("exp_li", 2)
+    assert(engine.table("exp_li").rdd.getNumPartitions == 2)
+    assert(engine.table("exp_li").count() > 0)
+    engine.unregisterTable("exp_li")
+  }
+
   test("workerCount reflects local parallelism") {
     assert(engine.workerCount == 4)
   }
