@@ -112,6 +112,71 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)))
         .cast("bigint").as("n_long_words")))
 
+  /** PII redaction: emails and fixed-shape phone numbers replaced with
+    * placeholder tokens — the scrub step before training text ships.
+    * The corpus has no real PII, so deterministic synthetic PII is
+    * appended per doc (same construction in both engines) and the
+    * redaction is verified by match counts + an md5 of the scrubbed
+    * text. Patterns chosen to behave identically under Java regex and
+    * RE2. */
+  val piiScrub: NamedQuery = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{3}-[0-9]{4}"
+    NamedQuery("q110_pii_scrub",
+      Some(s"""WITH inj AS (SELECT doc_id,
+             |  text || ' user' || CAST(doc_id AS VARCHAR)
+             |    || '@example.com +1-555-000-'
+             |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT)
+             |  AS n_emails,
+             |CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT)
+             |  AS n_phones,
+             |md5(regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+             |  '$phoneRe', '<PHONE>', 'g')) AS scrub_md5
+             |FROM inj ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val injected = concat(col("text"), lit(" user"),
+          col("doc_id").cast("string"), lit("@example.com +1-555-000-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        t(s, d, "documents")
+          .select(col("doc_id"), injected.as("t"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+              .cast("bigint").as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+              .cast("bigint").as("n_phones"),
+            md5(regexp_replace(
+              regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>").cast("binary")).as("scrub_md5"))
+          .orderBy("doc_id")
+      })
+  }
+
+  /** Canonical text normalization — lowercase, strip non-alphanumerics,
+    * collapse runs of whitespace, trim: the cleaning pass upstream of
+    * dedup/tokenization, verified by md5 + lengths. */
+  val normalize: NamedQuery = NamedQuery("q111_text_normalize",
+    Some("""SELECT doc_id,
+           |md5(trim(regexp_replace(
+           |  lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')),
+           |  ' +', ' ', 'g'))) AS norm_md5,
+           |CAST(length(trim(regexp_replace(
+           |  lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')),
+           |  ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+           |FROM documents ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val norm = trim(regexp_replace(
+        lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")),
+        " +", " "))
+      t(s, d, "documents").select(col("doc_id"),
+        md5(norm.cast("binary")).as("norm_md5"),
+        length(norm).cast("bigint").as("norm_len"))
+        .orderBy("doc_id")
+    })
+
   def defs: Seq[NamedQuery] =
-    Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens)
+    Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
+      piiScrub, normalize)
 }
