@@ -53,4 +53,38 @@ class BucketingSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("AQE splits skewed shuffle-join partitions at runtime") {
+    // force a sort-merge join and make one shuffle partition ~90% of the
+    // data; with tuned thresholds AQE must split it (AQEShuffleRead with
+    // skewed spec) instead of letting one task carry the hot key
+    val restore = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256MB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5.0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    try {
+      val left = spark.range(300000)
+        .select(when(col("id") % 10 =!= 0, 7L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(5000)
+        .select(col("id").as("k"), col("id").as("w"))
+      val joined = left.join(right, Seq("k"))
+      // execute THIS dataframe's plan so its adaptive plan finalizes
+      // (hot key 7: 270k rows; ids divisible by 10 under 5000: 500 rows)
+      assert(joined.collect().length == 270500)
+      val plan = castToImpl(joined).queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      }.mkString("\n")
+      assert(plan.contains("skew"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
