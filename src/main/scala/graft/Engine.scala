@@ -476,6 +476,19 @@ class Engine private[graft] (val spark: SparkSession) {
           s"Constraint Error: NOT NULL constraint failed: " +
             s"$name(${nn.mkString(",")})")
     }
+    // ENUM domain check (DuckDB raises a Conversion Error for a value
+    // outside the type) — same bounded delta-only probe
+    e.df.columns.foreach { c =>
+      enumCols.get((name, c)).foreach { en =>
+        val values = enums.getOrElse(en, Seq.empty)
+        val bad = aligned.filter(aligned.col(c).isNotNull &&
+          !aligned.col(c).isin(values: _*)).select(c).head(1)
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"Conversion Error: Could not convert string '${bad.head.get(0)}'" +
+              s" to enum type $en")
+      }
+    }
     put(name, e.df.unionByName(aligned))
   }
 

@@ -79,6 +79,54 @@ object AdvancedOps {
           round(element_at(col("ps"), 2), 4).as("p90_price"),
           round(element_at(col("ps"), 3), 4).as("p10_price")))
 
+  /** Aggregate-function matrix: boolean, bitwise, ordered string, and
+    * the bivariate-statistics family — identical SQL semantics on both
+    * engines; floating aggregates rounded (partial-aggregation order
+    * differs across engines only in final ulps). */
+  private val aggMatrix: NamedQuery = NamedQuery("q112_agg_matrix",
+    Some("""SELECT l_returnflag,
+           |bool_and(l_quantity > 0) AS all_pos,
+           |bool_or(l_discount > 0.05) AS any_disc,
+           |CAST(bit_and(CAST(l_linenumber AS INTEGER)) AS INTEGER) AS b_and,
+           |CAST(bit_or(CAST(l_linenumber AS INTEGER)) AS INTEGER) AS b_or,
+           |CAST(bit_xor(CAST(l_linenumber AS INTEGER)) AS INTEGER) AS b_xor,
+           |array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+           |  AS statuses,
+           |round(corr(CAST(l_quantity AS DOUBLE),
+           |  CAST(l_extendedprice AS DOUBLE)), 4) AS cor,
+           |round(covar_pop(CAST(l_quantity AS DOUBLE),
+           |  CAST(l_extendedprice AS DOUBLE)), 1) AS cov_p,
+           |round(stddev_samp(CAST(l_quantity AS DOUBLE)), 4) AS sd,
+           |round(var_pop(CAST(l_quantity AS DOUBLE)), 4) AS vp,
+           |round(regr_slope(CAST(l_extendedprice AS DOUBLE),
+           |  CAST(l_quantity AS DOUBLE)), 3) AS slope,
+           |CAST(regr_count(CAST(l_extendedprice AS DOUBLE),
+           |  CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n_pairs,
+           |CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.05).as("any_disc"),
+        bit_and(col("l_linenumber").cast("int")).as("b_and"),
+        bit_or(col("l_linenumber").cast("int")).as("b_or"),
+        bit_xor(col("l_linenumber").cast("int")).as("b_xor"),
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        round(corr(col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double")), 4).as("cor"),
+        round(covar_pop(col("l_quantity").cast("double"),
+          col("l_extendedprice").cast("double")), 1).as("cov_p"),
+        round(stddev_samp(col("l_quantity").cast("double")), 4).as("sd"),
+        round(var_pop(col("l_quantity").cast("double")), 4).as("vp"),
+        round(regr_slope(col("l_extendedprice").cast("double"),
+          col("l_quantity").cast("double")), 3).as("slope"),
+        regr_count(col("l_extendedprice").cast("double"),
+          col("l_quantity").cast("double")).as("n_pairs"),
+        count_if(col("l_discount") > 0.05).as("n_disc"))
+      .orderBy("l_returnflag"))
+
   private val pivotQ: NamedQuery = NamedQuery("q59_pivot",
     Some("""SELECT l_linestatus,
            |round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
@@ -220,6 +268,6 @@ object AdvancedOps {
         .cast("bigint").as("days_to")))
 
   def defs: Seq[NamedQuery] = Seq(rollup, groupingSets, percentiles,
-    percentilesApprox, pivotQ,
+    percentilesApprox, aggMatrix, pivotQ,
     sessions, asof, correlated, stringAdv, mathFuncs, dateFuncs)
 }

@@ -114,6 +114,11 @@ class SqlRouterSpec extends SparkSpec {
          |max_by(person_mood, enum_ord('$ty', person_mood)) AS mx
          |FROM $t""".stripMargin).head()
     assert(mm.getString(0) == "happy" && mm.getString(1) == "neutral")
+    // a value outside the enum domain is rejected (conversion error)
+    val conv = intercept[IllegalArgumentException](
+      engine.sql(s"INSERT INTO $t VALUES (9, 'angry', 'nope')"))
+    assert(conv.getMessage.contains("enum type"))
+    assert(engine.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 3)
     // NULL handling
     engine.sql(s"INSERT INTO $t VALUES (4, NULL, 'no mood')")
     assert(engine.sql(
