@@ -541,6 +541,52 @@ class Engine private[graft] (val spark: SparkSession) {
       throw new IllegalArgumentException(
         s"Catalog Error: Index with name \"$indexName\" does not exist!")
 
+  /** Build a persisted IVF index over a table's embedding column:
+    * sampled-k-means centroids and cell assignments land as managed
+    * tables (`<index>_centroids`, `<index>_cells`), so the training
+    * cost amortizes across every later [[annSearch]]. The index is
+    * listed in `indexes` introspection like any other. */
+  def buildAnnIndex(indexName: String, tableName: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    import graft.operators.SimilarityOps
+    val df = table(tableName)
+      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val n = df.count() // index build is a heavy op; an exact N is fine
+    val cents = SimilarityOps.ivfCentroids(spark, df,
+      SimilarityOps.ivfNlist(n))
+    put(s"${indexName}_centroids", cents)
+    put(s"${indexName}_cells", SimilarityOps.ivfAssign(df, cents), n)
+    createIndex(indexName, tableName, Seq(embCol), ifNotExists = true)
+  }
+
+  /** Probe an [[buildAnnIndex]] index: rank cells against the query on
+    * the driver (centroids are metadata-scale, ≈√N rows), then scan
+    * only the probed cells — per-query work O(nprobe·N/nlist). */
+  def annSearch(indexName: String, query: Array[Float], k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val cents = table(s"${indexName}_centroids").collect()
+    def cos(v: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val m = math.min(v.length, query.length)
+      while (i < m) {
+        dot += v(i).toDouble * query(i)
+        na += v(i).toDouble * v(i); nb += query(i).toDouble * query(i)
+        i += 1
+      }
+      dot / math.max(1e-12, math.sqrt(na) * math.sqrt(nb))
+    }
+    val probed = cents
+      .map(r => (r.getLong(0), cos(r.getSeq[Float](1).toArray)))
+      .sortBy(-_._2).take(nprobe).map(_._1)
+    table(s"${indexName}_cells")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"),
+        graft.functions.CosineSimilarity.cosineSim(col("embedding"),
+          typedLit(query)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ≈ duckdb_indexes() introspection (index_operations.test:50-58). */
   def indexes: DataFrame = {
     import spark.implicits._

@@ -191,6 +191,28 @@ class EngineSpec extends SparkSpec {
     engine.unregisterTable("exp_li")
   }
 
+  test("persisted ANN index: build once, probe with bounded scans") {
+    import spark.implicits._
+    engine.registerTable("ann_emb", s"$sf/embeddings.parquet")
+    engine.buildAnnIndex("ann_idx", "ann_emb")
+    assert(engine.tableExists("ann_idx_centroids"))
+    assert(engine.tableExists("ann_idx_cells"))
+    assert(engine.indexes.filter(col("index_name") === "ann_idx").count() == 1)
+    val q0 = engine.table("ann_emb").filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val res = engine.annSearch("ann_idx", q0, k = 10).collect()
+    assert(res.length == 10)
+    // the query vector's own cell is always probed → self is rank 1
+    assert(res.head.getLong(0) == 0L)
+    assert(math.abs(res.head.getDouble(1) - 1.0) < 1e-6)
+    // results ordered by similarity
+    val sims = res.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sortBy(-(_: Double))))
+    Seq("ann_emb", "ann_idx_centroids", "ann_idx_cells")
+      .foreach(engine.unregisterTable)
+    engine.dropIndex("ann_idx")
+  }
+
   test("workerCount reflects local parallelism") {
     assert(engine.workerCount == 4)
   }
