@@ -213,6 +213,28 @@ class EngineSpec extends SparkSpec {
     engine.dropIndex("ann_idx")
   }
 
+  test("engine stays consistent under concurrent DDL/DML/query load") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (1 to 8).map { i =>
+        Future {
+          val t = s"conc_${i}_${System.nanoTime()}"
+          engine.sql(s"CREATE TABLE $t (id INT, v STRING)")
+          engine.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+          assert(engine.sql(s"SELECT count(*) AS n FROM $t")
+            .head().getLong(0) == 2)
+          engine.sql(s"ALTER TABLE $t ADD COLUMN w INT DEFAULT 7")
+          assert(engine.table(t).columns.contains("w"))
+          engine.sql(s"DROP TABLE $t")
+        }
+      }
+      Await.result(Future.sequence(futs), 120.seconds)
+    } finally pool.shutdown()
+  }
+
   test("workerCount reflects local parallelism") {
     assert(engine.workerCount == 4)
   }

@@ -148,6 +148,29 @@ class PipelineSpec extends SparkSpec {
     assert(fps == docs.select("text").distinct().count())
   }
 
+  test("multimodal features flow into the persisted ANN index") {
+    import spark.implicits._
+    val eng = Engine(spark)
+    val feats = run("q53_multimodal_decode")
+      .select(col("doc_id").as("vec_id"),
+        array(col("width").cast("float"), col("height").cast("float"),
+          col("resized_h").cast("float"), col("mean_luma").cast("float"))
+          .as("embedding"))
+    eng.registerTable("mm_feats", feats)
+    try {
+      eng.buildAnnIndex("mm_idx", "mm_feats")
+      val q = feats.filter(col("vec_id") === 0)
+        .select("embedding").as[Array[Float]].head()
+      val res = eng.annSearch("mm_idx", q, k = 5).collect()
+      assert(res.length == 5)
+      assert(res.head.getLong(0) == 0L) // self is its own nearest
+    } finally {
+      Seq("mm_feats", "mm_idx_centroids", "mm_idx_cells")
+        .foreach(eng.unregisterTable)
+      eng.dropIndex("mm_idx", ifExists = true)
+    }
+  }
+
   test("multimodal decode emits one row per document with stub features") {
     val d = run("q53_multimodal_decode")
     assert(d.count() == Tables.t(spark, sf, "documents").count())
