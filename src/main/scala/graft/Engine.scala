@@ -72,7 +72,17 @@ class Engine private[graft] (val spark: SparkSession) {
   private val defaults = TrieMap.empty[(String, String), String]
   private val notNullCols = TrieMap.empty[(String, String), Unit]
   // columns declared with a registered ENUM type (CREATE TABLE t (c mood))
-  private val enumCols = TrieMap.empty[(String, String), String]
+  // — session-global like the type catalog, so the EnumOrderRewrite
+  // optimizer rule can resolve attribute names to declaration orders
+  private val enumCols = Engine.enumColumns
+
+  // ORDER BY on enum columns must follow declaration order: register the
+  // Catalyst rewrite once per session
+  if (!spark.experimental.extraOptimizations
+      .contains(graft.plans.EnumOrderRewrite)) {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.EnumOrderRewrite
+  }
 
   // declaration-order rank of enum values, callable from SQL:
   // enum_ord('mood', col) — the piece that makes ORDER BY / MIN / MAX on
@@ -625,6 +635,16 @@ object Engine {
     * any engine handle is visible to all, and to the `enum_ord` SQL
     * function regardless of which handle registered it). */
   private[graft] val enums = TrieMap.empty[String, Seq[String]]
+
+  /** (table, column) → enum type name, mirrored globally for the
+    * [[graft.plans.EnumOrderRewrite]] optimizer rule. */
+  private[graft] val enumColumns = TrieMap.empty[(String, String), String]
+
+  /** All enum types owning a column with this name (case-insensitive). */
+  private[graft] def enumColumnTypes(colName: String): Set[String] =
+    enumColumns.iterator.collect {
+      case ((_, c), en) if c.equalsIgnoreCase(colName) => en
+    }.toSet
 
   /** ≈ duckherder_start_local_server(port, n_workers): `local[n]` session.
     * On a real cluster the same engine runs with any master URL — nothing

@@ -24,13 +24,16 @@ import graft.functions.{CosineSimilarity, RollingHashFingerprint, ShingleArray}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft", name),
           builder))
     }
+    // ORDER BY on registered enum columns follows declaration order
+    ext.injectOptimizerRule(_ => graft.plans.EnumOrderRewrite)
+  }
 }
 
 object GraftExtensions {

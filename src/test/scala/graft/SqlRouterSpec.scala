@@ -109,6 +109,14 @@ class SqlRouterSpec extends SparkSpec {
       s"SELECT person_mood FROM $t ORDER BY enum_ord('$ty', person_mood)")
       .collect().map(_.getString(0))
     assert(ordered.sameElements(Array("happy", "sad", "neutral")))
+    // ... and via PLAIN ORDER BY on the enum column: the
+    // EnumOrderRewrite optimizer rule substitutes the declaration rank
+    // (lexical order would be happy, neutral, sad)
+    val plain = engine.sql(
+      s"SELECT person_mood FROM $t ORDER BY person_mood")
+      .collect().map(_.getString(0))
+    assert(plain.sameElements(Array("happy", "sad", "neutral")),
+      s"plain ORDER BY not rewritten: ${plain.mkString(",")}")
     val mm = engine.sql(
       s"""SELECT min_by(person_mood, enum_ord('$ty', person_mood)) AS mn,
          |max_by(person_mood, enum_ord('$ty', person_mood)) AS mx
