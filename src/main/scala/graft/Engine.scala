@@ -76,13 +76,6 @@ class Engine private[graft] (val spark: SparkSession) {
   // optimizer rule can resolve attribute names to declaration orders
   private val enumCols = Engine.enumColumns
 
-  // ORDER BY on enum columns must follow declaration order: register the
-  // Catalyst rewrite once per session
-  if (!spark.experimental.extraOptimizations
-      .contains(graft.plans.EnumOrderRewrite)) {
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.EnumOrderRewrite
-  }
 
   // declaration-order rank of enum values, callable from SQL:
   // enum_ord('mood', col) — the piece that makes ORDER BY / MIN / MAX on
@@ -248,7 +241,16 @@ class Engine private[graft] (val spark: SparkSession) {
         history.add((q, durNs / 1e6))
         df
       case None =>
-        val df = spark.sql(q)
+        val df0 = spark.sql(q)
+        // enum declaration-order semantics (ORDER BY / MIN / MAX /
+        // comparisons) apply on the ANALYZED plan — rewriting after the
+        // main optimizer would miss filters it already collapsed into
+        // literal relations
+        val df =
+          if (Engine.enumColumns.isEmpty) df0
+          else org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+            graft.plans.EnumOrderRewrite(
+              castToImpl(df0).queryExecution.analyzed))
         val qe = castToImpl(df).queryExecution
         pending.put(qe.analyzed.semanticHash().toLong, (q, qe))
         df

@@ -31,8 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo("graft", name),
           builder))
     }
-    // ORDER BY on registered enum columns follows declaration order
-    ext.injectOptimizerRule(_ => graft.plans.EnumOrderRewrite)
+    // ORDER BY / MIN / MAX / comparisons on registered enum columns
+    // follow declaration order; post-hoc resolution runs on the analyzed
+    // plan, before literal-relation collapse
+    ext.injectPostHocResolutionRule(_ => graft.plans.EnumOrderRewrite)
   }
 }
 

@@ -122,6 +122,19 @@ class SqlRouterSpec extends SparkSpec {
          |max_by(person_mood, enum_ord('$ty', person_mood)) AS mx
          |FROM $t""".stripMargin).head()
     assert(mm.getString(0) == "happy" && mm.getString(1) == "neutral")
+    // PLAIN MIN/MAX follow declaration order (lexical MAX would be 'sad')
+    val mm2 = engine.sql(
+      s"SELECT min(person_mood) AS mn, max(person_mood) AS mx FROM $t")
+      .head()
+    assert(mm2.getString(0) == "happy" && mm2.getString(1) == "neutral",
+      s"plain MIN/MAX not declaration-ordered: $mm2")
+    // PLAIN comparison follows declaration order: mood < 'neutral' keeps
+    // happy AND sad (lexically 'sad' < 'neutral' is false)
+    val lt = engine.sql(
+      s"SELECT person_mood FROM $t WHERE person_mood < 'neutral' " +
+        s"ORDER BY id").collect().map(_.getString(0))
+    assert(lt.sameElements(Array("happy", "sad")),
+      s"comparison not declaration-ordered: ${lt.mkString(",")}")
     // a value outside the enum domain is rejected (conversion error)
     val conv = intercept[IllegalArgumentException](
       engine.sql(s"INSERT INTO $t VALUES (9, 'angry', 'nope')"))
