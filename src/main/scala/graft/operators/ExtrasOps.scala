@@ -45,6 +45,44 @@ object ExtrasOps {
       count(lit(1)).as("n_copies"),
       countDistinct(col("source")).as("n_sources")))
 
+  /** Equi-width histogram: bucket arithmetic in DOUBLE (identical in
+    * both engines; DuckDB v1.0 has no width_bucket), counts + per-bucket
+    * bounds — the profiling aggregation a data-quality pass runs. */
+  val histogram: NamedQuery = {
+    val q =
+      """SELECT CAST(least(greatest(
+        |  CAST(floor((CAST(l_extendedprice AS DOUBLE) - 900.0) / 13000.0)
+        |    AS INTEGER), 0), 7) AS INTEGER) AS bucket,
+        |count(*) AS n,
+        |round(CAST(min(l_extendedprice) AS DOUBLE), 2) AS lo,
+        |round(CAST(max(l_extendedprice) AS DOUBLE), 2) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    NamedQuery("q113_histogram", Some(q), (s, d) => {
+      graft.Tables.t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(q)
+    })
+  }
+
+  /** Higher-order list functions: transform / filter / fold evaluate the
+    * same lambdas in both engines (DuckDB list_* ↔ Spark HOFs). */
+  val lambdaFuncs: NamedQuery = NamedQuery("q114_lambda_funcs",
+    Some("""SELECT id,
+           |list_transform(xs, x -> x * 2) AS doubled,
+           |list_filter(xs, x -> x % 2 = 0) AS evens,
+           |coalesce(CAST(list_sum(list_transform(xs, x -> x * x))
+           |  AS BIGINT), 0) AS sum_sq
+           |FROM (VALUES (1, [1, 2, 3]), (2, [4, 5]), (3, []::INTEGER[]))
+           |  v(id, xs) ORDER BY id""".stripMargin),
+    (s, _) => s.sql(
+      """SELECT id,
+        |transform(xs, x -> x * 2) AS doubled,
+        |filter(xs, x -> x % 2 = 0) AS evens,
+        |coalesce(CAST(aggregate(transform(xs, x -> x * x), 0L,
+        |  (acc, x) -> acc + x) AS BIGINT), 0) AS sum_sq
+        |FROM VALUES (1, array(1, 2, 3)), (2, array(4, 5)),
+        |  (3, CAST(array() AS ARRAY<INT>)) AS v(id, xs)
+        |ORDER BY id""".stripMargin))
+
   /** Full window-function battery over a unique ordering key. */
   val windowSuite: NamedQuery = NamedQuery("q73_window_suite",
     Some("""SELECT o_custkey, o_orderkey,
@@ -165,5 +203,5 @@ object ExtrasOps {
 
   def defs: Seq[NamedQuery] =
     Seq(enumOrder, crossSource, windowSuite, listNulls, cube, setopsAll,
-      jsonExtract, arrayAgg, filterClause)
+      jsonExtract, arrayAgg, filterClause, histogram, lambdaFuncs)
 }
