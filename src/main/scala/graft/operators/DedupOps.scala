@@ -33,9 +33,12 @@ object DedupOps {
     * shingle appearing in > maxDf docs (stopword-like) would explode the
     * pair join quadratically at scale while carrying no dedup signal. */
   private def shingleTokens(docs: DataFrame, maxDf: Int = 1000): DataFrame = {
-    val sh = shingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+    // hashes computed inside the shingling expression: the explode emits
+    // 8-byte longs, never shingle strings (ShingleHashArray ≡
+    // xxhash64(shingle) — same seed, interchangeable values)
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashArray
+        .shingleHashArray(col("text"), 3)).as("s"))
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
     sh.join(broadcast(hot), Seq("s"), "left_anti").select("doc_id", "s")

@@ -117,6 +117,20 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("shingle_hash_array equals xxhash64 over shingle_array strings") {
+    val docs = Tables.t(spark, sf, "documents").limit(100)
+    val viaStrings = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleArray.shingleArray(col("text"), 3))
+        .as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashArray
+        .shingleHashArray(col("text"), 3)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct == viaStrings)
+  }
+
   test("hyperplane_bucket rejects non-float arrays at analysis") {
     val planes = Array(Array(1.0, -1.0))
     val doubles = Seq(Seq(1.0, 2.0)).toDF("v") // array<double>
