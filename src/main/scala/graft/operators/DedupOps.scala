@@ -18,14 +18,6 @@ import graft.Tables.t
   */
 object DedupOps {
 
-  /** Distinct 3-word shingles per doc via the codegen'd
-    * [[graft.functions.ShingleArray]] expression (the built-in
-    * transform/sequence/slice formulation leaves whole-stage codegen and
-    * re-splits the text per element — measured ~20× slower). */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      graft.functions.ShingleArray.shingleArray(col("text"), 3).as("shingles"))
-
   /** doc_id → exploded distinct shingle *hashes* (xxhash64 — an 8-byte
     * join key shuffles and compares far cheaper than the shingle string;
     * collision odds over any realistic shingle population are ~2⁻⁶⁴·n²,
