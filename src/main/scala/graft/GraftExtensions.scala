@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ElementAt, Expression, ExpressionInfo, Size}
 
-import graft.functions.{CosineSimilarity, RollingHashFingerprint, ShingleArray}
+import graft.functions.{CosineSimilarity, RollingHashFingerprint, ShingleArray, ShingleHashArray}
 
 /** SparkSessionExtensions entry point — the standard deployment path for
   * a Spark library's Catalyst extensions:
@@ -51,6 +51,10 @@ object GraftExtensions {
     "rolling_fingerprint" -> {
       case Seq(c) => RollingHashFingerprint(c, 8)
       case Seq(c, w) => RollingHashFingerprint(c, intLit(w))
+    },
+    "shingle_hash_array" -> {
+      case Seq(c) => ShingleHashArray(c, 3)
+      case Seq(c, n) => ShingleHashArray(c, intLit(n))
     },
     "len" -> (e => Size(e.head)),
     "list_contains" -> (e => ArrayContains(e(0), e(1))),

@@ -10,8 +10,8 @@ class ExtensionsSpec extends SparkSpec {
   test("GraftExtensions injects all engine functions") {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
-      "cosine_similarity", "shingle_array", "rolling_fingerprint",
-      "len", "list_contains", "list_extract"))
+      "cosine_similarity", "shingle_array", "shingle_hash_array",
+      "rolling_fingerprint", "len", "list_contains", "list_extract"))
   }
 
   test("shingle_array + rolling_fingerprint callable from SQL") {
