@@ -83,6 +83,26 @@ object ExtrasOps {
         |  (3, CAST(array() AS ARRAY<INT>)) AS v(id, xs)
         |ORDER BY id""".stripMargin))
 
+  /** Recursive CTE (Spark 4.1 WITH RECURSIVE ↔ DuckDB): generate the
+    * month series spanning the order history recursively, then left-join
+    * order counts per month — identical SQL runs on both engines. */
+  val recursiveCte: NamedQuery = {
+    val q =
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+        |  WHERE m < DATE '2001-12-01')
+        |SELECT m, count(o_orderkey) AS n
+        |FROM months LEFT JOIN orders
+        |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+        |GROUP BY m ORDER BY m""".stripMargin
+    NamedQuery("q115_recursive_cte", Some(q), (s, d) => {
+      graft.Tables.t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(q)
+    })
+  }
+
   /** Full window-function battery over a unique ordering key. */
   val windowSuite: NamedQuery = NamedQuery("q73_window_suite",
     Some("""SELECT o_custkey, o_orderkey,
@@ -203,5 +223,6 @@ object ExtrasOps {
 
   def defs: Seq[NamedQuery] =
     Seq(enumOrder, crossSource, windowSuite, listNulls, cube, setopsAll,
-      jsonExtract, arrayAgg, filterClause, histogram, lambdaFuncs)
+      jsonExtract, arrayAgg, filterClause, histogram, lambdaFuncs,
+      recursiveCte)
 }
