@@ -103,6 +103,45 @@ object ExtrasOps {
     })
   }
 
+  /** Time-range window frame (RANGE BETWEEN INTERVAL … PRECEDING):
+    * rolling 1-hour per-user event counts — tie-safe (RANGE includes
+    * peers) and identical SQL on both engines. */
+  val rangeFrame: NamedQuery = {
+    val q =
+      """SELECT event_id, user_id,
+        |count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |  AS n_1h,
+        |round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW), 2)
+        |  AS sum_1h
+        |FROM events WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin
+    NamedQuery("q116_range_frame", Some(q), (s, d) => {
+      graft.Tables.t(s, d, "events").createOrReplaceTempView("events")
+      s.sql(q)
+    })
+  }
+
+  /** LATERAL correlated subquery — top-2 orders per customer: the
+    * per-row dependent join both engines plan natively. */
+  val lateralJoin: NamedQuery = {
+    val q =
+      """SELECT c_custkey, o.o_orderkey,
+        |round(CAST(o.o_totalprice AS DOUBLE), 2) AS price
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey, price DESC, o_orderkey""".stripMargin
+    NamedQuery("q117_lateral", Some(q), (s, d) => {
+      graft.Tables.t(s, d, "customer").createOrReplaceTempView("customer")
+      graft.Tables.t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(q)
+    })
+  }
+
   /** Full window-function battery over a unique ordering key. */
   val windowSuite: NamedQuery = NamedQuery("q73_window_suite",
     Some("""SELECT o_custkey, o_orderkey,
@@ -224,5 +263,5 @@ object ExtrasOps {
   def defs: Seq[NamedQuery] =
     Seq(enumOrder, crossSource, windowSuite, listNulls, cube, setopsAll,
       jsonExtract, arrayAgg, filterClause, histogram, lambdaFuncs,
-      recursiveCte)
+      recursiveCte, rangeFrame, lateralJoin)
 }
