@@ -286,6 +286,14 @@ class Engine private[graft] (val spark: SparkSession) {
     * strategy (the reference's QueryPlanAnalyzer surface, exposed
     * up-front instead of only in post-hoc stats). */
   def explain(q: String): DataFrame = {
+    // routed DDL/DML executes eagerly on the driver (and Spark itself
+    // runs command statements at sql()): classify WITHOUT executing
+    if (SqlRouter.wouldRoute(q)) {
+      import spark.implicits._
+      return Seq((q, "LOCAL", "CONCATENATE", 1L, "routed DDL/DML"))
+        .toDF("sql", "execution_mode", "merge_strategy",
+          "num_tasks", "plan")
+    }
     val qe = castToImpl(spark.sql(q)).queryExecution
     val rows = scanRows(qe)
     val workers = workerCount

@@ -56,6 +56,18 @@ private[graft] object SqlRouter {
   private val DeleteAllSql =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*""".r
 
+  /** True iff `route` would intercept this statement — WITHOUT executing
+    * anything (explain/plan paths must stay side-effect-free: Spark runs
+    * DDL commands eagerly at sql(), and route() executes on match). */
+  private[graft] def wouldRoute(q: String): Boolean = {
+    val patterns = Seq(CreateTable, CreateTableAs, DropTable, AlterColType,
+      AlterSetNotNull, AlterDropNotNull, AlterDropDefault, AlterSetDefault,
+      CreateType, DropType, AlterAdd, AlterDrop, AlterRenameCol,
+      AlterRenameTable, CreateIndex, DropIndex, InsertColsSql, InsertSql,
+      DeleteSql, DeleteAllSql)
+    patterns.exists(_.pattern.matcher(q).matches())
+  }
+
   /** Some(result) when routed; None → plain Spark SQL. */
   def route(e: Engine, q: String): Option[DataFrame] = q match {
     case CreateTable(ifNot, name, cols) =>

@@ -185,6 +185,11 @@ class EngineSpec extends SparkSpec {
       org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
       assert(jobs.get() == 0, "explain must not execute the query")
     } finally spark.sparkContext.removeSparkListener(l)
+    // explain of DDL classifies without creating anything
+    val ddlName = s"explain_ddl_${System.nanoTime()}"
+    val ddl = engine.explain(s"CREATE TABLE $ddlName (id INT)").head()
+    assert(ddl.getAs[String]("execution_mode") == "LOCAL")
+    assert(!engine.tableExists(ddlName), "explain executed the DDL!")
     engine.compact("exp_li", 2)
     assert(engine.table("exp_li").rdd.getNumPartitions == 2)
     assert(engine.table("exp_li").count() > 0)
