@@ -68,9 +68,16 @@ private[graft] object SqlRouter {
     patterns.exists(_.pattern.matcher(q).matches())
   }
 
+  /** The reference qualifies tables with its attached-database alias
+    * (`dh.enum_test_table` — enum_type_support.test:22); this engine IS
+    * that database, so a single leading qualifier drops. */
+  private def unq(name: String): String =
+    name.substring(name.lastIndexOf('.') + 1)
+
   /** Some(result) when routed; None → plain Spark SQL. */
   def route(e: Engine, q: String): Option[DataFrame] = q match {
-    case CreateTable(ifNot, name, cols) =>
+    case CreateTable(ifNot, name0, cols) =>
+      val name = unq(name0)
       val exists = e.tableNames.contains(name)
       if (exists && ifNot == null)
         throw new IllegalArgumentException(
@@ -78,26 +85,26 @@ private[graft] object SqlRouter {
       if (!exists) e.createTable(name, cols)
       Some(emptyOk(e))
     case CreateTableAs(name, query) =>
-      e.createTableAs(name, e.spark.sql(query)); Some(emptyOk(e))
+      e.createTableAs(unq(name), e.spark.sql(query)); Some(emptyOk(e))
     case DropTable(ifEx, name) =>
-      e.dropTable(name, ifExists = ifEx != null); Some(emptyOk(e))
+      e.dropTable(unq(name), ifExists = ifEx != null); Some(emptyOk(e))
     case AlterAdd(name, ifNot, col, typ, default) =>
-      e.addColumn(name, col, typ,
+      e.addColumn(unq(name), col, typ,
         Option(default).map(d => e.spark.sql(s"SELECT ($d) AS v").head().get(0)),
         ifNotExists = ifNot != null)
       Some(emptyOk(e))
     case AlterDrop(name, ifEx, col) =>
-      e.dropColumn(name, col, ifExists = ifEx != null); Some(emptyOk(e))
+      e.dropColumn(unq(name), col, ifExists = ifEx != null); Some(emptyOk(e))
     case AlterColType(name, colName, typ) =>
-      e.alterColumnType(name, colName, typ); Some(emptyOk(e))
+      e.alterColumnType(unq(name), colName, typ); Some(emptyOk(e))
     case AlterSetNotNull(name, colName) =>
-      e.setNotNull(name, colName); Some(emptyOk(e))
+      e.setNotNull(unq(name), colName); Some(emptyOk(e))
     case AlterDropNotNull(name, colName) =>
-      e.dropNotNull(name, colName); Some(emptyOk(e))
+      e.dropNotNull(unq(name), colName); Some(emptyOk(e))
     case AlterDropDefault(name, colName) =>
-      e.dropDefault(name, colName); Some(emptyOk(e))
+      e.dropDefault(unq(name), colName); Some(emptyOk(e))
     case AlterSetDefault(name, colName, d) =>
-      e.setDefault(name, colName, d.trim); Some(emptyOk(e))
+      e.setDefault(unq(name), colName, d.trim); Some(emptyOk(e))
     case CreateType(name, values) =>
       e.createEnum(name,
         "'([^']*)'".r.findAllMatchIn(values).map(_.group(1)).toSeq)
@@ -105,16 +112,17 @@ private[graft] object SqlRouter {
     case DropType(ifEx, name) =>
       e.dropEnum(name, ifExists = ifEx != null); Some(emptyOk(e))
     case AlterRenameCol(name, from, to) =>
-      e.renameColumn(name, from, to); Some(emptyOk(e))
+      e.renameColumn(unq(name), from, to); Some(emptyOk(e))
     case AlterRenameTable(from, to) =>
-      e.renameTable(from, to); Some(emptyOk(e))
+      e.renameTable(unq(from), unq(to)); Some(emptyOk(e))
     case CreateIndex(ifNot, idx, table, cols) =>
-      e.createIndex(idx, table, cols.split(",").map(_.trim).toSeq,
+      e.createIndex(idx, unq(table), cols.split(",").map(_.trim).toSeq,
         ifNotExists = ifNot != null)
       Some(emptyOk(e))
     case DropIndex(ifEx, idx) =>
       e.dropIndex(idx, ifExists = ifEx != null); Some(emptyOk(e))
-    case InsertColsSql(name, cols, source) =>
+    case InsertColsSql(name0, cols, source) =>
+      val name = unq(name0)
       // explicit column list (alter_table.test:99-101): remaining columns
       // of the target fill with NULL
       // resolve the user's column list against the target schema
@@ -138,14 +146,14 @@ private[graft] object SqlRouter {
       e.insertInto(name, full)
       Some(emptyOk(e))
     case InsertSql(name, source) =>
-      e.insertInto(name, sourceDf(e, source))
+      e.insertInto(unq(name), sourceDf(e, source))
       Some(emptyOk(e))
     case DeleteSql(name, cond) =>
-      val n = e.deleteFrom(name, expr(cond))
+      val n = e.deleteFrom(unq(name), expr(cond))
       import e.spark.implicits._
       Some(Seq(n).toDF("deleted_rows"))
-    case DeleteAllSql(name) if e.tableExists(name) =>
-      val n = e.deleteFrom(name, expr("true"))
+    case DeleteAllSql(name) if e.tableExists(unq(name)) =>
+      val n = e.deleteFrom(unq(name), expr("true"))
       import e.spark.implicits._
       Some(Seq(n).toDF("deleted_rows"))
     case _ => None

@@ -160,6 +160,20 @@ class SqlRouterSpec extends SparkSpec {
     engine.unregisterTable("ctas_src")
   }
 
+  test("dh.-qualified names route like the reference's attached alias") {
+    val t = s"dh_qual_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE dh.$t (id INT, name STRING)")
+    assert(engine.tableExists(t))
+    engine.sql(s"INSERT INTO dh.$t VALUES (1, 'x'), (2, 'y')")
+    assert(engine.table(t).count() == 2)
+    assert(engine.sql(s"DELETE FROM dh.$t WHERE id = 1")
+      .head().getLong(0) == 1)
+    engine.sql(s"ALTER TABLE dh.$t ADD COLUMN c INT")
+    assert(engine.table(t).columns.contains("c"))
+    engine.sql(s"DROP TABLE dh.$t")
+    assert(!engine.tableExists(t))
+  }
+
   test("SELECT statements fall through to Spark SQL") {
     assert(engine.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
