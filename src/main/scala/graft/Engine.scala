@@ -279,8 +279,13 @@ class Engine private[graft] (val spark: SparkSession) {
       .toDF("query", "latencies")
   }
 
-  /** ≈ duckherder_clear_query_recorder_stats(). */
-  def clearStats(): Unit = { stats.clear(); history.clear() }
+  /** ≈ duckherder_clear_query_recorder_stats(). Drains in-flight
+    * listener events first so a query finishing *before* the clear can't
+    * resurface *after* it. */
+  def clearStats(): Unit = {
+    org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
+    stats.clear(); history.clear()
+  }
 
   /** Classify a query WITHOUT executing it: execution mode + merge
     * strategy (the reference's QueryPlanAnalyzer surface, exposed
@@ -331,7 +336,7 @@ class Engine private[graft] (val spark: SparkSession) {
         s"Catalog Error: Table with name \"$name\" already exists!")
     // columns typed with a registered ENUM map to STRING (SURVEY §1.2) and
     // are recorded so enum_ord / introspection can recover the type
-    var ddl = schemaDdl
+    var ddl = Engine.normalizeType(schemaDdl)
     enums.keys.foreach { en =>
       val p = s"(?i)(\\b\\w+\\s+)${java.util.regex.Pattern.quote(en)}\\b".r
       p.findAllMatchIn(ddl).foreach { m =>
@@ -372,7 +377,8 @@ class Engine private[graft] (val spark: SparkSession) {
       throw new IllegalArgumentException(
         s"Catalog Error: Column with name $col already exists!")
     }
-    val v = default.map(lit).getOrElse(lit(null)).cast(typeDdl)
+    val v = default.map(lit).getOrElse(lit(null))
+      .cast(Engine.normalizeType(typeDdl))
     put(name, e.df.withColumn(col, v))
   }
 
@@ -417,7 +423,8 @@ class Engine private[graft] (val spark: SparkSession) {
     if (!e.df.columns.contains(colName))
       throw new IllegalArgumentException(
         s"Catalog Error: Column with name $colName does not exist!")
-    put(name, e.df.withColumn(colName, e.df.col(colName).cast(typeDdl)))
+    put(name, e.df.withColumn(colName,
+      e.df.col(colName).cast(Engine.normalizeType(typeDdl))))
   }
 
   /** ALTER COLUMN c SET DEFAULT expr (catalog_utils.cpp:63-68): the
@@ -649,6 +656,12 @@ object Engine {
   /** (table, column) → enum type name, mirrored globally for the
     * [[graft.plans.EnumOrderRewrite]] optimizer rule. */
   private[graft] val enumColumns = TrieMap.empty[(String, String), String]
+
+  /** DuckDB type spellings Spark's DDL parser rejects: parameterless
+    * VARCHAR/TEXT are unbounded strings. */
+  private[graft] def normalizeType(ddl: String): String =
+    ddl.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+      .replaceAll("(?i)\\bTEXT\\b(?!\\s*\\()", "STRING")
 
   /** All enum types owning a column with this name (case-insensitive). */
   private[graft] def enumColumnTypes(colName: String): Set[String] =

@@ -44,9 +44,9 @@ private[graft] object SqlRouter {
   private val AlterRenameTable =
     """(?is)\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*""".r
   private val CreateIndex =
-    """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+ON\s+([\w.]+)\s*\(([\w\s,]+)\)\s*""".r
+    """(?is)\s*CREATE\s+INDEX\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+ON\s+([\w.]+)\s*\(([\w\s,]+)\)\s*""".r
   private val DropIndex =
-    """(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
+    """(?is)\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?([\w.]+)\s*""".r
   private val InsertSql =
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(VALUES\s*.+|SELECT\s+.+|FROM\s+.+)""".r
   private val InsertColsSql =
@@ -116,11 +116,11 @@ private[graft] object SqlRouter {
     case AlterRenameTable(from, to) =>
       e.renameTable(unq(from), unq(to)); Some(emptyOk(e))
     case CreateIndex(ifNot, idx, table, cols) =>
-      e.createIndex(idx, unq(table), cols.split(",").map(_.trim).toSeq,
+      e.createIndex(unq(idx), unq(table), cols.split(",").map(_.trim).toSeq,
         ifNotExists = ifNot != null)
       Some(emptyOk(e))
     case DropIndex(ifEx, idx) =>
-      e.dropIndex(idx, ifExists = ifEx != null); Some(emptyOk(e))
+      e.dropIndex(unq(idx), ifExists = ifEx != null); Some(emptyOk(e))
     case InsertColsSql(name0, cols, source) =>
       val name = unq(name0)
       // explicit column list (alter_table.test:99-101): remaining columns
