@@ -19,7 +19,9 @@ import scala.jdk.CollectionConverters._
   */
 class RefTestSpec extends SparkSpec {
 
-  private lazy val engine: Engine = Engine(spark)
+  // each reference file starts its own server; mirror with a fresh
+  // engine (own registry) per file
+  private var engine: Engine = _
 
   // runner-level mirror of the reference's remote-table registration
   // semantics (double registration errors, unregister of unknown errors)
@@ -118,6 +120,13 @@ class RefTestSpec extends SparkSpec {
         q = q.replace("duckherder_get_query_history()",
           "duckherder_history_view")
       }
+      if (q.contains("duckdb_tables()")) {
+        import org.apache.spark.sql.functions.{col, lit}
+        engine.tables.select(lit("dh").as("database_name"),
+          col("table_name"))
+          .createOrReplaceTempView("duckdb_tables_view")
+        q = q.replace("duckdb_tables()", "duckdb_tables_view")
+      }
       if (q.contains("duckdb_indexes()")) {
         import org.apache.spark.sql.functions.{col, lit}
         engine.indexes.select(lit("dh").as("database_name"),
@@ -141,6 +150,7 @@ class RefTestSpec extends SparkSpec {
   }
 
   private def runFile(name: String): Unit = {
+    engine = Engine(spark)
     registered.clear()
     val blocks = parse(s"/root/reference/test/sql/$name.test")
     assert(blocks.nonEmpty, s"$name parsed to zero blocks")
@@ -182,7 +192,7 @@ class RefTestSpec extends SparkSpec {
     "small_table_optimization", "no_worker_execution",
     "group_by_distributed", "parallel_aggregation", "local_execution",
     "range_partitioning", "row_group_partitioning", "registration",
-    "query_stats").foreach { f =>
+    "query_stats", "extension").foreach { f =>
     test(s"reference $f.test runs verbatim")(runFile(f))
   }
 }
