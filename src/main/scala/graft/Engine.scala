@@ -491,7 +491,13 @@ class Engine private[graft] (val spark: SparkSession) {
     * data stays distributed (unionByName of DataFrames). */
   def insertInto(name: String, df: DataFrame): Unit = {
     val e = registry.getOrElse(name, missing(name))
-    val aligned = df.toDF(e.df.columns.toIndexedSeq: _*)
+    val aligned0 = df.toDF(e.df.columns.toIndexedSeq: _*)
+    // implicit insert coercion (DuckDB casts VALUES to the column type:
+    // '2023-01-01' into DATE[], [] into a typed empty list, …)
+    val aligned = e.df.schema.fields.foldLeft(aligned0) { (acc, f) =>
+      if (acc.schema(f.name).dataType == f.dataType) acc
+      else acc.withColumn(f.name, acc.col(f.name).cast(f.dataType))
+    }
     // NOT NULL enforcement probes only the incoming delta (bounded by the
     // insert, early-terminating) so a rejected insert leaves the table
     // untouched — atomic like the reference's per-row constraint check
@@ -658,10 +664,11 @@ object Engine {
   private[graft] val enumColumns = TrieMap.empty[(String, String), String]
 
   /** DuckDB type spellings Spark's DDL parser rejects: parameterless
-    * VARCHAR/TEXT are unbounded strings. */
+    * VARCHAR/TEXT are unbounded strings, `T[]` is ARRAY<T>. */
   private[graft] def normalizeType(ddl: String): String =
     ddl.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
       .replaceAll("(?i)\\bTEXT\\b(?!\\s*\\()", "STRING")
+      .replaceAll("(\\w+)\\s*\\[\\]", "ARRAY<$1>")
 
   /** All enum types owning a column with this name (case-insensitive). */
   private[graft] def enumColumnTypes(colName: String): Set[String] =

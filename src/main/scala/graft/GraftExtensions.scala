@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ElementAt, Expression, ExpressionInfo, Size}
+import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ElementAt, Explode, Expression, ExpressionInfo, Size}
 
 import graft.functions.{CosineSimilarity, RollingHashFingerprint, ShingleArray, ShingleHashArray}
 
@@ -57,6 +57,7 @@ object GraftExtensions {
       case Seq(c, n) => ShingleHashArray(c, intLit(n))
     },
     "len" -> (e => Size(e.head)),
+    "unnest" -> (e => Explode(e.head)),
     "list_contains" -> (e => ArrayContains(e(0), e(1))),
     "list_extract" -> (e => ElementAt(e(0), e(1))))
 }

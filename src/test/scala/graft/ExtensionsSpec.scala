@@ -11,7 +11,8 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
       "cosine_similarity", "shingle_array", "shingle_hash_array",
-      "rolling_fingerprint", "len", "list_contains", "list_extract"))
+      "rolling_fingerprint", "len", "unnest", "list_contains",
+      "list_extract"))
   }
 
   test("shingle_array + rolling_fingerprint callable from SQL") {

@@ -104,10 +104,14 @@ class RefTestSpec extends SparkSpec {
       None
     } else {
       // the engine IS the reference's attached `dh` database (the router
-      // strips the qualifier for DDL/DML; SELECTs strip here), and
-      // parameterless VARCHAR casts map to STRING
+      // strips the qualifier for DDL/DML; SELECTs strip here);
+      // parameterless VARCHAR casts map to STRING; DuckDB's 1-based
+      // NULL-on-out-of-bounds subscript maps to try_element_at and its
+      // bracket list literals to array(...)
       var q = sql.replaceAll("\\bdh\\.", "")
         .replaceAll("(?i)::VARCHAR\\b", "::STRING")
+        .replaceAll("(\\w+)\\[(\\d+)\\]", "try_element_at($1, $2)")
+        .replaceAll("(?<![\\w\\]])\\[([^\\[\\]]*)\\]", "array($1)")
       if (q.contains("duckherder_get_query_execution_stats()")) {
         engine.executionStats
           .createOrReplaceTempView("duckherder_stats_view")
@@ -142,10 +146,22 @@ class RefTestSpec extends SparkSpec {
     }
   }
 
+  private val tsFmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+
   private def fmt(v: Any): String = v match {
     case null => "NULL"
     case b: Boolean => if (b) "true" else "false"
     case d: java.math.BigDecimal => d.toPlainString
+    case t: java.sql.Timestamp => tsFmt.format(t)
+    case s: scala.collection.Seq[_] => // DuckDB list rendering
+      s.map { el =>
+        val f = fmt(el)
+        // DuckDB quotes list elements containing spaces/commas
+        if (el != null && el.isInstanceOf[String] ||
+          el.isInstanceOf[java.sql.Timestamp]) {
+          if (f.exists(c => c == ' ' || c == ',')) s"'$f'" else f
+        } else f
+      }.mkString("[", ", ", "]")
     case other => other.toString
   }
 
@@ -192,7 +208,7 @@ class RefTestSpec extends SparkSpec {
     "small_table_optimization", "no_worker_execution",
     "group_by_distributed", "parallel_aggregation", "local_execution",
     "range_partitioning", "row_group_partitioning", "registration",
-    "query_stats", "extension").foreach { f =>
+    "query_stats", "extension", "list_type_support").foreach { f =>
     test(s"reference $f.test runs verbatim")(runFile(f))
   }
 }
