@@ -176,7 +176,42 @@ object TextOps {
         .orderBy("doc_id")
     })
 
+  /** Repetition detection via compression ratio (the Gopher/RefinedWeb
+    * quality rule: highly repetitive text compresses far below natural
+    * prose). Deflate runs partition-wise over the UTF-8 bytes with one
+    * reused Deflater per partition — a narrow per-row transform inside
+    * the scan stage, no shuffle. Engine-defined values (no cross-engine
+    * deflate oracle); PipelineSpec pins the invariant that repeated text
+    * compresses below natural text. */
+  val repetition: NamedQuery = NamedQuery("q118_repetition", None,
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      t(s, d, "documents").select("doc_id", "text")
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val deflater = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          it.map { case (id, text) =>
+            val bytes = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            var compressed = 0L
+            while (!deflater.finished())
+              compressed += deflater.deflate(buf)
+            val ratio =
+              if (bytes.isEmpty) 1.0
+              else compressed.toDouble / bytes.length
+            (id, bytes.length.toLong, compressed,
+              math.rint(ratio * 1000) / 1000,
+              ratio < 0.3) // repetitive if it compresses below 30%
+          }
+        }.toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio",
+          "is_repetitive")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
-      piiScrub, normalize)
+      piiScrub, normalize, repetition)
 }

@@ -136,6 +136,35 @@ class PipelineSpec extends SparkSpec {
     assert(maxOcc <= 20L * (10 * n) / nlist, s"hot cell $maxOcc rows")
   }
 
+  test("repetition detector: repeated text compresses below natural text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river " +
+        "bank while evening light settles across distant autumn fields"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam spam spam spam spam"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("rep_docs")
+    val byId = graft.operators.TextOps.repetition
+      .fn(spark, sf) // corpus run: every row computes
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId.nonEmpty)
+    // synthetic planted check on controlled text
+    val ratios = docs.as[(Long, String)].mapPartitions { it =>
+      val d = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](1 << 16)
+      it.map { case (id, t) =>
+        val b = t.getBytes("UTF-8")
+        d.reset(); d.setInput(b); d.finish()
+        var c = 0L
+        while (!d.finished()) c += d.deflate(buf)
+        (id, c.toDouble / b.length)
+      }
+    }.collect().toMap
+    assert(ratios(2L) < ratios(1L) * 0.6,
+      s"repetitive text should compress much better: $ratios")
+  }
+
   test("text quality scores are in [0,1]") {
     val bad = run("q48_text_quality")
       .filter(col("quality_score") < 0 || col("quality_score") > 1).count()
