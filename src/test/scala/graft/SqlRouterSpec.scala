@@ -174,6 +174,23 @@ class SqlRouterSpec extends SparkSpec {
     assert(!engine.tableExists(t))
   }
 
+  test("VALUES payloads containing keywords do not misroute") {
+    val t = s"kw_vals_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, note STRING)")
+    engine.sql(s"INSERT INTO $t VALUES " +
+      "(1, 'use SELECT wisely'), (2, 'DROP TABLE is dangerous')")
+    val rows = engine.table(t).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "use SELECT wisely")
+    assert(rows(1).getString(1) == "DROP TABLE is dangerous")
+    // DELETE predicate containing a keyword-looking literal
+    assert(engine.sql(
+      s"DELETE FROM $t WHERE note = 'use SELECT wisely'")
+      .head().getLong(0) == 1)
+    assert(engine.table(t).count() == 1)
+    engine.dropTable(t)
+  }
+
   test("SELECT statements fall through to Spark SQL") {
     assert(engine.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
