@@ -114,9 +114,12 @@ object DedupOps {
       // verify candidates with exact Jaccard — restrict the inverted
       // index to candidate docs BEFORE the pair join, so verification
       // cost scales with |candidates|, not with the full corpus
+      // on a duplicate-heavy corpus the candidate set is NOT metadata-
+      // sized — no broadcast hint; the semi-join shuffles on doc_id and
+      // AQE still broadcasts it locally when it happens to be small
       val candDocs = cand.select(col("id_a").as("doc_id"))
         .union(cand.select(col("id_b").as("doc_id"))).distinct()
-      val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
         .select("doc_id", "s")
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = shCand.toDF("id_a", "s").join(shCand.toDF("id_b", "s"), Seq("s"))

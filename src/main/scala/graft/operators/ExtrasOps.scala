@@ -67,16 +67,18 @@ object ExtrasOps {
     * same lambdas in both engines (DuckDB list_* ↔ Spark HOFs). */
   val lambdaFuncs: NamedQuery = NamedQuery("q114_lambda_funcs",
     Some("""SELECT id,
-           |list_transform(xs, x -> x * 2) AS doubled,
-           |list_filter(xs, x -> x % 2 = 0) AS evens,
+           |coalesce(array_to_string(list_transform(xs, x -> x * 2), ','), '')
+           |  AS doubled,
+           |coalesce(array_to_string(list_filter(xs, x -> x % 2 = 0), ','), '')
+           |  AS evens,
            |coalesce(CAST(list_sum(list_transform(xs, x -> x * x))
            |  AS BIGINT), 0) AS sum_sq
            |FROM (VALUES (1, [1, 2, 3]), (2, [4, 5]), (3, []::INTEGER[]))
            |  v(id, xs) ORDER BY id""".stripMargin),
     (s, _) => s.sql(
       """SELECT id,
-        |transform(xs, x -> x * 2) AS doubled,
-        |filter(xs, x -> x % 2 = 0) AS evens,
+        |array_join(transform(xs, x -> x * 2), ',') AS doubled,
+        |array_join(filter(xs, x -> x % 2 = 0), ',') AS evens,
         |coalesce(CAST(aggregate(transform(xs, x -> x * x), 0L,
         |  (acc, x) -> acc + x) AS BIGINT), 0) AS sum_sq
         |FROM VALUES (1, array(1, 2, 3)), (2, array(4, 5)),

@@ -65,17 +65,20 @@ object JoinOps {
       // Push the region predicate transitively: ASIA → its 5 nations →
       // only ASIA suppliers and customers enter the fact joins. Catalyst
       // cannot derive this across join keys (no dynamic filters on flat
-      // files), so it's applied structurally: the supplier broadcast
-      // prunes lineitem ~5×, the pruned customer set shrinks enough to
-      // broadcast, and the orders equi-join stays the single shuffle.
+      // files), so it's applied structurally. nation/region are bounded
+      // (25/5 rows) and broadcast unconditionally; the pruned supplier/
+      // customer sets scale with the facts, so their hints are size-gated
+      // — at 100 TB they vanish and AQE falls back to shuffle joins.
       val r = t(s, d, "region").filter(col("r_name") === "ASIA")
       val asiaN = t(s, d, "nation")
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .select("n_nationkey", "n_name")
-      val suA = t(s, d, "supplier")
+      val suBase = t(s, d, "supplier")
+      val suA = suBase
         .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey", "s_nationkey")
-      val cA = t(s, d, "customer")
+      val cBase = t(s, d, "customer")
+      val cA = cBase
         .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "c_nationkey")
       val o = t(s, d, "orders")
@@ -84,9 +87,15 @@ object JoinOps {
         .select("o_orderkey", "o_custkey")
       val li = t(s, d, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      li.join(broadcast(suA), col("l_suppkey") === col("s_suppkey"))
+      // gate each hint on the BASE table footprint (the nation semi-join
+      // only shrinks it; the derived plan's own join-stat estimate is a
+      // useless product of child sizes)
+      val bcast = 100L << 20
+      li.join(NamedQuery.maybeBroadcast(suA, suBase, bcast),
+          col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cA), col("o_custkey") === col("c_custkey")
+        .join(NamedQuery.maybeBroadcast(cA, cBase, bcast),
+          col("o_custkey") === col("c_custkey")
           && col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")

@@ -22,6 +22,26 @@ object NamedQuery {
       .queryExecution.optimizedPlan.stats.sizeInBytes
     (sz / bytesPerRow).toLong.max(1L)
   }
+
+  /** Broadcast hint gated on Catalyst's size estimate. A hard `broadcast()`
+    * on an input that scales with the fact table (customer, supplier) OOMs
+    * or hits the 8 GB broadcast limit at 100 TB — and the hint FORCES it,
+    * where AQE would have degraded gracefully to a shuffle join. Under the
+    * threshold the hint applies; over it the hint silently disappears and
+    * AQE picks the strategy at runtime. */
+  def maybeBroadcast(df: DataFrame, maxBytes: Long = 100L << 20): DataFrame =
+    maybeBroadcast(df, df, maxBytes)
+
+  /** Variant for a pruned/derived side whose own Catalyst estimate is
+    * unusable (join stats multiply child sizes): gate on `upperBound` —
+    * typically the base table scan, whose footprint bounds the derived
+    * side's true size from above. */
+  def maybeBroadcast(df: DataFrame, upperBound: DataFrame,
+      maxBytes: Long): DataFrame = {
+    val sz = org.apache.spark.sql.classic.ClassicConversions.castToImpl(upperBound)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sz <= maxBytes) broadcast(df) else df
+  }
 }
 
 /** The reference's delegated SQL surface (SURVEY.md §2.2), re-expressed as
@@ -165,12 +185,12 @@ object Relational {
         // afterwards so count(DISTINCT) collapses to count(*) — no expand
         // pass. The pre-agg output is already hash-partitioned on the
         // join key, so the orders join reuses that partitioning.
-        // customer is the small dimension — broadcast.
+        // customer scales with the facts — broadcast only while small.
         val perOrder = li.groupBy("l_orderkey")
           .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("rev"))
         perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(NamedQuery.maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
             round(sum(col("rev")), 2).as("revenue"),

@@ -311,13 +311,13 @@ object TypeOps {
     Some("""SELECT (struct_pack(a := 7, b := 'x')).a AS sa,
            |(struct_pack(a := 7, b := 'x')).b AS sb,
            |map(['k1','k2'], [10, 20])['k1'][1] AS mv,
-           |list_sort(map_keys(map(['k2','k1'], [1, 2]))) AS mk,
+           |array_to_string(list_sort(map_keys(map(['k2','k1'], [1, 2]))), ',') AS mk,
            |CAST(cardinality(map(['k1','k2'], [10, 20])) AS BIGINT) AS mlen""".stripMargin),
     (s, _) => s.sql(
       """SELECT named_struct('a', 7, 'b', 'x').a AS sa,
         |named_struct('a', 7, 'b', 'x').b AS sb,
         |map('k1', 10, 'k2', 20)['k1'] AS mv,
-        |sort_array(map_keys(map('k2', 1, 'k1', 2))) AS mk,
+        |array_join(sort_array(map_keys(map('k2', 1, 'k1', 2))), ',') AS mk,
         |CAST(size(map('k1', 10, 'k2', 20)) AS BIGINT) AS mlen""".stripMargin))
 
   def defs: Seq[NamedQuery] =

@@ -104,6 +104,41 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("maybeBroadcast drops the hint above the size threshold") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import graft.operators.NamedQuery
+    def hints(df: DataFrame) =
+      castToImpl(df).queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    val small = spark.range(10).toDF("id")
+    assert(hints(NamedQuery.maybeBroadcast(small)).nonEmpty,
+      "small input must keep its broadcast hint")
+    // range stats are 8 bytes/row → 200M rows ≈ 1.6 GB estimated (never executed)
+    val big = spark.range(200000000L).toDF("id")
+    assert(hints(NamedQuery.maybeBroadcast(big)).isEmpty,
+      "oversized input must NOT be force-broadcast")
+  }
+
+  test("no ResolvedHint wraps an input estimated above the broadcast threshold") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, ResolvedHint}
+    // a hinted side built by pruning/joining base tables is bounded above
+    // by its leaf scan footprints — if those exceed the threshold, the
+    // hint would force a broadcast that cannot be guaranteed to fit
+    val threshold = BigInt(200L << 20)
+    for (name <- Seq("q12_join_agg", "q69_tpch_q5", "q42_dedup_minhash_lsh",
+        "q68_tpch_q3", "q44_embedding_neardup")) {
+      val qe = castToImpl(SparkEntry.queries(name)(spark, sf)).queryExecution
+      qe.analyzed.foreach {
+        case h: ResolvedHint =>
+          val leafBytes = h.child.collect { case l: LeafNode =>
+            l.stats.sizeInBytes }.sum
+          assert(leafBytes <= threshold,
+            s"$name force-broadcasts an input whose leaf scans total " +
+              s"$leafBytes bytes")
+        case _ =>
+      }
+    }
+  }
+
   test("q1_agg runs with exactly one shuffle") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect()
