@@ -1,0 +1,88 @@
+package graft
+
+/** DuckDB literal spellings Spark's parser rejects, rewritten at the SQL
+  * text level before parsing (ref surface: type_support.test:42,213,242,
+  * 305-318). Pure string→string — no catalog access, applied by
+  * [[Engine.sql]] and the router's INSERT payload path.
+  */
+private[graft] object DuckSyntax {
+
+  private val HexBlob =
+    "'((?:\\\\x[0-9A-Fa-f]{2})+)'\\s*::\\s*(?i:BLOB)".r
+  private val HugeLiteral =
+    "(?<![\\w.'])(-?\\d{39,})(?![\\w.'])".r
+
+  /** `'\xDE\xAD'::BLOB` → `X'DEAD'`; text `::BLOB` → `::BINARY`;
+    * `::UUID` → `::STRING`; integer literals beyond DECIMAL(38) (HUGEINT /
+    * UHUGEINT extremes) → quoted strings (they cast onto the STRING carry
+    * columns; unquoted they fail Spark's parser outright). */
+  def rewriteCasts(q: String): String = {
+    var s = HexBlob.replaceAllIn(q,
+      m => "X'" + m.group(1).replace("\\x", "") + "'")
+    s = s.replaceAll("(?i)::\\s*BLOB\\b", "::BINARY")
+    s = s.replaceAll("(?i)::\\s*UUID\\b", "::STRING")
+    s = HugeLiteral.replaceAllIn(s, m => "'" + m.group(1) + "'")
+    s
+  }
+
+  /** True when the payload carries a (now-quoted) beyond-DECIMAL(38)
+    * integer literal. */
+  def hasHugeLiteral(q: String): Boolean =
+    "'-?\\d{39,}'".r.findFirstIn(q).isDefined
+
+  private val BareNumeric = "(?<![\\w.'])(-?\\d+(?:\\.\\d+)?)(?![\\w.'])".r
+
+  /** Quote every bare numeric literal — Spark's inline tables refuse a
+    * column mixing strings and numbers, so once one value in a VALUES
+    * payload must be a string (a HUGEINT extreme), every row's value
+    * becomes text and [[Engine.insertInto]]'s per-column cast restores
+    * the target types, exactly DuckDB's VALUES-coercion behavior. */
+  def quoteNumerics(values: String): String =
+    BareNumeric.replaceAllIn(values, m => "'" + m.group(1) + "'")
+
+  // quoted multi-unit interval literal — NOT the ANSI `INTERVAL '1' DAY` /
+  // `INTERVAL '1 2:00:00' DAY TO SECOND` forms, which Spark parses natively
+  private val IntervalLit =
+    ("(?i)\\bINTERVAL\\s+'([^']+)'(?!\\s*(?:YEAR|MONTH|WEEK|DAY|HOUR|" +
+      "MINUTE|SECOND|MILLISECOND|MICROSECOND)S?\\b)").r
+  private val UnitToken =
+    "(?i)(\\d+)\\s*(years?|months?|weeks?|days?|hours?|minutes?|seconds?|milliseconds?|microseconds?)".r
+  private val TimeToken = "(\\d+):(\\d{2}):(\\d{2})(?:\\.(\\d+))?".r
+
+  /** DuckDB INTERVAL literal → the engine's comparable interval struct
+    * (months, days, micros + the 30-day-normalized comparison key that
+    * leads the struct — [[Engine.IntervalStructDdl]]). */
+  def rewriteIntervals(q: String): String =
+    IntervalLit.replaceAllIn(q, m => {
+      val (months, days, micros) = parseInterval(m.group(1))
+      val icmp = months * 2592000000000L + days * 86400000000L + micros
+      s"named_struct('icmp', ${icmp}L, 'months', $months, 'days', $days, " +
+        s"'micros', ${micros}L)"
+    })
+
+  private[graft] def parseInterval(text: String): (Long, Long, Long) = {
+    var months = 0L; var days = 0L; var micros = 0L
+    UnitToken.findAllMatchIn(text).foreach { m =>
+      val n = m.group(1).toLong
+      m.group(2).toLowerCase.stripSuffix("s") match {
+        case "year" => months += n * 12
+        case "month" => months += n
+        case "week" => days += n * 7
+        case "day" => days += n
+        case "hour" => micros += n * 3600000000L
+        case "minute" => micros += n * 60000000L
+        case "second" => micros += n * 1000000L
+        case "millisecond" => micros += n * 1000L
+        case "microsecond" => micros += n
+      }
+    }
+    // bare HH:MM:SS[.ffffff] tail ('1 day 00:00:00.0015')
+    TimeToken.findAllMatchIn(text).foreach { m =>
+      micros += m.group(1).toLong * 3600000000L +
+        m.group(2).toLong * 60000000L + m.group(3).toLong * 1000000L +
+        Option(m.group(4)).map(f => f.padTo(6, '0').take(6).toLong)
+          .getOrElse(0L)
+    }
+    (months, days, micros)
+  }
+}

@@ -63,7 +63,10 @@ class Engine private[graft] (val spark: SparkSession) {
     }
   }
   private val registry = TrieMap.empty[String, TableEntry]
-  private val enums = Engine.enums
+  // ENUM type catalog — per-engine, like one DuckDB database instance's
+  // type catalog (a second Engine on the same JVM gets a fresh catalog;
+  // the session-level optimizer rule resolves through Engine.forSession)
+  private[graft] val enums = TrieMap.empty[String, Seq[String]]
   private val indexRegistry = TrieMap.empty[String, (String, Seq[String])]
   // column-level constraint metadata (ref ALTER matrix,
   // catalog_utils.cpp:59-78): (table, column) → default SQL expression /
@@ -72,22 +75,34 @@ class Engine private[graft] (val spark: SparkSession) {
   private val defaults = TrieMap.empty[(String, String), String]
   private val notNullCols = TrieMap.empty[(String, String), Unit]
   // columns declared with a registered ENUM type (CREATE TABLE t (c mood))
-  // — session-global like the type catalog, so the EnumOrderRewrite
-  // optimizer rule can resolve attribute names to declaration orders
-  private val enumCols = Engine.enumColumns
+  // — per-engine; the EnumOrderRewrite rule resolves attributes to these
+  // through the table they bind to in the analyzed plan
+  private[graft] val enumCols = TrieMap.empty[(String, String), String]
+
+  /** (table, column) → original DuckDB type, for types Spark has no
+    * native equivalent of and that are carried degraded (SURVEY §1.2):
+    * TIME / TIMESTAMP_NS (canonical text), HUGEINT / UHUGEINT (canonical
+    * decimal text + order-key rewrite), INTERVAL (comparable struct). */
+  private[graft] val typeOrigins = TrieMap.empty[(String, String), String]
 
 
   // declaration-order rank of enum values, callable from SQL:
   // enum_ord('mood', col) — the piece that makes ORDER BY / MIN / MAX on
   // enum columns reproduce DuckDB's declaration-order semantics in pure
   // SQL (enum_type_support.test:62-81)
-  spark.udf.register("enum_ord", (tpe: String, v: String) => {
-    if (v == null) null
-    else {
-      val i = Engine.enums.getOrElse(tpe, Seq.empty).indexOf(v)
-      if (i < 0) null else Integer.valueOf(i + 1)
-    }
-  }: Integer)
+  locally {
+    // capture ONLY the catalog map (TrieMap serializes its current
+    // content per job) — referencing the field directly would drag the
+    // whole non-serializable Engine into the executor closure
+    val enumCatalog = enums
+    spark.udf.register("enum_ord", (tpe: String, v: String) => {
+      if (v == null) null
+      else {
+        val i = enumCatalog.getOrElse(tpe, Seq.empty).indexOf(v)
+        if (i < 0) null else Integer.valueOf(i + 1)
+      }
+    }: Integer)
+  }
 
   /** ≈ PRAGMA duckherder_register_remote_table(local, remote): register a
     * file-backed table. Row count (parquet footer metadata only — no
@@ -241,16 +256,22 @@ class Engine private[graft] (val spark: SparkSession) {
         history.add((q, durNs / 1e6))
         df
       case None =>
-        val df0 = spark.sql(q)
+        // DuckDB literal spellings Spark's parser rejects: hex-escape BLOB
+        // casts, ::UUID, >38-digit integer literals; multi-unit INTERVAL
+        // literals only when the engine actually owns interval columns
+        var q2 = DuckSyntax.rewriteCasts(q)
+        if (typeOrigins.values.exists(_ == "INTERVAL"))
+          q2 = DuckSyntax.rewriteIntervals(q2)
+        val df0 = spark.sql(q2)
         // enum declaration-order semantics (ORDER BY / MIN / MAX /
         // comparisons) apply on the ANALYZED plan — rewriting after the
         // main optimizer would miss filters it already collapsed into
         // literal relations
         val df =
-          if (Engine.enumColumns.isEmpty) df0
+          if (enumCols.isEmpty && typeOrigins.isEmpty) df0
           else org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-            graft.plans.EnumOrderRewrite(
-              castToImpl(df0).queryExecution.analyzed))
+            graft.plans.EnumOrderRewrite.rewrite(
+              castToImpl(df0).queryExecution.analyzed, this))
         val qe = castToImpl(df).queryExecution
         pending.put(qe.analyzed.semanticHash().toLong, (q, qe))
         df
@@ -334,9 +355,13 @@ class Engine private[graft] (val spark: SparkSession) {
     if (registry.contains(name))
       throw new IllegalArgumentException(
         s"Catalog Error: Table with name \"$name\" already exists!")
+    // normalize only the TYPE position of each `name type` pair — a column
+    // merely NAMED like a type keyword (docs(text VARCHAR)) keeps its name;
+    // degraded-carry types record their origin for rewrite/canonicalization
+    var (ddl, origins) = Engine.normalizeColumns(schemaDdl)
+    origins.foreach { case (c, o) => typeOrigins.put((name, c), o) }
     // columns typed with a registered ENUM map to STRING (SURVEY §1.2) and
     // are recorded so enum_ord / introspection can recover the type
-    var ddl = Engine.normalizeType(schemaDdl)
     enums.keys.foreach { en =>
       val p = s"(?i)(\\b\\w+\\s+)${java.util.regex.Pattern.quote(en)}\\b".r
       p.findAllMatchIn(ddl).foreach { m =>
@@ -364,6 +389,7 @@ class Engine private[graft] (val spark: SparkSession) {
     defaults.filterInPlace { case ((t, _), _) => t != name }
     notNullCols.filterInPlace { case ((t, _), _) => t != name }
     enumCols.filterInPlace { case ((t, _), _) => t != name }
+    typeOrigins.filterInPlace { case ((t, _), _) => t != name }
     unregisterTable(name)
   }
 
@@ -377,6 +403,7 @@ class Engine private[graft] (val spark: SparkSession) {
       throw new IllegalArgumentException(
         s"Catalog Error: Column with name $col already exists!")
     }
+    Engine.detectOrigin(typeDdl).foreach(o => typeOrigins.put((name, col), o))
     val v = default.map(lit).getOrElse(lit(null))
       .cast(Engine.normalizeType(typeDdl))
     put(name, e.df.withColumn(col, v))
@@ -411,7 +438,7 @@ class Engine private[graft] (val spark: SparkSession) {
       m.keys.filter(_._1 == from).foreach { k =>
         m.remove(k).foreach(v => m.put((to, k._2), v))
       }
-    rekey(defaults); rekey(notNullCols); rekey(enumCols)
+    rekey(defaults); rekey(notNullCols); rekey(enumCols); rekey(typeOrigins)
     unregisterTable(from)
     put(to, e.df)
   }
@@ -423,6 +450,10 @@ class Engine private[graft] (val spark: SparkSession) {
     if (!e.df.columns.contains(colName))
       throw new IllegalArgumentException(
         s"Catalog Error: Column with name $colName does not exist!")
+    Engine.detectOrigin(typeDdl) match {
+      case Some(o) => typeOrigins.put((name, colName), o)
+      case None => typeOrigins.remove((name, colName))
+    }
     put(name, e.df.withColumn(colName,
       e.df.col(colName).cast(Engine.normalizeType(typeDdl))))
   }
@@ -481,7 +512,7 @@ class Engine private[graft] (val spark: SparkSession) {
       m.remove((table, from)).foreach { v =>
         to.foreach(t => m.put((table, t), v))
       }
-    rekey(defaults); rekey(notNullCols); rekey(enumCols)
+    rekey(defaults); rekey(notNullCols); rekey(enumCols); rekey(typeOrigins)
   }
 
   // ---- DML -------------------------------------------------------------
@@ -492,11 +523,38 @@ class Engine private[graft] (val spark: SparkSession) {
   def insertInto(name: String, df: DataFrame): Unit = {
     val e = registry.getOrElse(name, missing(name))
     val aligned0 = df.toDF(e.df.columns.toIndexedSeq: _*)
+    // degraded-carry columns first: ANSI interval input → comparable
+    // struct (cast cannot), before the generic cast pass below
+    val pre = e.df.schema.fields.foldLeft(aligned0) { (acc, f) =>
+      (typeOrigins.get((name, f.name)), acc.schema(f.name).dataType) match {
+        case (Some("INTERVAL"),
+            _: org.apache.spark.sql.types.YearMonthIntervalType) =>
+          acc.withColumn(f.name,
+            Engine.intervalToStruct(acc.col(f.name), yearMonth = true))
+        case (Some("INTERVAL"),
+            _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+          acc.withColumn(f.name,
+            Engine.intervalToStruct(acc.col(f.name), yearMonth = false))
+        case _ => acc
+      }
+    }
     // implicit insert coercion (DuckDB casts VALUES to the column type:
     // '2023-01-01' into DATE[], [] into a typed empty list, …)
-    val aligned = e.df.schema.fields.foldLeft(aligned0) { (acc, f) =>
+    val cast = e.df.schema.fields.foldLeft(pre) { (acc, f) =>
       if (acc.schema(f.name).dataType == f.dataType) acc
       else acc.withColumn(f.name, acc.col(f.name).cast(f.dataType))
+    }
+    // canonicalize degraded text carries so rendering and string ordering
+    // match DuckDB: temporal text drops trailing fraction zeros, hugeint
+    // text drops leading zeros
+    val aligned = e.df.schema.fields.foldLeft(cast) { (acc, f) =>
+      typeOrigins.get((name, f.name)) match {
+        case Some("TIME") | Some("TIMESTAMP_NS") =>
+          acc.withColumn(f.name, Engine.canonTemporalText(acc.col(f.name)))
+        case Some("HUGEINT") | Some("UHUGEINT") =>
+          acc.withColumn(f.name, Engine.canonIntegerText(acc.col(f.name)))
+        case _ => acc
+      }
     }
     // NOT NULL enforcement probes only the incoming delta (bounded by the
     // insert, early-terminating) so a rejected insert leaves the table
@@ -654,27 +712,108 @@ class Engine private[graft] (val spark: SparkSession) {
 }
 
 object Engine {
-  /** ENUM type catalog — session-global like DuckDB's (a type created by
-    * any engine handle is visible to all, and to the `enum_ord` SQL
-    * function regardless of which handle registered it). */
-  private[graft] val enums = TrieMap.empty[String, Seq[String]]
+  /** Latest Engine per SparkSession — lets the session-level
+    * [[graft.plans.EnumOrderRewrite]] extension rule find the catalogs of
+    * the engine driving that session (reference semantics: one server per
+    * session; a fresh Engine supersedes the previous one). */
+  private val bySession = TrieMap.empty[SparkSession, Engine]
+  private[graft] def forSession(s: SparkSession): Option[Engine] =
+    bySession.get(s)
 
-  /** (table, column) → enum type name, mirrored globally for the
-    * [[graft.plans.EnumOrderRewrite]] optimizer rule. */
-  private[graft] val enumColumns = TrieMap.empty[(String, String), String]
+  /** The struct carrying a DuckDB INTERVAL: `icmp` (the 30-day-month
+    * normalized total µs DuckDB compares by) leads so Spark's native
+    * struct ordering IS DuckDB's interval ordering. */
+  private[graft] val IntervalStructDdl =
+    "STRUCT<icmp: BIGINT, months: INT, days: INT, micros: BIGINT>"
 
-  /** DuckDB type spellings Spark's DDL parser rejects: parameterless
-    * VARCHAR/TEXT are unbounded strings, `T[]` is ARRAY<T>. */
-  private[graft] def normalizeType(ddl: String): String =
-    ddl.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
-      .replaceAll("(?i)\\bTEXT\\b(?!\\s*\\()", "STRING")
-      .replaceAll("(\\w+)\\s*\\[\\]", "ARRAY<$1>")
+  /** DuckDB type spellings Spark's DDL parser rejects, mapped per SURVEY
+    * §1.2: unsigned ints widen; parameterless VARCHAR/TEXT are unbounded
+    * strings; `T[]` is ARRAY<T>; TIME / TIMESTAMP_NS / HUGEINT / UHUGEINT
+    * carry as canonical text (beyond Spark's numeric/temporal range);
+    * INTERVAL carries as a comparable struct. */
+  private[graft] def normalizeType(ddl: String): String = {
+    var s = ddl
+    s = s.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+    s = s.replaceAll("(?i)\\bTEXT\\b(?!\\s*\\()", "STRING")
+    s = s.replaceAll("(?i)\\bUTINYINT\\b", "SMALLINT")
+    s = s.replaceAll("(?i)\\bUSMALLINT\\b", "INT")
+    s = s.replaceAll("(?i)\\bUINTEGER\\b", "BIGINT")
+    s = s.replaceAll("(?i)\\bUBIGINT\\b", "DECIMAL(20,0)")
+    s = s.replaceAll("(?i)\\bU?HUGEINT\\b", "STRING")
+    s = s.replaceAll("(?i)\\bTIMESTAMP_NS\\b", "STRING")
+    s = s.replaceAll("(?i)\\bTIMESTAMP_M?S\\b", "TIMESTAMP")
+    s = s.replaceAll("(?i)\\bTIME\\b", "STRING")
+    s = s.replaceAll("(?i)\\bUUID\\b", "STRING")
+    s = s.replaceAll("(?i)\\b(?:BLOB|BYTEA)\\b", "BINARY")
+    s = s.replaceAll("(?i)\\bINTERVAL\\b", IntervalStructDdl)
+    s = s.replaceAll("(\\w+(?:\\([\\d\\s,]*\\))?)\\s*\\[\\]", "ARRAY<$1>")
+    s
+  }
 
-  /** All enum types owning a column with this name (case-insensitive). */
-  private[graft] def enumColumnTypes(colName: String): Set[String] =
-    enumColumns.iterator.collect {
-      case ((_, c), en) if c.equalsIgnoreCase(colName) => en
-    }.toSet
+  /** Original DuckDB type when `normalizeType` degrades it (drives the
+    * order-rewrite and insert canonicalization). */
+  private[graft] def detectOrigin(typeDdl: String): Option[String] =
+    "(?i)\\b(TIMESTAMP_NS|UHUGEINT|HUGEINT|INTERVAL|TIME)\\b".r
+      .findFirstMatchIn(typeDdl).map(_.group(1).toUpperCase)
+
+  /** Normalize a CREATE TABLE column list by `name type` pairs — ONLY the
+    * type token position is rewritten, so a column merely named like a
+    * type keyword (`docs(text VARCHAR)`) keeps its name. Returns the
+    * normalized list plus (column → origin) for degraded carries. */
+  private[graft] def normalizeColumns(colList: String)
+      : (String, Seq[(String, String)]) = {
+    // split on top-level commas (nested (), <> stay intact)
+    val parts = Vector.newBuilder[String]
+    var depth = 0; var start = 0
+    colList.zipWithIndex.foreach { case (ch, i) =>
+      ch match {
+        case '(' | '<' => depth += 1
+        case ')' | '>' => depth -= 1
+        case ',' if depth == 0 =>
+          parts += colList.substring(start, i); start = i + 1
+        case _ =>
+      }
+    }
+    parts += colList.substring(start)
+    val origins = Seq.newBuilder[(String, String)]
+    val norm = parts.result().map(_.trim).filter(_.nonEmpty).map { p =>
+      val sp = p.indexWhere(_.isWhitespace)
+      if (sp < 0) p
+      else {
+        val colName = p.substring(0, sp)
+        val typ = p.substring(sp + 1).trim
+        detectOrigin(typ).foreach(o => origins += colName -> o)
+        colName + " " + normalizeType(typ)
+      }
+    }
+    (norm.mkString(", "), origins.result())
+  }
+
+  /** Trim trailing fraction zeros (then a dangling dot) — DuckDB's
+    * canonical text rendering for TIME / timestamp values. */
+  private[graft] def canonTemporalText(c: Column): Column =
+    regexp_replace(regexp_replace(c, "(\\.\\d*?)0+$", "$1"), "\\.$", "")
+
+  /** Strip leading zeros from an integer string (keeping sign and one
+    * digit) — canonical HUGEINT/UHUGEINT text. */
+  private[graft] def canonIntegerText(c: Column): Column =
+    regexp_replace(c, "^(-?)0+(?=\\d)", "$1")
+
+  /** ANSI interval column → the comparable interval struct. */
+  private[graft] def intervalToStruct(c: Column, yearMonth: Boolean): Column = {
+    val m = if (yearMonth)
+      (date_part(lit("YEAR"), c) * 12 + date_part(lit("MONTH"), c)).cast("int")
+    else lit(0)
+    val d = if (yearMonth) lit(0) else date_part(lit("DAY"), c).cast("int")
+    val us = if (yearMonth) lit(0L)
+    else (date_part(lit("HOUR"), c).cast("long") * 3600000000L
+      + date_part(lit("MINUTE"), c).cast("long") * 60000000L
+      + (date_part(lit("SECOND"), c).cast("double") * 1e6).cast("long"))
+    when(c.isNull, lit(null).cast(IntervalStructDdl)).otherwise(struct(
+      (m.cast("long") * 2592000000000L + d.cast("long") * 86400000000L
+        + us).as("icmp"),
+      m.as("months"), d.as("days"), us.as("micros")))
+  }
 
   /** ≈ duckherder_start_local_server(port, n_workers): `local[n]` session.
     * On a real cluster the same engine runs with any master URL — nothing
@@ -693,6 +832,8 @@ object Engine {
 
   def apply(spark: SparkSession): Engine = {
     graft.functions.DuckAliases.register(spark)
-    new Engine(spark)
+    val e = new Engine(spark)
+    bySession.put(spark, e)
+    e
   }
 }

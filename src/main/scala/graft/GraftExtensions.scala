@@ -31,10 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo("graft", name),
           builder))
     }
-    // ORDER BY / MIN / MAX / comparisons on registered enum columns
-    // follow declaration order; post-hoc resolution runs on the analyzed
-    // plan, before literal-relation collapse
-    ext.injectPostHocResolutionRule(_ => graft.plans.EnumOrderRewrite)
+    // ORDER BY / MIN / MAX / comparisons on registered enum and hugeint
+    // columns follow declaration/numeric order; post-hoc resolution runs
+    // on the analyzed plan, before literal-relation collapse. The rule
+    // resolves through the session's current Engine (per-engine catalogs).
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.EnumOrderRewrite(() => Engine.forSession(session)))
   }
 }
 

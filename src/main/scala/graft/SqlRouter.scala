@@ -159,10 +159,18 @@ private[graft] object SqlRouter {
     case _ => None
   }
 
-  private def sourceDf(e: Engine, source: String): DataFrame =
-    if (source.trim.toUpperCase.startsWith("VALUES"))
-      e.spark.sql(s"SELECT * FROM ($source) AS __v")
-    else e.spark.sql(source)
+  private def sourceDf(e: Engine, source: String): DataFrame = {
+    // DuckDB literal spellings (blob hex escapes, ::UUID, >38-digit
+    // integers) never parse in Spark — rewrite before parsing. Interval
+    // literals become comparable structs only in VALUES payloads (a
+    // SELECT payload may legitimately do native interval arithmetic).
+    val s0 = DuckSyntax.rewriteCasts(source)
+    if (s0.trim.toUpperCase.startsWith("VALUES")) {
+      var s1 = DuckSyntax.rewriteIntervals(s0)
+      if (DuckSyntax.hasHugeLiteral(s1)) s1 = DuckSyntax.quoteNumerics(s1)
+      e.spark.sql(s"SELECT * FROM ($s1) AS __v")
+    } else e.spark.sql(s0)
+  }
 
   private def emptyOk(e: Engine): DataFrame = {
     import e.spark.implicits._

@@ -10,12 +10,12 @@ import scala.jdk.CollectionConverters._
   * no-ops/equivalents) and every `query` block's expected output must
   * match.
   *
-  * Excluded files: type_support / list_type_support (DuckDB-only type
-  * syntax like UTINYINT — that surface is oracle-checked by q33–q39,
-  * q91–q93, q99 instead), extension / test_extension_loading
-  * (duckdb_tables() introspection + extension loading), remote_execution
-  * (its assertions are commented out upstream), test_registration
-  * (drives a live Flight server).
+  * Excluded files (3 of 22): test_extension_loading (loads a native
+  * DuckDB extension binary), remote_execution (its assertions are
+  * commented out upstream), test_registration (drives a live Flight
+  * server). Everything else replays, including type_support (unsigned /
+  * HUGEINT / TIME / INTERVAL carries) and both row-group partitioning
+  * tiers.
   */
 class RefTestSpec extends SparkSpec {
 
@@ -30,8 +30,8 @@ class RefTestSpec extends SparkSpec {
   private sealed trait Block { def line: Int; def sql: String }
   private case class StmtOk(sql: String, line: Int) extends Block
   private case class StmtErr(sql: String, line: Int) extends Block
-  private case class Query(sql: String, expected: Seq[String], line: Int)
-    extends Block
+  private case class Query(sql: String, types: String, expected: Seq[String],
+      line: Int) extends Block
 
   private def parse(path: String): Seq[Block] = {
     val lines = Files.readAllLines(Paths.get(path)).asScala.toVector
@@ -61,6 +61,9 @@ class RefTestSpec extends SparkSpec {
         }
         out += StmtErr(sql, at)
       } else if (l.startsWith("query ")) {
+        // sqllogictest column types: I integer, R float (numeric compare),
+        // T text
+        val types = l.stripPrefix("query ").trim.split("\\s+").head
         i += 1
         val at = i
         val sql = collectSql(s => s.startsWith("----"))
@@ -69,7 +72,7 @@ class RefTestSpec extends SparkSpec {
         while (i < lines.length && lines(i).trim.nonEmpty) {
           exp += lines(i); i += 1
         }
-        out += Query(sql, exp.result(), at)
+        out += Query(sql, types, exp.result(), at)
       } else i += 1
     }
     out.result()
@@ -148,11 +151,50 @@ class RefTestSpec extends SparkSpec {
 
   private val tsFmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
 
+  /** DuckDB interval text: '2 years 3 months', '5 days 06:00:00',
+    * '00:00:00.0001' — year-month and day parts only when nonzero, the
+    * time part when micros nonzero or nothing else printed, fraction
+    * zeros trimmed. */
+  private def intervalText(months: Int, days: Int, micros: Long): String = {
+    val parts = Vector.newBuilder[String]
+    val y = months / 12; val mo = months % 12
+    if (y != 0) parts += (if (y == 1) "1 year" else s"$y years")
+    if (mo != 0) parts += (if (mo == 1) "1 month" else s"$mo months")
+    if (days != 0) parts += (if (days == 1) "1 day" else s"$days days")
+    val built = parts.result()
+    if (micros != 0 || built.isEmpty) {
+      val h = micros / 3600000000L
+      val mi = (micros % 3600000000L) / 60000000L
+      val se = (micros % 60000000L) / 1000000L
+      val frac = (micros % 1000000L).toString.reverse.padTo(6, '0').reverse
+        .reverse.dropWhile(_ == '0').reverse
+      val t = f"$h%02d:$mi%02d:$se%02d" +
+        (if (frac.nonEmpty) s".$frac" else "")
+      (built :+ t).mkString(" ")
+    } else built.mkString(" ")
+  }
+
   private def fmt(v: Any): String = v match {
     case null => "NULL"
     case b: Boolean => if (b) "true" else "false"
     case d: java.math.BigDecimal => d.toPlainString
-    case t: java.sql.Timestamp => tsFmt.format(t)
+    case t: java.sql.Timestamp =>
+      // DuckDB canonical text: micro fraction with trailing zeros trimmed
+      val base = tsFmt.format(t)
+      val micro = t.getNanos / 1000
+      if (micro == 0) base
+      else base + "." + f"$micro%06d".reverse.dropWhile(_ == '0').reverse
+    case b: Array[Byte] => // DuckDB blob text: printable ASCII bare, \xHH
+      b.map { byte =>
+        val c = byte & 0xff
+        if (c >= 32 && c <= 126 && c != '\\' && c != '\'') c.toChar.toString
+        else f"\\x$c%02X"
+      }.mkString
+    case r: org.apache.spark.sql.Row
+      if r.schema != null &&
+        r.schema.fieldNames.sameElements(
+          Array("icmp", "months", "days", "micros")) =>
+      intervalText(r.getInt(1), r.getInt(2), r.getLong(3))
     case s: scala.collection.Seq[_] => // DuckDB list rendering
       s.map { el =>
         val f = fmt(el)
@@ -163,6 +205,30 @@ class RefTestSpec extends SparkSpec {
         } else f
       }.mkString("[", ", ", "]")
     case other => other.toString
+  }
+
+  /** sqllogictest cell comparison: R columns compare numerically (the
+    * engines legitimately differ in rendered precision — Spark
+    * decimal-typed AVG vs DuckDB DOUBLE), I columns normalize booleans
+    * (1/0 and true/false both occur upstream), everything else exact. */
+  private def cellMatches(tp: Char, got: String, exp: String): Boolean =
+    got == exp || (tp match {
+      case 'R' =>
+        try math.abs(got.toDouble - exp.toDouble) <=
+          1e-6 * math.max(1.0, math.abs(exp.toDouble))
+        catch { case _: NumberFormatException => false }
+      case 'I' => normBool(got) == normBool(exp)
+      case _ => false
+    })
+
+  private def normBool(s: String): String =
+    s match { case "true" => "1"; case "false" => "0"; case v => v }
+
+  /** Canonical cell text for order-insensitive row matching. */
+  private def canonCell(tp: Char, s: String): String = tp match {
+    case 'R' => try f"${s.toDouble}%.6f" catch { case _: Exception => s }
+    case 'I' => normBool(s)
+    case _ => s
   }
 
   private def runFile(name: String): Unit = {
@@ -183,18 +249,27 @@ class RefTestSpec extends SparkSpec {
           try { prepare(sql).foreach(engine.sql(_).collect()); false }
           catch { case _: Exception => true }
         assert(failed, s"$name:$line expected an error:\n$sql")
-      case Query(sql, expected, line) =>
+      case Query(sql, types, expected, line) =>
         val q = prepare(sql).getOrElse(
           fail(s"$name:$line query was swallowed: $sql"))
-        val rows = engine.sql(q).collect()
-          .map(r => (0 until r.length).map(j => fmt(r.get(j)))
-            .mkString("\t"))
-        if (!rows.sameElements(expected)) {
+        val rows: Seq[Seq[String]] = engine.sql(q).collect().toSeq
+          .map(r => (0 until r.length).map(j => fmt(r.get(j))))
+        val expRows = expected.map(_.split("\t", -1).toSeq)
+        def tp(j: Int): Char = if (j < types.length) types.charAt(j) else 'T'
+        def rowMatch(got: Seq[String], exp: Seq[String]): Boolean =
+          got.length == exp.length && got.indices.forall(j =>
+            cellMatches(tp(j), got(j), exp(j)))
+        def canonical(rs: Seq[Seq[String]]): Seq[String] = rs.map(r =>
+          r.zipWithIndex.map { case (c, j) => canonCell(tp(j), c) }
+            .mkString("\u0001")).sorted
+        val orderedOk = rows.length == expRows.length &&
+          rows.zip(expRows).forall { case (g, e) => rowMatch(g, e) }
+        if (!orderedOk) {
           // accept set-equal results for ORDER-BY-free queries (scan
           // order is an implementation detail Spark doesn't promise)
-          assert(rows.sorted.sameElements(expected.sorted),
+          assert(canonical(rows) == canonical(expRows),
             s"$name:$line mismatch\nexpected:\n${expected.mkString("\n")}" +
-              s"\ngot:\n${rows.mkString("\n")}\nsql: $q")
+              s"\ngot:\n${rows.map(_.mkString("\t")).mkString("\n")}\nsql: $q")
           unordered += 1
         }
     }
@@ -207,8 +282,10 @@ class RefTestSpec extends SparkSpec {
     "index_operations", "enum_type_support", "modulo_partitioning",
     "small_table_optimization", "no_worker_execution",
     "group_by_distributed", "parallel_aggregation", "local_execution",
-    "range_partitioning", "row_group_partitioning", "registration",
-    "query_stats", "extension", "list_type_support").foreach { f =>
+    "range_partitioning", "row_group_partitioning",
+    "row_group_partitioning_medium", "registration",
+    "query_stats", "extension", "list_type_support",
+    "type_support").foreach { f =>
     test(s"reference $f.test runs verbatim")(runFile(f))
   }
 }
