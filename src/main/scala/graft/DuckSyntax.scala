@@ -60,6 +60,55 @@ private[graft] object DuckSyntax {
         s"'micros', ${micros}L)"
     })
 
+  // `<rel> [alias] ASOF [LEFT] JOIN <rel> [alias] ON <conds>` where rel is
+  // a table name or a one-level-parenthesized subquery. Conds: equi
+  // conjuncts + exactly one time inequality.
+  private val AsofJoin =
+    ("(?is)(\\((?:[^()]|\\([^()]*\\))*\\)\\s*\\w+|[\\w.]+\\s+\\w+|[\\w.]+)" +
+      "\\s+ASOF\\s+(LEFT\\s+)?JOIN\\s+" +
+      "(\\((?:[^()]|\\([^()]*\\))*\\)\\s*(\\w+)|[\\w.]+\\s+(\\w+)|[\\w.]+)" +
+      "\\s+ON\\s+((?:(?!\\bWHERE\\b|\\bGROUP\\b|\\bORDER\\b|\\bLIMIT\\b|" +
+      "\\bUNION\\b).)*)").r
+  private val Ineq = "(\\w+)\\.(\\w+)\\s*(>=|<=|>|<)\\s*(\\w+)\\.(\\w+)".r
+
+  /** DuckDB `ASOF JOIN` (query_plan_analyzer.cpp:129) → a correlated
+    * LATERAL subquery picking the single best match per probe row: the
+    * right side filtered by the ON conjuncts, ordered by its time column
+    * toward the probe's time, LIMIT 1. Catalyst decorrelates this into a
+    * window-free join + per-key max — semantics identical to DuckDB's
+    * inner/left ASOF. */
+  def rewriteAsofJoin(q: String): String =
+    AsofJoin.replaceAllIn(q, m => {
+      val left = m.group(1)
+      val isLeft = m.group(2) != null
+      val right = m.group(3)
+      val rightAlias = Option(m.group(4)).orElse(Option(m.group(5)))
+        .getOrElse(right.trim)
+      val conds = m.group(6).trim
+      val dir = Ineq.findFirstMatchIn(conds).map { im =>
+        // ORDER toward the probe: if the right side is the smaller one
+        // (probe.ts >= build.ts) take the max build.ts → DESC
+        val rightIsSecond = im.group(4) == rightAlias
+        val op = im.group(3)
+        val buildCol =
+          if (rightIsSecond) s"$rightAlias.${im.group(5)}"
+          else s"$rightAlias.${im.group(2)}"
+        val desc = (op == ">=" || op == ">") == rightIsSecond
+        s"ORDER BY $buildCol ${if (desc) "DESC" else "ASC"}"
+      }.getOrElse("")
+      val lateral = s"LATERAL (SELECT * FROM ${stripAlias(right, rightAlias)} " +
+        s"$rightAlias WHERE $conds $dir LIMIT 1) $rightAlias"
+      if (isLeft) s"$left LEFT JOIN $lateral ON true"
+      else s"$left JOIN $lateral ON true"
+    })
+
+  private def stripAlias(rel: String, alias: String): String = {
+    val t = rel.trim
+    if (t.endsWith(alias) && t.length > alias.length)
+      t.substring(0, t.length - alias.length).trim
+    else t
+  }
+
   private[graft] def parseInterval(text: String): (Long, Long, Long) = {
     var months = 0L; var days = 0L; var micros = 0L
     UnitToken.findAllMatchIn(text).foreach { m =>

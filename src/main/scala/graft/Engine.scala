@@ -262,6 +262,8 @@ class Engine private[graft] (val spark: SparkSession) {
         var q2 = DuckSyntax.rewriteCasts(q)
         if (typeOrigins.values.exists(_ == "INTERVAL"))
           q2 = DuckSyntax.rewriteIntervals(q2)
+        if (q2.toUpperCase.contains("ASOF"))
+          q2 = DuckSyntax.rewriteAsofJoin(q2)
         val df0 = spark.sql(q2)
         // enum declaration-order semantics (ORDER BY / MIN / MAX /
         // comparisons) apply on the ANALYZED plan — rewriting after the

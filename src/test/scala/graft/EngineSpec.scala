@@ -326,4 +326,19 @@ class EngineSpec extends SparkSpec {
     assert(tasks.find(_._1.contains("mode_large")).get._2 == 5L)
     Seq("mode_medium", "mode_large", "mode_small").foreach(engine.unregisterTable)
   }
+
+  test("ASOF JOIN SQL spelling (DuckDB syntax) matches the composed as-of") {
+    val engine = Engine(spark)
+    engine.registerTable("ev_asof", graft.Tables.t(spark, sf, "events"))
+    val viaSql = engine.sql(
+      """SELECT e.event_id, s.ts AS signup_ts
+        |FROM (SELECT * FROM ev_asof WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM ev_asof WHERE event_type = 'signup') s
+        |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    val composed = SparkEntry.queries("q58_asof_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    assert(viaSql.nonEmpty && viaSql == composed)
+    engine.unregisterTable("ev_asof")
+  }
 }
