@@ -107,19 +107,47 @@ object AdvancedOps {
     * ([[graft.functions.LogHistogramQuantile]]) — per-group memory O(1)
     * regardless of group size (a hot group can't OOM the buffer) and
     * per-row cost of one ln + one increment, ~3× cheaper than
-    * percentile_approx's QuantileSummaries. No oracle (sketches differ
-    * across engines); ApproxSpec brackets every value between the exact
-    * quantiles at p±0.01. */
+    * percentile_approx's QuantileSummaries. Sketch values are
+    * engine-specific, so the query audits its own rank bound in-line
+    * and the oracle asserts the audit (ApproxSpec additionally brackets
+    * the raw sketch values between exact quantiles at p±0.01). */
   private val percentilesApprox: NamedQuery =
-    NamedQuery("q94_percentiles_approx", None,
-      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(graft.functions.LogHistogramQuantile.logHistQuantile(
-          col("l_extendedprice").cast("double"),
-          Seq(0.5, 0.9, 0.1)).as("ps"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("med_price"),
-          round(element_at(col("ps"), 2), 4).as("p90_price"),
-          round(element_at(col("ps"), 3), 4).as("p10_price")))
+    NamedQuery("q94_percentiles_approx",
+      // SELF-VALIDATING: the sketch's rank guarantee (each value within
+      // ±0.01 rank of its target) is audited in-query by one
+      // conditional-count pass, and the oracle asserts the bound columns
+      // — a sketch regression flips a hash mismatch. This sketch+audit
+      // pair IS the production formulation at 100 TB: the audit costs
+      // one map-side aggregate, no sort, no buffering.
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |true AS med_ok, true AS p90_ok, true AS p10_ok
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("double").as("v"))
+        val sk = li.groupBy("l_returnflag")
+          .agg(graft.functions.LogHistogramQuantile.logHistQuantile(
+            col("v"), Seq(0.5, 0.9, 0.1)).as("ps"),
+            count(lit(1)).as("n"))
+        val j = li.join(broadcast(sk), "l_returnflag")
+        def q(i: Int) = element_at(col("ps"), i)
+        val agg = j.groupBy("l_returnflag").agg(
+          first("n").as("n"),
+          count_if(col("v") < q(1)).as("lt1"),
+          count_if(col("v") <= q(1)).as("le1"),
+          count_if(col("v") < q(2)).as("lt2"),
+          count_if(col("v") <= q(2)).as("le2"),
+          count_if(col("v") < q(3)).as("lt3"),
+          count_if(col("v") <= q(3)).as("le3"))
+        def ok(lt: String, le: String, p: Double) =
+          (col(lt) * 1.0 / col("n") <= p + 0.01) &&
+            (col(le) * 1.0 / col("n") >= p - 0.01)
+        agg.select(col("l_returnflag"), col("n"),
+          ok("lt1", "le1", 0.5).as("med_ok"),
+          ok("lt2", "le2", 0.9).as("p90_ok"),
+          ok("lt3", "le3", 0.1).as("p10_ok"))
+      })
 
   /** Aggregate-function matrix: boolean, bitwise, ordered string, and
     * the bivariate-statistics family — identical SQL semantics on both

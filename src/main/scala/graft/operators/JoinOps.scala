@@ -103,15 +103,40 @@ object JoinOps {
           .as("revenue"))
     })
 
-  /** Approximate sketches — HLL++ distinct counts and t-digest-style
-    * percentiles. Engine-specific sketch internals → no cross-engine
-    * oracle; ApproxSpec bounds them against the exact answers. */
-  val approxSketches: NamedQuery = NamedQuery("q70_approx_sketches", None,
-    (s, d) => t(s, d, "lineitem").groupBy("l_returnflag").agg(
-      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-      count_distinct(col("l_orderkey")).as("exact_orders"),
-      approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
-        .as("approx_median")))
+  /** Approximate sketches — HLL++ distinct counts and percentile
+    * sketches — made SELF-VALIDATING: the output carries the exact
+    * distinct count plus booleans asserting the sketch error bounds
+    * (relative error ≤ 3×rsd for HLL, rank within ±0.005 for the median
+    * sketch, audited by one conditional-count pass). The oracle asserts
+    * `true` for the bound columns, so a sketch regression flips a hash
+    * mismatch — a real correctness row, not a rows-only check. */
+  val approxSketches: NamedQuery = NamedQuery("q70_approx_sketches",
+    Some("""SELECT l_returnflag,
+           |CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           |true AS cd_ok, true AS med_ok
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_extendedprice").cast("double").as("v"))
+      val sk = li.groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        approx_percentile(col("v"), lit(0.5), lit(1000)).as("approx_median"),
+        count(lit(1)).as("n"))
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag").agg(
+          first("exact_orders").as("exact_orders"),
+          first("approx_orders").as("approx_orders"),
+          (count_if(col("v") < col("approx_median")) * 1.0 / first("n"))
+            .as("r_lt"),
+          (count_if(col("v") <= col("approx_median")) * 1.0 / first("n"))
+            .as("r_le"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders") - col("exact_orders")) * 1.0
+            / col("exact_orders") <= 0.06).as("cd_ok"),
+          (col("r_lt") <= 0.505 && col("r_le") >= 0.495).as("med_ok"))
+    })
 
   def defs: Seq[NamedQuery] = Seq(tpchQ3, tpchQ5, approxSketches)
 }
