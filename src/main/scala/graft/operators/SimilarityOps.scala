@@ -58,12 +58,14 @@ object SimilarityOps {
       val rows = e.map { case (id, v) =>
         var s2 = 0.0; var i = 0
         while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
-        (id, v, math.sqrt(s2), (id % b).toInt)
+        (id, v, math.sqrt(s2), math.floorMod(id, b.toLong).toInt)
       }
+      // pair key in Long: blk*b+j overflows Int once b > 46340 (~2B rows
+      // at 1k/block), colliding cogroup keys and corrupting the pairing
       val left = rows.flatMap { case (id, v, nm, blk) =>
-        Iterator.range(blk, b).map(j => (blk * b + j, id, v, nm)) }
+        Iterator.range(blk, b).map(j => (blk.toLong * b + j, id, v, nm)) }
       val right = rows.flatMap { case (id, v, nm, blk) =>
-        Iterator.range(0, blk + 1).map(i => (i * b + blk, id, v, nm)) }
+        Iterator.range(0, blk + 1).map(i => (i.toLong * b + blk, id, v, nm)) }
       left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) { (pk, ls, rs) =>
         val diag = (pk / b) == (pk % b)
         val la = ls.toArray

@@ -25,9 +25,14 @@ object EventsStream {
     StructField("props", StringType)))
 
   /** Streaming exactly-once dedup: drop duplicate event_ids as they
-    * arrive (state keyed by id, bounded by the watermark — the at-least-
-    * once-delivery dedup every ingestion pipeline needs), then aggregate
-    * per type. Converges to the batch DISTINCT answer. */
+    * arrive (the at-least-once-delivery dedup every ingestion pipeline
+    * needs), then aggregate per type. Converges to the batch DISTINCT
+    * answer. Uses dropDuplicatesWithinWatermark so the per-id state is
+    * actually EVICTED once the watermark passes an event's time — plain
+    * dropDuplicates(id) never evicts keys that lack the event-time
+    * column, growing without bound on a real stream. The contract is
+    * the one retries satisfy: a duplicate delivered within the
+    * watermark delay of the original is dropped. */
   def dedupCounts(spark: SparkSession, dir: String,
       queryName: String = "graft_events_dedup"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -37,7 +42,7 @@ object EventsStream {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"),
         round(sum("value"), 2).as("sum_v"))

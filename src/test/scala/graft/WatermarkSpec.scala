@@ -56,7 +56,7 @@ class WatermarkSpec extends SparkSpec {
     val input = MemoryStream[(Long, Timestamp, Double)]
     val deduped = input.toDF().toDF("event_id", "ts", "value")
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy()
       .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
     val name = s"graft_dedup_${System.nanoTime()}"
