@@ -316,7 +316,7 @@ class Engine private[graft] (val spark: SparkSession) {
   def explain(q: String): DataFrame = {
     // routed DDL/DML executes eagerly on the driver (and Spark itself
     // runs command statements at sql()): classify WITHOUT executing
-    if (SqlRouter.wouldRoute(q)) {
+    if (SqlRouter.wouldRoute(this, q)) {
       import spark.implicits._
       return Seq((q, "LOCAL", "CONCATENATE", 1L, "routed DDL/DML"))
         .toDF("sql", "execution_mode", "merge_strategy",

@@ -7,11 +7,41 @@ import org.apache.spark.sql.functions.expr
   * set the reference intercepts at its catalog layer (CREATE/DROP/ALTER
   * TABLE, CREATE/DROP INDEX, INSERT, DELETE — duckherder_catalog.cpp,
   * duckherder_schema_catalog_entry.cpp). SELECT-shaped statements return
-  * None and fall through to Spark SQL. Matching is keyword-level (the
-  * payloads — column lists, predicates, source queries — are parsed by
-  * Spark itself, not by regexes).
+  * None and fall through to Spark SQL.
+  *
+  * Routing is PARSER-FIRST: the statement is classified with Spark's own
+  * SQL parser, and anything that parses as a pure query is returned to
+  * the Spark path unconditionally — no keyword inside a string literal,
+  * identifier, or subquery can ever trip a route, by construction. Only
+  * statements the parser confirms as a DDL/DML command family — or that
+  * Spark cannot parse at all (DuckDB-only spellings: CREATE TYPE AS
+  * ENUM, unsigned/HUGEINT DDL, hex BLOB literals) — reach the regex verb
+  * extractors below, which then only pull out names and payloads (the
+  * payloads themselves — column lists, predicates, source queries — are
+  * parsed by Spark, not by regexes).
   */
 private[graft] object SqlRouter {
+
+  /** Parser-level statement classes that belong to the engine's routed
+    * verb set. Everything else that parses is a plain query/command for
+    * Spark. Matched by class name: these are parser-output statement
+    * nodes whose packages moved across Spark versions, and the name set
+    * is the stable surface. */
+  private val RoutedFamilies = Set(
+    "InsertIntoStatement", "DeleteFromTable",
+    "CreateTable", "CreateTableAsSelect", "ReplaceTable", "DropTable",
+    "AddColumns", "DropColumns", "RenameColumn", "AlterColumn",
+    "AlterColumns", "RenameTable", "CreateIndex", "DropIndex")
+
+  /** Some(true) → Spark parses this as a routed command family;
+    * Some(false) → Spark parses it as something else (pure query, or a
+    * command the engine does not own); None → Spark cannot parse it
+    * (DuckDB-only syntax — the regex routes decide). */
+  private def parserFamily(e: Engine, q: String): Option[Boolean] =
+    try {
+      val plan = e.spark.sessionState.sqlParser.parsePlan(q)
+      Some(RoutedFamilies.contains(plan.getClass.getSimpleName))
+    } catch { case _: Exception => None }
 
   private val CreateTable =
     """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.+)\)\s*""".r
@@ -59,7 +89,13 @@ private[graft] object SqlRouter {
   /** True iff `route` would intercept this statement — WITHOUT executing
     * anything (explain/plan paths must stay side-effect-free: Spark runs
     * DDL commands eagerly at sql(), and route() executes on match). */
-  private[graft] def wouldRoute(q: String): Boolean = {
+  private[graft] def wouldRoute(e: Engine, q: String): Boolean =
+    parserFamily(e, q) match {
+      case Some(false) => false // Spark-parsed non-routed statement
+      case _ => regexRoutable(q)
+    }
+
+  private def regexRoutable(q: String): Boolean = {
     val patterns = Seq(CreateTable, CreateTableAs, DropTable, AlterColType,
       AlterSetNotNull, AlterDropNotNull, AlterDropDefault, AlterSetDefault,
       CreateType, DropType, AlterAdd, AlterDrop, AlterRenameCol,
@@ -75,7 +111,13 @@ private[graft] object SqlRouter {
     name.substring(name.lastIndexOf('.') + 1)
 
   /** Some(result) when routed; None → plain Spark SQL. */
-  def route(e: Engine, q: String): Option[DataFrame] = q match {
+  def route(e: Engine, q: String): Option[DataFrame] =
+    parserFamily(e, q) match {
+      case Some(false) => None // parser says pure query / unrouted command
+      case _ => routeRegex(e, q)
+    }
+
+  private def routeRegex(e: Engine, q: String): Option[DataFrame] = q match {
     case CreateTable(ifNot, name0, cols) =>
       val name = unq(name0)
       val exists = e.tableNames.contains(name)

@@ -195,6 +195,33 @@ class SqlRouterSpec extends SparkSpec {
     assert(engine.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("parser-first: Spark-parseable queries are never routed") {
+    // a query whose string literals carry full routed-verb statements
+    // must come back verbatim — the parser classifies it as a query
+    // before any verb regex sees it
+    val r = engine.sql(
+      """SELECT 'DELETE FROM lineitem WHERE true' AS a,
+        |'CREATE TABLE bomb (x INT)' AS b,
+        |'INSERT INTO t VALUES (1)' AS c""".stripMargin).head()
+    assert(r.getString(0).startsWith("DELETE FROM"))
+    assert(r.getString(1).startsWith("CREATE TABLE"))
+    assert(!engine.tableExists("bomb"))
+    // commands the engine does not own (UPDATE parses but is unrouted)
+    // also skip the router and surface Spark's own error
+    intercept[Exception](
+      engine.sql("UPDATE lineitem SET l_quantity = 0 WHERE false"))
+  }
+
+  test("parser-first: Duck-only spellings still reach the regex routes") {
+    val t = "router_duck_only"
+    // unsigned DDL types do not parse in Spark — regex route must own it
+    engine.sql(s"CREATE TABLE $t (id UINTEGER, v HUGEINT)")
+    assert(engine.tableExists(t))
+    engine.sql(s"CREATE TYPE router_mood AS ENUM ('sad', 'ok', 'happy')")
+    engine.sql(s"DROP TYPE router_mood")
+    engine.sql(s"DROP TABLE $t")
+  }
+
   test("DML/DDL on missing tables raises catalog errors") {
     assert(!engine.tableExists("router_missing"))
     val e1 = intercept[IllegalArgumentException](
