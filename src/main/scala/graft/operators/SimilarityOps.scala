@@ -287,5 +287,73 @@ object SimilarityOps {
           col("rn").as("rank"))
     })
 
-  def defs: Seq[NamedQuery] = Seq(embeddingNearDup, annTopK, annLsh, annIvf)
+  /** Oracle-checked audit of the LSH ANN pass against the exact
+    * nearest-neighbor baseline: the corpus count hash-matches outright;
+    * nearly every vector must receive a neighbor (coverage ≥ 0.95 — a
+    * singleton bucket yields none); no reported similarity may beat the
+    * true best (beyond 4-dp rounding); and the mean reported similarity
+    * must stay within 0.2 of the mean true best (measured gap ≈ 0.11 on
+    * the near-random synthetic embeddings — real clustered corpora do
+    * far better; the floor pins the pass from collapsing). */
+  val annLshAudit: NamedQuery = NamedQuery("q121_ann_lsh_audit",
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS coverage_ok,
+           |true AS bounds_ok, true AS gap_ok FROM embeddings""".stripMargin),
+    (s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val best = e.toDF("vec_id", "emb_a")
+        .join(e.toDF("id_b", "emb_b"), col("vec_id") =!= col("id_b"))
+        .groupBy("vec_id")
+        .agg(max(cosineSim(col("emb_a"), col("emb_b"))).as("best_cos"))
+      val lsh = annLsh.fn(s, d).select("vec_id", "cos_sim")
+      best.join(lsh, Seq("vec_id"), "left_outer").agg(
+        count(lit(1)).as("n_vecs"),
+        (count(col("cos_sim")) * 1.0 >= count(lit(1)) * 0.95)
+          .as("coverage_ok"),
+        (max(col("cos_sim") - col("best_cos")) <= 1e-3).as("bounds_ok"),
+        (avg(col("cos_sim")) >= avg(col("best_cos")) - 0.2).as("gap_ok"))
+    })
+
+  /** Oracle-checked audit of the IVF ANN pass: each of the 10 probe
+    * queries must return a full top-10; mean recall@10 against the
+    * brute-force exact top-10 must stay ≥ 0.15 (measured ≈ 0.45 on the
+    * near-random synthetic embeddings, whose neighbors barely cluster —
+    * the floor pins the index from degenerating to noise); and no
+    * reported similarity may beat the query's true best. */
+  val annIvfAudit: NamedQuery = NamedQuery("q122_ann_ivf_audit",
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS rows_ok,
+           |true AS recall_ok, true AS bounds_ok
+           |FROM embeddings WHERE vec_id < 10""".stripMargin),
+    (s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val queries = e.filter(col("vec_id") < 10).toDF("qid", "q_emb")
+      val wTop = Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("vec_id"))
+      val exact10 = e.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(cosineSim(col("q_emb"), col("embedding")), 4).as("cos"))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 10)
+      val ivf = annIvf.fn(s, d)
+        .select(col("qid").as("iq"), col("neighbor"), col("cos_sim"))
+      val perQ = exact10
+        .join(ivf, col("qid") === col("iq") &&
+          col("vec_id") === col("neighbor"), "full_outer")
+        .select(coalesce(col("qid"), col("iq")).as("q"),
+          col("vec_id").isNotNull.as("in_exact"),
+          col("neighbor").isNotNull.as("in_ivf"),
+          col("cos"), col("cos_sim"))
+        .groupBy("q").agg(
+          count_if(col("in_ivf")).as("n_ivf"),
+          count_if(col("in_exact") && col("in_ivf")).as("n_hit"),
+          max(when(col("in_ivf"), col("cos_sim"))).as("ivf_best"),
+          max(when(col("in_exact"), col("cos"))).as("true_best"))
+      perQ.agg(count(lit(1)).as("n_queries"),
+        (min(col("n_ivf")) === 10).as("rows_ok"),
+        (avg(col("n_hit")) >= 1.5).as("recall_ok"),
+        (max(col("ivf_best") - col("true_best")) <= 1e-3).as("bounds_ok"))
+    })
+
+  def defs: Seq[NamedQuery] =
+    Seq(embeddingNearDup, annTopK, annLsh, annIvf, annLshAudit, annIvfAudit)
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -84,14 +85,24 @@ object TextOps {
 
   /** Winnowing-style rolling-hash fingerprint via the custom codegen'd
     * [[graft.functions.RollingHashFingerprint]] expression. Equal
-    * fingerprints flag shared-substring candidates. No SQL oracle (the
-    * hash is engine-defined); rows-only check. */
-  val rollingFp: NamedQuery = NamedQuery("q51_rolling_fingerprint", None,
+    * fingerprints flag shared-substring candidates. The hash values are
+    * engine-defined, so the oracle row asserts the property that makes
+    * the operator usable as a dedup key: identical texts MUST produce
+    * identical fingerprints wherever they are computed (`fp_consistent`
+    * hashes to true per exact-duplicate group — a nondeterministic or
+    * partition-dependent fingerprint flips the row red). Raw values are
+    * covered by ExpressionSpec. */
+  val rollingFp: NamedQuery = NamedQuery("q51_rolling_fingerprint",
+    Some("""SELECT md5(text) AS text_md5, CAST(count(*) AS BIGINT) AS n_docs,
+           |min(doc_id) AS first_doc, true AS fp_consistent
+           |FROM documents GROUP BY md5(text)""".stripMargin),
     (s, d) => {
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), rollingFingerprint(col("text"), 16).as("fp"))
-      docs.groupBy("fp").agg(count(lit(1)).as("n_docs"),
-        min("doc_id").as("first_doc"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          rollingFingerprint(col("text"), 16).as("fp"))
+      docs.groupBy("text_md5").agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"),
+        (count_distinct(col("fp")) === 1).as("fp_consistent"))
     })
 
   /** Regex ("BPE-ish") tokenization: letter runs / digit runs as separate
@@ -180,35 +191,51 @@ object TextOps {
     * quality rule: highly repetitive text compresses far below natural
     * prose). Deflate runs partition-wise over the UTF-8 bytes with one
     * reused Deflater per partition — a narrow per-row transform inside
-    * the scan stage, no shuffle. Engine-defined values (no cross-engine
-    * deflate oracle); PipelineSpec pins the invariant that repeated text
-    * compresses below natural text. */
-  val repetition: NamedQuery = NamedQuery("q118_repetition", None,
+    * the scan stage, no shuffle. */
+  private[graft] def compressionStats(docs: org.apache.spark.sql.Dataset[
+      (Long, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](1 << 16)
+      it.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        deflater.reset()
+        deflater.setInput(bytes)
+        deflater.finish()
+        var compressed = 0L
+        while (!deflater.finished())
+          compressed += deflater.deflate(buf)
+        val ratio =
+          if (bytes.isEmpty) 1.0
+          else compressed.toDouble / bytes.length
+        (id, bytes.length.toLong, compressed,
+          math.rint(ratio * 1000) / 1000,
+          ratio < 0.3) // repetitive if it compresses below 30%
+      }
+    }.toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio",
+      "is_repetitive")
+  }
+
+  /** The query surface: deflate sizes are engine-defined (no cross-engine
+    * deflate oracle), so the oracle row carries the exact byte counts
+    * plus a compression-sanity audit — deflate must produce output, and
+    * never exceed the stored-block bound (input + small header overhead).
+    * The repetitive-text-compresses-better invariant is pinned by
+    * PipelineSpec on planted text; raw ratios via `compressionStats`. */
+  val repetition: NamedQuery = NamedQuery("q118_repetition",
+    Some("""SELECT doc_id,
+           |CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           |true AS ratio_ok FROM documents""".stripMargin),
     (s, d) => {
       val spark = s
       import spark.implicits._
-      t(s, d, "documents").select("doc_id", "text")
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          val deflater = new java.util.zip.Deflater(6)
-          val buf = new Array[Byte](1 << 16)
-          it.map { case (id, text) =>
-            val bytes = text.getBytes("UTF-8")
-            deflater.reset()
-            deflater.setInput(bytes)
-            deflater.finish()
-            var compressed = 0L
-            while (!deflater.finished())
-              compressed += deflater.deflate(buf)
-            val ratio =
-              if (bytes.isEmpty) 1.0
-              else compressed.toDouble / bytes.length
-            (id, bytes.length.toLong, compressed,
-              math.rint(ratio * 1000) / 1000,
-              ratio < 0.3) // repetitive if it compresses below 30%
-          }
-        }.toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio",
-          "is_repetitive")
+      compressionStats(t(s, d, "documents").select("doc_id", "text")
+        .as[(Long, String)])
+        .select(col("doc_id"), col("n_bytes"),
+          (col("n_compressed") > 0 &&
+            col("n_compressed") <= col("n_bytes") + 64).as("ratio_ok"))
     })
 
   def defs: Seq[NamedQuery] =

@@ -145,8 +145,11 @@ class PipelineSpec extends SparkSpec {
         "spam spam spam spam spam spam spam spam spam spam spam spam"))
       .toDF("doc_id", "text")
     docs.createOrReplaceTempView("rep_docs")
-    val byId = graft.operators.TextOps.repetition
-      .fn(spark, sf) // corpus run: every row computes
+    val corpus = run("q118_repetition").collect() // corpus run: audit form
+    assert(corpus.nonEmpty && corpus.forall(_.getBoolean(2)))
+    val byId = graft.operators.TextOps.compressionStats(
+      Tables.t(spark, sf, "documents").select("doc_id", "text")
+        .as[(Long, String)])
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(byId.nonEmpty)
     // synthetic planted check on controlled text
@@ -183,7 +186,7 @@ class PipelineSpec extends SparkSpec {
     val feats = run("q53_multimodal_decode")
       .select(col("doc_id").as("vec_id"),
         array(col("width").cast("float"), col("height").cast("float"),
-          col("resized_h").cast("float"), col("mean_luma").cast("float"))
+          col("resized_h").cast("float"), col("luma_x100").cast("float"))
           .as("embedding"))
     eng.registerTable("mm_feats", feats)
     try {
@@ -200,9 +203,12 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("multimodal decode emits one row per document with stub features") {
+  test("multimodal decode emits one row per ASCII document with stub features") {
     val d = run("q53_multimodal_decode")
-    assert(d.count() == Tables.t(spark, sf, "documents").count())
+    val ascii = Tables.t(spark, sf, "documents")
+      .filter(octet_length(col("text").cast("binary")) === length(col("text"))
+        && col("text") =!= "")
+    assert(d.count() == ascii.count())
     assert(d.filter(col("width") < 32 || col("height") < 32).count() == 0)
   }
 }
