@@ -177,7 +177,7 @@ class Engine private[graft] (val spark: SparkSession) {
   private case class StatRow(sql: String, mode: String, merge: String,
       durationMs: Long, workers: Long, tasks: Long, start: Timestamp)
   private val stats = new ConcurrentLinkedQueue[StatRow]()
-  private val history = new ConcurrentLinkedQueue[(String, Double)]()
+  private val history = new ConcurrentLinkedQueue[(String, Long)]()
   // engine.sql() parks (query text, its own QueryExecution) here; the
   // listener matches when an action executes the plan (stats are
   // per-execution, like the reference's RecordQueryExecution). Actions
@@ -198,7 +198,7 @@ class Engine private[graft] (val spark: SparkSession) {
         .flatMap(h => pending.remove(h).iterator).take(1).foreach {
         case (sqlText, origQe) =>
           record(sqlText, origQe, durationNs)
-          history.add((sqlText, durationNs / 1e6))
+          history.add((sqlText, durationNs / 1000L))
       }
     }
     override def onFailure(funcName: String, qe: QueryExecution,
@@ -253,7 +253,7 @@ class Engine private[graft] (val spark: SparkSession) {
         val durNs = System.nanoTime() - t0
         stats.add(StatRow(q, "LOCAL", "CONCATENATE", durNs / 1000000L,
           1L, 1L, new Timestamp(System.currentTimeMillis() - durNs / 1000000L)))
-        history.add((q, durNs / 1e6))
+        history.add((q, durNs / 1000L))
         df
       case None =>
         // DuckDB literal spellings Spark's parser rejects: hex-escape BLOB
@@ -291,15 +291,20 @@ class Engine private[graft] (val spark: SparkSession) {
       "num_workers_used", "num_tasks_generated", "execution_start_time")
   }
 
-  /** ≈ duckherder_get_query_history(): (query, latencies). The reference
-    * stores TIME[]; Spark has no TIME type (SURVEY §1.2) — latencies are
-    * milliseconds as DOUBLE[]. */
+  /** ≈ duckherder_get_query_history(): (query, latencies), sorted by
+    * query like the reference (query_history_query_function.cpp:45-47).
+    * The reference stores latencies as TIME[]; under this engine's §1.2
+    * TIME mapping (TIME ↦ microseconds-since-midnight LONG) `latencies`
+    * is µs LONG[], and `latencies_time` renders the reference's display
+    * form (HH:MM:SS[.ffffff]) for output parity. */
   def queryHistory: DataFrame = {
     org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
     import spark.implicits._
     history.asScala.toSeq.groupBy(_._1).view
-      .mapValues(_.map(_._2)).toSeq
+      .mapValues(_.map(_._2)).toSeq.sortBy(_._1)
       .toDF("query", "latencies")
+      .withColumn("latencies_time", transform(col("latencies"),
+        u => graft.operators.TypeOps.timeString(u)))
   }
 
   /** ≈ duckherder_clear_query_recorder_stats(). Drains in-flight

@@ -53,7 +53,11 @@ class EngineSpec extends SparkSpec {
     engine.sql(q).count()
     val h = engine.queryHistory.collect()
     assert(h.length == 1)
-    assert(h.head.getSeq[Double](h.head.fieldIndex("latencies")).size == 2)
+    assert(h.head.getSeq[Long](h.head.fieldIndex("latencies")).size == 2)
+    // rendered TIME display forms parse as HH:MM:SS[.ffffff]
+    val times = h.head.getSeq[String](h.head.fieldIndex("latencies_time"))
+    assert(times.size == 2 &&
+      times.forall(_.matches("\\d{2}:\\d{2}:\\d{2}(\\.\\d{1,6})?")))
     engine.unregisterTable("qh_li")
   }
 
