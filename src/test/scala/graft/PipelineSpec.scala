@@ -47,6 +47,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("connected components handle high-diameter graphs (path + cycle)") {
+    import spark.implicits._
+    // a 60-node path, a 20-node cycle (offset ids), and one isolated
+    // pair — shapes where min-label propagation needs O(diameter)
+    // rounds; large-star/small-star must still resolve them (50-round
+    // cap ≈ O(log n), far below the 60-hop diameter)
+    val path = (0L until 59L).map(i => (i, i + 1))
+    val cycle = (0L until 20L).map(i => (100L + i, 100L + (i + 1) % 20))
+    val pair = Seq((500L, 501L))
+    val edges = (path ++ cycle ++ pair).toDF("a", "b")
+    val comp = graft.operators.DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    (1L to 59L).foreach(i => assert(comp(i) == 0L, s"path node $i"))
+    (101L until 120L).foreach(i => assert(comp(i) == 100L, s"cycle node $i"))
+    assert(comp(501L) == 500L)
+  }
+
   test("exact dedup groups cover the full table") {
     val total = run("q40_dedup_exact").agg(sum("n_copies")).head().getLong(0)
     assert(total == Tables.t(spark, sf, "documents").count())
