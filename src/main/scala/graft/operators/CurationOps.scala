@@ -91,5 +91,77 @@ object CurationOps {
         .orderBy("lang", "rk")
     })
 
-  def defs: Seq[NamedQuery] = Seq(stratifiedSample, shardPacking, vocabTopK)
+  /** The END-TO-END curation pipeline, as one composed deterministic
+    * query: near-dup dedup (jaccard ≥ 0.9 components via large-star/
+    * small-star — exact duplicates are jaccard-1.0 members, so cluster
+    * dedup subsumes exact dedup) → quality gate (≥ 20 tokens) →
+    * stratified deterministic mod-sampling to the target language mix →
+    * token-budget shard packing. Output is the shard manifest a
+    * training run consumes. Every stage is the scalable formulation
+    * already proven individually (q95/q48/q96/q97); the pipeline
+    * hash-checks end-to-end against DuckDB running the same logical
+    * composition (recursive-CTE components + windows). */
+  val curationPipeline: NamedQuery = NamedQuery("q123_curation_pipeline",
+    Some("""WITH RECURSIVE
+           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(ws) - 1, 1)),
+           |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+           |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+           |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2),
+           |p09 AS (SELECT id_a, id_b FROM pair
+           |        JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+           |        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9),
+           |edges AS (SELECT id_a AS s, id_b AS d FROM p09
+           |          UNION SELECT id_b, id_a FROM p09),
+           |reach(a, b) AS (
+           |  SELECT s, d FROM edges
+           |  UNION
+           |  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+           |drop_ids AS (SELECT DISTINCT a AS doc_id FROM reach WHERE b < a),
+           |toks AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS tok
+           |         FROM documents),
+           |kept AS (SELECT t.lang, t.doc_id, t.tok FROM toks t
+           |         JOIN (VALUES ('en', 10), ('de', 50), ('fr', 50),
+           |               ('es', 80), ('zh', 100)) r(lang, pct)
+           |           USING (lang)
+           |         WHERE t.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+           |           AND t.tok >= 20 AND t.doc_id % 97 < r.pct),
+           |c AS (SELECT lang, doc_id, tok,
+           |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+           |          ROWS UNBOUNDED PRECEDING) AS cum FROM kept)
+           |SELECT lang, CAST((cum - tok) // 2000 AS BIGINT) AS shard,
+           |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
+           |FROM c GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin),
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val pairs = DedupOps.ngramJaccard.fn(s, d)
+        .filter(col("jaccard") >= 0.9).select("id_a", "id_b")
+      // star edges are (rep, member): members with a smaller rep drop
+      val drop = DedupOps.connectedComponents(pairs).select("doc_id")
+      val rates = Seq(("en", 10), ("de", 50), ("fr", 50), ("es", 80),
+        ("zh", 100)).toDF("lang", "pct")
+      val kept = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .join(drop, Seq("doc_id"), "left_anti")
+        .filter(col("tok") >= 20)
+        .join(broadcast(rates), Seq("lang"))
+        .filter(col("doc_id") % 97 < col("pct"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept.withColumn("cum", sum("tok").over(w))
+        .groupBy(col("lang"),
+          ((col("cum") - col("tok")) / 2000L).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
+        .orderBy("lang", "shard")
+    })
+
+  def defs: Seq[NamedQuery] =
+    Seq(stratifiedSample, shardPacking, vocabTopK, curationPipeline)
 }
