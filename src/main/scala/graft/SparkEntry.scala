@@ -44,6 +44,8 @@ object SparkEntry {
       "q41_dedup_ngram_jaccard" ->
         (("shingle_stage", DedupOps.warmShingles _)),
       "q42_dedup_minhash_lsh" ->
+        (("shingle_stage", DedupOps.warmShingles _)),
+      "q123_curation_pipeline" ->
         (("shingle_stage", DedupOps.warmShingles _)))
 
   /** Headline benchmark subset (graft.Bench): covers scan-agg, join-agg,
@@ -54,5 +56,5 @@ object SparkEntry {
     "q30_events_hourly", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
     "q44_embedding_neardup", "q45_ann_topk", "q47_text_tokens",
     "q94_percentiles_approx", "q57_events_sessions", "q58_asof_join",
-    "q46_ann_lsh", "q68_tpch_q3", "q69_tpch_q5")
+    "q46_ann_lsh", "q68_tpch_q3", "q69_tpch_q5", "q123_curation_pipeline")
 }
