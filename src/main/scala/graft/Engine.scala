@@ -350,8 +350,43 @@ class Engine private[graft] (val spark: SparkSession) {
     put(name, e.df.repartition(target), e.rowsIfKnown)
   }
 
-  /** ≈ duckherder_get_worker_count(): executor parallelism. */
-  def workerCount: Int = spark.sparkContext.defaultParallelism
+  // ---- dynamic worker registration ------------------------------------
+  // ≈ duckherder_register_worker / duckherder_register_or_replace_driver
+  // (reference: src/server/driver/distributed_server_function.cpp:35-281).
+  // Two pool views: by default the worker pool IS Spark's executor
+  // parallelism (a static cluster); once explicit registration is enabled
+  // the pool is what has REGISTERED — the dynamic-allocation view, where
+  // workers join after the server is up and the count observably grows.
+  private val namedWorkers =
+    scala.collection.mutable.LinkedHashMap[String, String]()
+  private var explicitRegistration = false
+  private var driverNode: Option[(String, String)] = None
+
+  /** Switch `workerCount` to the explicit registry (starts empty — a
+    * freshly started server with standalone workers not yet registered
+    * reports 0, as the reference does). */
+  def enableWorkerRegistry(): Unit = explicitRegistration = true
+
+  /** Register a named worker endpoint; re-registering a name replaces
+    * its address (endpoint restart), not a second worker. */
+  def registerWorker(name: String, address: String): Unit = {
+    explicitRegistration = true
+    namedWorkers(name) = address
+  }
+
+  /** Idempotent by construction: the driver slot holds one node and
+    * each call replaces it — registering the current driver again or a
+    * successor both succeed, and the worker pool is untouched. */
+  def registerOrReplaceDriver(name: String, address: String): Unit =
+    driverNode = Some(name -> address)
+
+  def registeredDriver: Option[(String, String)] = driverNode
+
+  /** ≈ duckherder_get_worker_count(): the explicit registry when
+    * registration is live, executor parallelism otherwise. */
+  def workerCount: Int =
+    if (explicitRegistration) namedWorkers.size
+    else spark.sparkContext.defaultParallelism
 
   /** ≈ duckherder_stop_local_server(). */
   def stop(): Unit = spark.stop()

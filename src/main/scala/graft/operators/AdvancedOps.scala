@@ -67,20 +67,22 @@ object AdvancedOps {
         // between repeats)
         .cache()
       // bucket offsets + per-group totals: both from the tiny per-bucket
-      // frame (a few hundred rows per group), broadcast back
+      // frame (a few hundred rows per group), carried in ONE frame and
+      // joined back with a single broadcast (two separate joins cost an
+      // extra broadcast exchange + hash probe per row)
       val wBuck = Window.partitionBy("l_returnflag").orderBy("b")
-      val bucketTotals = counts.groupBy("l_returnflag", "b")
-        .agg(sum("c").as("bc")).cache()
-      val offsets = bucketTotals
+      val wAll = Window.partitionBy("l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offsets = counts.groupBy("l_returnflag", "b")
+        .agg(sum("c").as("bc"))
         .withColumn("off", sum("bc").over(wBuck) - col("bc"))
+        .withColumn("n", sum("bc").over(wAll))
         .drop("bc")
-      val totals = bucketTotals.groupBy("l_returnflag").agg(sum("bc").as("n"))
       // within-bucket cumulative sums run per (flag, bucket) - parallel -
       // and the bucket offset lifts them to global ranks
       val wIn = Window.partitionBy("l_returnflag", "b").orderBy("v")
       val base = counts
         .join(broadcast(offsets), Seq("l_returnflag", "b"))
-        .join(broadcast(totals), "l_returnflag")
         .withColumn("cum", sum("c").over(wIn) + col("off"))
         .withColumn("prev", col("cum") - col("c"))
       // value holding rank k: the row whose [prev, cum) interval covers k
@@ -260,17 +262,24 @@ object AdvancedOps {
            |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
            |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin),
     (s, d) => {
-      val ev = t(s, d, "events")
-      val signupsByUser = ev.filter(col("event_type") === "signup")
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(col("ts"))).as("sts"))
-      ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .join(signupsByUser, "user_id")
-        .select(col("event_id"),
-          array_max(filter(col("sts"), x => x <= col("ts")))
-            .as("signup_ts"))
-        .filter(col("signup_ts").isNotNull)
+      // ONE events scan (pushed IN-filter), ONE shuffle on user_id: the
+      // as-of match is a running max of signup timestamps over the
+      // ts-ordered per-user stream. At equal ts signups sort first
+      // (is_signup DESC) so `e.ts >= s.ts` stays inclusive. The round-3
+      // formulation scanned events twice (signup groupBy + error probe)
+      // and shuffled twice (agg + join); user_id is a high-cardinality
+      // key, so the window parallelizes without a de-skew bucket.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_signup").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .filter(col("event_type").isin("signup", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_type") === "signup").as("is_signup"))
+        .withColumn("signup_ts",
+          max(when(col("is_signup"), col("ts"))).over(w))
+        .filter(!col("is_signup") && col("signup_ts").isNotNull)
+        .select("event_id", "signup_ts")
     })
 
   private val correlated: NamedQuery = {

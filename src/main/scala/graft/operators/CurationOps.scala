@@ -40,12 +40,39 @@ object CurationOps {
         .orderBy("lang")
     })
 
+  /** De-skewed per-language running sum → shard manifest. A window
+    * partitioned on `lang` alone serializes each language into ONE task
+    * (with ~5 languages, English ≈ half of any real corpus — the exact
+    * skew q56 engineered away): instead, two-level prefix sums. Bucket
+    * doc_id ranges within language; per-bucket token totals are a tiny
+    * frame (corpus/8192 rows) whose cumulative window is cheap; the
+    * offsets join back (AQE broadcasts the small side at runtime) and
+    * lift the per-(lang, bucket) windows — which run PARALLEL — to
+    * global running sums. Numerically identical to the single window,
+    * so the oracle SQL stays the plain per-language cumulative sum.
+    * Input must carry (doc_id, lang, tok). */
+  private[operators] def packShards(docs: org.apache.spark.sql.DataFrame) = {
+    val b = docs.withColumn("b", floor(col("doc_id") / 8192L))
+    val wBuck = Window.partitionBy("lang").orderBy("b")
+    val offsets = b.groupBy("lang", "b").agg(sum("tok").as("bt"))
+      .withColumn("off", sum("bt").over(wBuck) - col("bt"))
+      .drop("bt")
+    val wIn = Window.partitionBy("lang", "b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(offsets, Seq("lang", "b"))
+      .withColumn("cum", sum("tok").over(wIn) + col("off"))
+      .groupBy(col("lang"),
+        ((col("cum") - col("tok")) / 2000L).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
+      .orderBy("lang", "shard")
+  }
+
   /** Token-budget shard packing: within each language, documents are
     * packed in doc_id order into shards of ≤ 2k whitespace tokens by a
-    * running-sum window — the streaming shard assignment a training-data
-    * writer uses. Partitioning by language keeps the window parallel
-    * (one global ordering would serialize at 100 TB; per-stratum
-    * packing is also what a curriculum mixer wants). */
+    * running sum — the streaming shard assignment a training-data
+    * writer uses. The running sum is the de-skewed two-level
+    * [[packShards]] (per-stratum packing is also what a curriculum
+    * mixer wants). */
   val shardPacking: NamedQuery = NamedQuery("q97_shard_packing",
     Some("""WITH t AS (SELECT doc_id, lang,
            |  len(string_split(text, ' ')) AS tok FROM documents),
@@ -55,18 +82,10 @@ object CurationOps {
            |SELECT lang, CAST((cum - tok) // 2000 AS BIGINT) AS shard,
            |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens
            |FROM c GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin),
-    (s, d) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (s, d) => packShards(
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("tok"))
-        .withColumn("cum", sum("tok").over(w))
-        .groupBy(col("lang"),
-          ((col("cum") - col("tok")) / 2000L).cast("long").as("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
-        .orderBy("lang", "shard")
-    })
+          size(split(col("text"), " ")).cast("long").as("tok"))))
 
   /** Vocabulary building: top-10 tokens per language by frequency (the
     * seed statistics a tokenizer trainer consumes). Explode → two-level
@@ -153,13 +172,7 @@ object CurationOps {
         .filter(col("tok") >= 20)
         .join(broadcast(rates), Seq("lang"))
         .filter(col("doc_id") % 97 < col("pct"))
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      kept.withColumn("cum", sum("tok").over(w))
-        .groupBy(col("lang"),
-          ((col("cum") - col("tok")) / 2000L).cast("long").as("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
-        .orderBy("lang", "shard")
+      packShards(kept.select("doc_id", "lang", "tok"))
     })
 
   def defs: Seq[NamedQuery] =

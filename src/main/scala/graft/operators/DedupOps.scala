@@ -33,7 +33,12 @@ object DedupOps {
         .shingleHashArray(col("text"), 3)).as("s"))
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("s")
-    sh.join(broadcast(hot), Seq("s"), "left_anti").select("doc_id", "s")
+    // hot-shingle set is vocabulary-scale, but on a web corpus
+    // "vocabulary-scale" can exceed the broadcast limit — gate the hint
+    // on the corpus scan size (an upper bound on the distinct-shingle
+    // footprint); over it, AQE picks the strategy at runtime
+    sh.join(NamedQuery.maybeBroadcast(hot, docs, 100L << 20),
+      Seq("s"), "left_anti").select("doc_id", "s")
   }
 
   /** The shingle stage is corpus-level, not query-level: a production

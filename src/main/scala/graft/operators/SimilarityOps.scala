@@ -290,27 +290,39 @@ object SimilarityOps {
   /** Oracle-checked audit of the LSH ANN pass against the exact
     * nearest-neighbor baseline: the corpus count hash-matches outright;
     * nearly every vector must receive a neighbor (coverage ≥ 0.95 — a
-    * singleton bucket yields none); no reported similarity may beat the
-    * true best (beyond 4-dp rounding); and the mean reported similarity
-    * must stay within 0.2 of the mean true best (measured gap ≈ 0.11 on
-    * the near-random synthetic embeddings — real clustered corpora do
-    * far better; the floor pins the pass from collapsing). */
+    * singleton bucket yields none, and coverage is measured over the
+    * WHOLE corpus from the LSH output itself); no reported similarity
+    * may beat the true best (beyond 4-dp rounding); and the mean
+    * reported similarity must stay within 0.2 of the mean true best
+    * (measured gap ≈ 0.11 on the near-random synthetic embeddings —
+    * real clustered corpora do far better; the floor pins the pass from
+    * collapsing). The exact side runs only for a FIXED 100-query probe
+    * set (like q122's `vec_id < 10`): O(100·n) with the probes
+    * broadcast, so the audit stays runnable at every scale tier — the
+    * round-3 all-pairs formulation was O(n²) and died past sf0.1. */
   val annLshAudit: NamedQuery = NamedQuery("q121_ann_lsh_audit",
     Some("""SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS coverage_ok,
            |true AS bounds_ok, true AS gap_ok FROM embeddings""".stripMargin),
     (s, d) => {
       val e = t(s, d, "embeddings").select("vec_id", "embedding")
-      val best = e.toDF("vec_id", "emb_a")
-        .join(e.toDF("id_b", "emb_b"), col("vec_id") =!= col("id_b"))
-        .groupBy("vec_id")
-        .agg(max(cosineSim(col("emb_a"), col("emb_b"))).as("best_cos"))
-      val lsh = annLsh.fn(s, d).select("vec_id", "cos_sim")
-      best.join(lsh, Seq("vec_id"), "left_outer").agg(
+      val probes = e.filter(col("vec_id") < 100).toDF("qid", "q_emb")
+      val best = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid")
+        .agg(max(cosineSim(col("q_emb"), col("embedding"))).as("best_cos"))
+      // two consumers (corpus-wide coverage + probe-set bounds) in
+      // different jobs: cache, or the LSH pipeline re-runs per consumer
+      val lsh = annLsh.fn(s, d).select("vec_id", "cos_sim").cache()
+      val cov = e.join(lsh, Seq("vec_id"), "left_outer").agg(
         count(lit(1)).as("n_vecs"),
         (count(col("cos_sim")) * 1.0 >= count(lit(1)) * 0.95)
-          .as("coverage_ok"),
-        (max(col("cos_sim") - col("best_cos")) <= 1e-3).as("bounds_ok"),
-        (avg(col("cos_sim")) >= avg(col("best_cos")) - 0.2).as("gap_ok"))
+          .as("coverage_ok"))
+      val samp = best.join(lsh, col("qid") === col("vec_id"), "left_outer")
+        .agg(
+          (max(col("cos_sim") - col("best_cos")) <= 1e-3).as("bounds_ok"),
+          (avg(col("cos_sim")) >= avg(col("best_cos")) - 0.2).as("gap_ok"))
+      cov.crossJoin(samp)
+        .select("n_vecs", "coverage_ok", "bounds_ok", "gap_ok")
     })
 
   /** Oracle-checked audit of the IVF ANN pass: each of the 10 probe

@@ -88,6 +88,31 @@ class PlanQualitySpec extends SparkSpec {
       "shard packing serialized into one partition")
   }
 
+  test("q97/q123 windows over corpus-scaling inputs carry a de-skew key") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Window => LWindow}
+    // a window partitioned ONLY on a key of O(languages) cardinality
+    // serializes one language (half a real corpus) into one task; such a
+    // window is legal only over a frame already collapsed by aggregation
+    // (per-bucket totals — corpus/8192 rows). Detect: any leaf reachable
+    // without crossing an Aggregate means the input scales with the corpus.
+    def rawLeafUnder(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: LeafNode => true
+      case other => other.children.exists(rawLeafUnder)
+    }
+    for (name <- Seq("q97_shard_packing", "q123_curation_pipeline")) {
+      val plan = castToImpl(SparkEntry.queries(name)(spark, sf))
+        .queryExecution.optimizedPlan
+      val wins = plan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name lost its running-sum windows")
+      wins.foreach { w =>
+        assert(w.partitionSpec.size >= 2 || !rawLeafUnder(w.child),
+          s"$name has a window over a corpus-scaling input partitioned " +
+            s"only on ${w.partitionSpec} — single-task skew at scale")
+      }
+    }
+  }
+
   test("no query plan reads driver-materialized data (collect-free law)") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     // q67's memory sink is the stream test harness's sink (production

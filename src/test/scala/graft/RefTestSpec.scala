@@ -10,12 +10,12 @@ import scala.jdk.CollectionConverters._
   * no-ops/equivalents) and every `query` block's expected output must
   * match.
   *
-  * Excluded files (3 of 22): test_extension_loading (loads a native
+  * Excluded files (2 of 22): test_extension_loading (loads a native
   * DuckDB extension binary), remote_execution (its assertions are
-  * commented out upstream), test_registration (drives a live Flight
-  * server). Everything else replays, including type_support (unsigned /
-  * HUGEINT / TIME / INTERVAL carries) and both row-group partitioning
-  * tiers.
+  * commented out upstream). Everything else replays, including
+  * test_registration (dynamic worker/driver registration against the
+  * engine's explicit worker registry), type_support (unsigned / HUGEINT /
+  * TIME / INTERVAL carries) and both row-group partitioning tiers.
   */
 class RefTestSpec extends SparkSpec {
 
@@ -98,10 +98,22 @@ class RefTestSpec extends SparkSpec {
       None
     } else if (lower.contains("duckherder_clear_query_recorder_stats")) {
       engine.clearStats(); None
+    } else if (lower.contains("duckherder_start_standalone_worker")) {
+      // a standalone worker process exists but is not yet part of the
+      // pool: flips the engine to the explicit-registry view (count 0
+      // until registered), mirroring the reference's dynamic flow
+      engine.enableWorkerRegistry(); None
+    } else if (lower.contains("duckherder_register_worker")) {
+      val args = "'([^']*)'".r.findAllMatchIn(sql).map(_.group(1)).toList
+      engine.registerWorker(args.headOption.getOrElse(""),
+        args.lift(1).getOrElse(""))
+      None
+    } else if (lower.contains("duckherder_register_or_replace_driver")) {
+      val args = "'([^']*)'".r.findAllMatchIn(sql).map(_.group(1)).toList
+      engine.registerOrReplaceDriver(args.headOption.getOrElse(""),
+        args.lift(1).getOrElse(""))
+      None
     } else if (lower.contains("duckherder_start_local_server")
-      || lower.contains("duckherder_register_or_replace_driver")
-      || lower.contains("duckherder_start_standalone_worker")
-      || lower.contains("duckherder_register_worker")
       || lower.contains("duckherder_load_extension")
       || lower.startsWith("attach ") || lower.startsWith("use ")) {
       None
@@ -111,7 +123,10 @@ class RefTestSpec extends SparkSpec {
       // parameterless VARCHAR casts map to STRING; DuckDB's 1-based
       // NULL-on-out-of-bounds subscript maps to try_element_at and its
       // bracket list literals to array(...)
-      var q = sql.replaceAll("\\bdh\\.", "")
+      // `dh.` (the attached remote db) and `main.` (DuckDB's default
+      // schema, used by test_registration once `USE dh` is active) both
+      // resolve to the engine itself
+      var q = sql.replaceAll("\\bdh\\.", "").replaceAll("\\bmain\\.", "")
         .replaceAll("(?i)::VARCHAR\\b", "::STRING")
         .replaceAll("(\\w+)\\[(\\d+)\\]", "try_element_at($1, $2)")
         .replaceAll("(?<![\\w\\]])\\[([^\\[\\]]*)\\]", "array($1)")
@@ -284,6 +299,7 @@ class RefTestSpec extends SparkSpec {
     "group_by_distributed", "parallel_aggregation", "local_execution",
     "range_partitioning", "row_group_partitioning",
     "row_group_partitioning_medium", "registration",
+    "test_registration",
     "query_stats", "extension", "list_type_support",
     "type_support").foreach { f =>
     test(s"reference $f.test runs verbatim")(runFile(f))
