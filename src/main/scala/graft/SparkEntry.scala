@@ -55,6 +55,7 @@ object SparkEntry {
     "q05_agg_global", "q06_tpch_q1", "q12_join_agg", "q17_window_rank",
     "q30_events_hourly", "q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh",
     "q44_embedding_neardup", "q45_ann_topk", "q47_text_tokens",
-    "q94_percentiles_approx", "q57_events_sessions", "q58_asof_join",
+    "q94_percentiles_approx", "q56_percentiles", "q97_shard_packing",
+    "q57_events_sessions", "q58_asof_join",
     "q46_ann_lsh", "q68_tpch_q3", "q69_tpch_q5", "q123_curation_pipeline")
 }

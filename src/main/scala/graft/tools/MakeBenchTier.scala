@@ -34,8 +34,14 @@ object MakeBenchTier {
     import spark.implicits._
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    // Write fact tables as 32 files (⇒ ≥32 row groups): a single-file,
+    // single-row-group table caps every scan stage at ONE task — a row
+    // group is the atomic parquet split unit, so no setting can
+    // re-parallelize it afterwards. 32 matches the bench session's
+    // cores; a production lakehouse targets ~128 MB files the same way.
+    def wr(df: DataFrame, t: String, files: Int = 32): Unit =
+      (if (files > 1) df.repartition(files) else df.coalesce(1))
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1
 
@@ -46,8 +52,8 @@ object MakeBenchTier {
         d.withColumn(c, col(c) + col("copy") * span)
       }.drop("copy")
 
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
+    wr(rd("region"), "region", files = 1)
+    wr(rd("nation"), "nation", files = 1)
 
     val custSpan = maxOf(rd("customer"), "c_custkey")
     val suppSpan = maxOf(rd("supplier"), "s_suppkey")
@@ -64,8 +70,12 @@ object MakeBenchTier {
     val ev = rd("events")
     val evSpan = maxOf(ev, "event_id")
     val userSpan = maxOf(ev, "user_id")
-    wr(scaled(ev, "event_id" -> evSpan, "user_id" -> userSpan)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)")), "events")
+    // source ts is a nanos LONG when reading driver testdata
+    // (nanosAsLong), already a TIMESTAMP when re-scaling a generated tier
+    val evScaled = scaled(ev, "event_id" -> evSpan, "user_id" -> userSpan)
+    wr(if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      evScaled.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else evScaled, "events")
 
     val docs = rd("documents")
     val docSpan = maxOf(docs, "doc_id")
