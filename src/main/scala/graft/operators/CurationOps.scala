@@ -175,6 +175,52 @@ object CurationOps {
       packShards(kept.select("doc_id", "lang", "tok"))
     })
 
+  /** Train/eval contamination check — the n-gram-overlap audit every
+    * LLM data pipeline runs before training (an eval document whose
+    * 5-grams mostly appear in the training split is leaked): explode
+    * distinct 5-gram hashes on both splits, distinct the train side,
+    * semi-join, per-eval-doc hit ratio. At scale the eval split is
+    * metadata-sized next to the corpus, so AQE broadcasts the eval
+    * grams and the train side streams — no all-pairs comparison, one
+    * shuffle on 8-byte gram keys. */
+  val contamination: NamedQuery = NamedQuery("q129_contamination",
+    Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+           |  FROM documents),
+           |g AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(ws) - 3, 1)),
+           |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+           |         ws[i+3] || ' ' || ws[i+4]))) AS s FROM w),
+           |tg AS (SELECT DISTINCT s FROM g
+           |       WHERE source NOT IN ('src0', 'src1')),
+           |eg AS (SELECT doc_id, s FROM g WHERE source IN ('src0', 'src1')),
+           |hit AS (SELECT doc_id, count(*) AS n_hit FROM eg
+           |        JOIN tg USING (s) GROUP BY doc_id),
+           |tot AS (SELECT doc_id, count(*) AS n_grams FROM eg GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           |  coalesce(h.n_hit, 0) * 1.0 / t.n_grams >= 0.5 AS contaminated
+           |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id""".stripMargin),
+    (s, d) => {
+      val evalSrc = Seq("src0", "src1")
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(graft.functions.ShingleHashArray
+            .shingleHashArray(col("text"), 5)).as("g"))
+      val trainGrams = grams.filter(!col("source").isInCollection(evalSrc))
+        .select("g").distinct()
+      val evalGrams = grams.filter(col("source").isInCollection(evalSrc))
+        .select("doc_id", "g")
+      val hits = evalGrams.join(trainGrams, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      evalGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * 1.0 / col("n_grams") >= 0.5)
+            .as("contaminated"))
+    })
+
   def defs: Seq[NamedQuery] =
-    Seq(stratifiedSample, shardPacking, vocabTopK, curationPipeline)
+    Seq(stratifiedSample, shardPacking, vocabTopK, curationPipeline,
+      contamination)
 }

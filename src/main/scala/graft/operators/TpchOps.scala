@@ -253,7 +253,102 @@ object TpchOps {
       viewsSql(q, "supplier", "lineitem", "orders"))
   }
 
+  /** Q2 shape: min-cost supplier per part within a region — the
+    * correlated-scalar-subquery-over-an-aggregate pattern (the synthetic
+    * schema has no partsupp; per-(part, supplier) unit cost derives from
+    * lineitem). Catalyst decorrelates the subquery into an aggregate +
+    * join, so the "for each part" min never executes per-row. */
+  private val q2ish: NamedQuery = {
+    val q = """WITH cost AS (
+              |  SELECT l_partkey, l_suppkey,
+              |    min(CAST(l_extendedprice AS DOUBLE) /
+              |        CAST(l_quantity AS DOUBLE)) AS unit_cost
+              |  FROM lineitem GROUP BY 1, 2)
+              |SELECT p_partkey, p_name, s_name,
+              |  round(c.unit_cost, 4) AS best_cost
+              |FROM part p
+              |JOIN cost c ON p_partkey = c.l_partkey
+              |JOIN supplier s ON s_suppkey = c.l_suppkey
+              |JOIN nation n ON s_nationkey = n_nationkey
+              |JOIN region r ON n_regionkey = r_regionkey
+              |WHERE r_name = 'EUROPE' AND p_size <= 5
+              |  AND c.unit_cost = (
+              |    SELECT min(c2.unit_cost) FROM cost c2
+              |    JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+              |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              |    WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')""".stripMargin
+    NamedQuery("q124_tpch_q2", Some(q),
+      viewsSql(q, "part", "lineitem", "supplier", "nation", "region"))
+  }
+
+  /** Q6: the forecast-revenue filter-aggregate — fully pushed-down
+    * predicates, one partial+final sum, zero joins. */
+  private val q6ish: NamedQuery = {
+    val q = """SELECT round(sum(CAST(l_extendedprice AS DOUBLE) * l_discount), 2)
+              |  AS revenue
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+    NamedQuery("q125_tpch_q6", Some(q), viewsSql(q, "lineitem"))
+  }
+
+  /** Q11 shape: parts whose value within one region exceeds a global
+    * threshold — the group-sum vs scalar-subquery-over-the-same-CTE
+    * pattern; the CTE is read twice (per-part sums and the corpus-wide
+    * average), both from one shuffled aggregate. The avg-based cut is
+    * scale-free (TPC-H's 0.0001/SF fraction in spirit): it selects
+    * above-average parts at every sf tier. */
+  private val q11ish: NamedQuery = {
+    val q = """WITH val AS (
+              |  SELECT l_partkey, sum(CAST(l_extendedprice AS DOUBLE)) AS v
+              |  FROM lineitem
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  WHERE n_regionkey = 3
+              |  GROUP BY l_partkey)
+              |SELECT l_partkey, round(v, 2) AS part_value
+              |FROM val
+              |WHERE v > (SELECT avg(v) * 1.5 FROM val)""".stripMargin
+    NamedQuery("q126_tpch_q11", Some(q),
+      viewsSql(q, "lineitem", "supplier", "nation"))
+  }
+
+  /** Q12 shape: per-category conditional priority counts over the
+    * orders⋈lineitem join (the synthetic schema has no l_shipmode;
+    * return flag plays the category and shipped-after-order the lateness
+    * predicate). */
+  private val q12ish: NamedQuery = {
+    val q = """SELECT l_returnflag,
+              |CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              |  THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+              |CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+              |  THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE l_shipdate >= o_orderdate
+              |GROUP BY l_returnflag""".stripMargin
+    NamedQuery("q127_tpch_q12", Some(q), viewsSql(q, "orders", "lineitem"))
+  }
+
+  /** Q20 shape: suppliers moving excess volume of matching parts — the
+    * nested IN (semi-join) over a grouped HAVING over another IN. */
+  private val q20ish: NamedQuery = {
+    val q = """SELECT s_suppkey, s_name
+              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |WHERE n_regionkey = 2
+              |  AND s_suppkey IN (
+              |    SELECT l_suppkey FROM lineitem
+              |    WHERE l_partkey IN
+              |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              |    GROUP BY l_suppkey, l_partkey
+              |    HAVING sum(l_quantity) > 50)""".stripMargin
+    NamedQuery("q128_tpch_q20", Some(q),
+      viewsSql(q, "supplier", "nation", "lineitem", "part"))
+  }
+
   def defs: Seq[NamedQuery] =
     Seq(q4ish, q10ish, q13ish, q16ish, q18ish, q22ish,
-      q7ish, q8ish, q9ish, q14ish, q15ish, q17ish, q19ish, q21ish)
+      q7ish, q8ish, q9ish, q14ish, q15ish, q17ish, q19ish, q21ish,
+      q2ish, q6ish, q11ish, q12ish, q20ish)
 }
