@@ -18,7 +18,8 @@ object SparkEntry {
     Relational.defs ++ TypeOps.defs ++ AdvancedOps.defs ++ JoinOps.defs ++
       ExtrasOps.defs ++ TpchOps.defs ++ DmlOps.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ TextOps.defs ++
-      MultimodalOps.defs ++ StreamingOps.defs ++ CurationOps.defs
+      MultimodalOps.defs ++ StreamingOps.defs ++ CurationOps.defs ++
+      SourceOps.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

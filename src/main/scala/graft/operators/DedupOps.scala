@@ -355,7 +355,55 @@ object DedupOps {
           (col("bad") === 0).as("sane_ok"))
     })
 
+  /** Passage-level dedup (Lee et al. 2022): rather than dropping whole
+    * documents, remove the repeated SPANS — any 10-word non-overlapping
+    * chunk already seen earlier in the corpus (global first occurrence
+    * ordered by (doc_id, position) survives; all later occurrences,
+    * including within-document repeats, are cut) — and reassemble each
+    * document from its surviving chunks.
+    *
+    * Scale shape: chunking stays inside the scan stage (codegen'd
+    * [[graft.functions.WordChunks]], no shuffle); the first-occurrence
+    * rule is ONE shuffle on the chunk text (a bounded ≤ ~10-word string
+    * key — hashing it to 8 bytes would merge colliding chunks and make
+    * the result engine-defined, so the exact key is kept); reassembly is
+    * ONE shuffle back on doc_id. No self-join, no quadratic pair set —
+    * at 100 TB this is two shuffles of the corpus, the same cost class
+    * as exact dedup. */
+  val passageDedup: NamedQuery = NamedQuery("q130_passage_dedup",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |  FROM documents),
+           |c AS (SELECT doc_id, i AS ci,
+           |    list_aggregate(ws[(i-1)*10+1:i*10], 'string_agg', ' ') AS chunk
+           |  FROM w, unnest(range(1,
+           |    CAST(ceil(len(ws) / 10.0) AS BIGINT) + 1)) t(i)),
+           |r AS (SELECT doc_id, ci, chunk, row_number()
+           |    OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn FROM c)
+           |SELECT doc_id,
+           |  coalesce(string_agg(chunk, ' ' ORDER BY ci)
+           |    FILTER (WHERE rn = 1), '') AS text_clean,
+           |  CAST(count(*) AS BIGINT) AS n_chunks,
+           |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+           |FROM r GROUP BY doc_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = t(s, d, "documents").select(col("doc_id"),
+        posexplode(graft.functions.WordChunks.wordChunks(col("text"), 10))
+          .as(Seq("pos", "chunk")))
+        .select(col("doc_id"), (col("pos") + 1).as("ci"), col("chunk"))
+      val rn = row_number()
+        .over(Window.partitionBy("chunk").orderBy("doc_id", "ci"))
+      chunks.withColumn("rn", rn)
+        .groupBy("doc_id").agg(
+          coalesce(array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("ci"), col("chunk"))))),
+            kv => kv.getField("chunk")), " "), lit("")).as("text_clean"),
+          count(lit(1)).as("n_chunks"),
+          count_if(col("rn") > 1).as("n_removed"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters,
-      minhashAudit, simhashAudit)
+      minhashAudit, simhashAudit, passageDedup)
 }

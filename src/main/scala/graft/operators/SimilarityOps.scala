@@ -366,6 +366,45 @@ object SimilarityOps {
         (max(col("ivf_best") - col("true_best")) <= 1e-3).as("bounds_ok"))
     })
 
+  /** Embedding near-dup CLUSTERS: connected components over the exact
+    * cosine pair graph (q44's tiled self-join feeds the same
+    * large-star/small-star rounds as the text-side q95), each vector
+    * labeled with its component's min vec_id — the semantic-dedup
+    * variant of near-dup clustering, where the pipeline keeps one
+    * representative per embedding cluster. O(log n)-round convergence
+    * on any cluster shape; no driver materialization. Oracle: the same
+    * components via a recursive transitive-closure CTE over the q44
+    * pair SQL. */
+  val embeddingClusters: NamedQuery = NamedQuery("q134_embedding_clusters",
+    Some(s"""WITH RECURSIVE
+            |p AS (SELECT id_a, id_b FROM (${embeddingNearDup.oracle.get}) t),
+            |edges AS (SELECT id_a AS s, id_b AS d FROM p
+            |          UNION SELECT id_b, id_a FROM p),
+            |reach(a, b) AS (
+            |  SELECT s, d FROM edges
+            |  UNION
+            |  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s),
+            |rep AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_rep
+            |        FROM reach GROUP BY a)
+            |SELECT vec_id, cluster_rep,
+            |  count(*) OVER (PARTITION BY cluster_rep) AS n_members
+            |FROM rep ORDER BY vec_id""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = embeddingNearDup.fn(s, d).select("id_a", "id_b")
+      val stars = DedupOps.connectedComponents(pairs)
+      val labels = stars.select(col("doc_id").as("vec_id"), col("rep"))
+        .union(stars.select(col("rep")).distinct()
+          .select(col("rep").as("vec_id"), col("rep")))
+      labels
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("rep")))
+        .select(col("vec_id"), col("rep").as("cluster_rep"),
+          col("n_members"))
+        .orderBy("vec_id")
+    })
+
   def defs: Seq[NamedQuery] =
-    Seq(embeddingNearDup, annTopK, annLsh, annIvf, annLshAudit, annIvfAudit)
+    Seq(embeddingNearDup, annTopK, annLsh, annIvf, annLshAudit, annIvfAudit,
+      embeddingClusters)
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Source/sink connector coverage (SURVEY.md §2.3): the reference's only
+  * native source is DuckDB storage, with parquet/json readers loadable as
+  * extensions (`duckherder_load_extension`, docs/README.md Usage); Spark
+  * ships CSV and JSON connectors natively. These queries PROVE that
+  * surface rather than claim it: each writes a driver table out through
+  * the connector, reads it back with an explicit schema, and emits an
+  * aggregate + row-fidelity check that the DuckDB oracle recomputes from
+  * the original parquet — any value mangled in transit (quoting,
+  * timestamp rendering, float text round-trip, unicode) flips the hash.
+  *
+  * Scale shape: both writer and reader are the distributed connectors —
+  * one file per partition out, line-splittable scans back (CSV/JSON scans
+  * parallelize per file; at 100 TB the write fans out across executors
+  * and the read re-splits). The local temp dir stands in for the object
+  * store an actual deployment would target.
+  */
+object SourceOps {
+
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_roundtrip_$name"
+
+  /** CSV round-trip on `orders` (BIGINT, VARCHAR, DOUBLE, TIMESTAMP):
+    * write → schema-read → join back to the original on the key and
+    * aggregate per status, counting any row whose re-read columns differ.
+    * Doubles survive via Spark's shortest-round-trip rendering;
+    * timestamps via the ISO writer format. */
+  val csvRoundtrip: NamedQuery = NamedQuery("q132_csv_roundtrip",
+    Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           |  round(sum(o_totalprice), 2) AS total,
+           |  min(o_orderdate) AS first_date,
+           |  CAST(0 AS BIGINT) AS n_mismatch
+           |FROM orders GROUP BY o_orderstatus""".stripMargin),
+    (s, d) => {
+      val orders = t(s, d, "orders")
+      val dir = tmp("csv_orders")
+      orders.write.mode("overwrite").option("header", "true").csv(dir)
+      val back = s.read.option("header", "true").schema(orders.schema)
+        .csv(dir)
+      val orig = orders.select(col("o_orderkey"),
+        col("o_custkey").as("x_custkey"),
+        col("o_orderstatus").as("x_status"),
+        col("o_totalprice").as("x_price"),
+        col("o_orderdate").as("x_date"),
+        col("o_orderpriority").as("x_priority"))
+      back.join(orig, Seq("o_orderkey"))
+        .groupBy("o_orderstatus").agg(
+          count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"),
+          min("o_orderdate").as("first_date"),
+          count_if(col("o_custkey") =!= col("x_custkey") ||
+            col("o_orderstatus") =!= col("x_status") ||
+            col("o_totalprice") =!= col("x_price") ||
+            col("o_orderdate") =!= col("x_date") ||
+            col("o_orderpriority") =!= col("x_priority")).as("n_mismatch"))
+    })
+
+  /** JSON round-trip on `documents` (free text with spaces/quoting is the
+    * hazard): write → schema-read → per-source aggregate + text-identity
+    * check against the original. */
+  val jsonRoundtrip: NamedQuery = NamedQuery("q133_json_roundtrip",
+    Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |  CAST(0 AS BIGINT) AS n_mismatch
+           |FROM documents GROUP BY source""".stripMargin),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = tmp("json_documents")
+      docs.write.mode("overwrite").json(dir)
+      val back = s.read.schema(docs.schema).json(dir)
+      val orig = docs.select(col("doc_id"), col("text").as("x_text"),
+        col("lang").as("x_lang"), col("n_chars").as("x_chars"))
+      back.join(orig, Seq("doc_id"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          countDistinct("lang").as("n_langs"),
+          count_if(col("text") =!= col("x_text") ||
+            col("lang") =!= col("x_lang") ||
+            col("n_chars") =!= col("x_chars")).as("n_mismatch"))
+    })
+
+  def defs: Seq[NamedQuery] = Seq(csvRoundtrip, jsonRoundtrip)
+}

@@ -238,7 +238,61 @@ object TextOps {
             col("n_compressed") <= col("n_bytes") + 64).as("ratio_ok"))
     })
 
+  /** One-pass heavy-hitters over the token stream via the Misra–Gries
+    * sketch ([[graft.functions.MisraGries]], k = 16 counters < the
+    * corpus vocabulary, so the decrement/merge paths genuinely run),
+    * oracle-audited on its invariants: every token with true frequency
+    * above N/(k+1) must be among the candidates (`guarantee_ok`), every
+    * candidate's exact count must sit inside its [lo, hi] certificate
+    * (`bounds_ok` — MG never overcounts; the carried decrement total
+    * bounds the undercount), and the state never exceeds k counters
+    * (`size_ok`). The candidate SET itself is execution-order-dependent
+    * (true of any MG run), so the oracle asserts the properties; the
+    * exact token/heavy counts hash-match outright. */
+  val heavyHitters: NamedQuery = NamedQuery("q131_heavy_hitters_audit",
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |e AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM t)
+           |SELECT n_tokens,
+           |  CAST((SELECT count(*) FROM e
+           |        WHERE c > n_tokens / 17.0) AS BIGINT) AS n_heavy,
+           |  true AS guarantee_ok, true AS bounds_ok, true AS size_ok
+           |FROM n""".stripMargin),
+    (s, d) => {
+      val k = 16
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok")).cache()
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val cand = toks
+        .agg(graft.functions.MisraGries.misraGries(col("tok"), k).as("mg"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("n_tokens"), explode(col("mg")).as("e"))
+        .select(col("n_tokens"), col("e.token").as("tok"),
+          col("e.lo"), col("e.hi"))
+      // bounds: every candidate's exact count within [lo, hi]; ≤ k rows
+      val boundsSide = cand.join(exact, Seq("tok"), "left_outer").agg(
+        first("n_tokens").as("n_tokens"),
+        count_if(col("c").isNull || col("c") < col("lo") ||
+          col("c") > col("hi")).as("bad_bounds"),
+        count(lit(1)).as("n_cand"))
+      // guarantee: no token above the N/(k+1) line missing from candidates
+      val heavySide = exact
+        .join(boundsSide.select("n_tokens"))
+        .filter(col("c") > col("n_tokens") / (k + 1).toDouble)
+        .join(cand.select("tok"), Seq("tok"), "left_anti")
+        .agg(count(lit(1)).as("n_missing"))
+      val nHeavy = exact.join(boundsSide.select("n_tokens"))
+        .filter(col("c") > col("n_tokens") / (k + 1).toDouble)
+        .agg(count(lit(1)).as("n_heavy"))
+      boundsSide.join(heavySide).join(nHeavy).select(
+        col("n_tokens"), col("n_heavy"),
+        (col("n_missing") === 0L).as("guarantee_ok"),
+        (col("bad_bounds") === 0L).as("bounds_ok"),
+        (col("n_cand") <= k.toLong).as("size_ok"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
-      piiScrub, normalize, repetition)
+      piiScrub, normalize, repetition, heavyHitters)
 }
