@@ -182,7 +182,11 @@ object CurationOps {
     * semi-join, per-eval-doc hit ratio. At scale the eval split is
     * metadata-sized next to the corpus, so AQE broadcasts the eval
     * grams and the train side streams — no all-pairs comparison, one
-    * shuffle on 8-byte gram keys. */
+    * shuffle on the gram keys. Grams are EXACT strings (ShingleArray),
+    * matching the oracle's string comparison bit-for-bit: a hashed
+    * formulation (ShingleHashArray) would be cheaper per key but an
+    * engine-defined 64-bit collision could flip the oracle hash — the
+    * same reason q130 compares exact passages. */
   val contamination: NamedQuery = NamedQuery("q129_contamination",
     Some("""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
            |  FROM documents),
@@ -204,8 +208,8 @@ object CurationOps {
       val evalSrc = Seq("src0", "src1")
       val grams = t(s, d, "documents")
         .select(col("doc_id"), col("source"),
-          explode(graft.functions.ShingleHashArray
-            .shingleHashArray(col("text"), 5)).as("g"))
+          explode(graft.functions.ShingleArray
+            .shingleArray(col("text"), 5)).as("g"))
       val trainGrams = grams.filter(!col("source").isInCollection(evalSrc))
         .select("g").distinct()
       val evalGrams = grams.filter(col("source").isInCollection(evalSrc))

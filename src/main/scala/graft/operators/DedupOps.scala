@@ -364,12 +364,17 @@ object DedupOps {
     *
     * Scale shape: chunking stays inside the scan stage (codegen'd
     * [[graft.functions.WordChunks]], no shuffle); the first-occurrence
-    * rule is ONE shuffle on the chunk text (a bounded ≤ ~10-word string
-    * key — hashing it to 8 bytes would merge colliding chunks and make
-    * the result engine-defined, so the exact key is kept); reassembly is
-    * ONE shuffle back on doc_id. No self-join, no quadratic pair set —
-    * at 100 TB this is two shuffles of the corpus, the same cost class
-    * as exact dedup. */
+    * rule is a combiner-friendly `min(struct(doc_id, ci))` aggregation
+    * on the chunk text (a bounded ≤ ~10-word string key — hashing it to
+    * 8 bytes would merge colliding chunks and make the result
+    * engine-defined, so the exact key is kept) joined back to the
+    * occurrences; reassembly is ONE shuffle back on doc_id. A
+    * row_number window PARTITION BY chunk would serialize a corpus-hot
+    * chunk (boilerplate repeated millions of times, empty-doc chunks)
+    * into one task — the aggregation partial-combines map-side and the
+    * equi-join is one AQE can skew-split, neither of which a window
+    * allows. No self-join, no quadratic pair set — at 100 TB this is
+    * three shuffles of the corpus, the same cost class as exact dedup. */
   val passageDedup: NamedQuery = NamedQuery("q130_passage_dedup",
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
            |  FROM documents),
@@ -386,21 +391,22 @@ object DedupOps {
            |  CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
            |FROM r GROUP BY doc_id""".stripMargin),
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val chunks = t(s, d, "documents").select(col("doc_id"),
         posexplode(graft.functions.WordChunks.wordChunks(col("text"), 10))
           .as(Seq("pos", "chunk")))
         .select(col("doc_id"), (col("pos") + 1).as("ci"), col("chunk"))
-      val rn = row_number()
-        .over(Window.partitionBy("chunk").orderBy("doc_id", "ci"))
-      chunks.withColumn("rn", rn)
+      val firsts = chunks.groupBy("chunk")
+        .agg(min(struct(col("doc_id"), col("ci"))).as("first_occ"))
+      chunks.join(firsts, Seq("chunk"))
+        .withColumn("is_first",
+          struct(col("doc_id"), col("ci")) === col("first_occ"))
         .groupBy("doc_id").agg(
           coalesce(array_join(transform(
-            array_sort(collect_list(when(col("rn") === 1,
+            array_sort(collect_list(when(col("is_first"),
               struct(col("ci"), col("chunk"))))),
             kv => kv.getField("chunk")), " "), lit("")).as("text_clean"),
           count(lit(1)).as("n_chunks"),
-          count_if(col("rn") > 1).as("n_removed"))
+          count_if(!col("is_first")).as("n_removed"))
     })
 
   def defs: Seq[NamedQuery] =

@@ -297,7 +297,7 @@ object SimilarityOps {
     * (measured gap ≈ 0.11 on the near-random synthetic embeddings —
     * real clustered corpora do far better; the floor pins the pass from
     * collapsing). The exact side runs only for a FIXED 100-query probe
-    * set (like q122's `vec_id < 10`): O(100·n) with the probes
+    * set (the 100 smallest vec_ids): O(100·n) with the probes
     * broadcast, so the audit stays runnable at every scale tier — the
     * round-3 all-pairs formulation was O(n²) and died past sf0.1. */
   val annLshAudit: NamedQuery = NamedQuery("q121_ann_lsh_audit",
@@ -305,7 +305,10 @@ object SimilarityOps {
            |true AS bounds_ok, true AS gap_ok FROM embeddings""".stripMargin),
     (s, d) => {
       val e = t(s, d, "embeddings").select("vec_id", "embedding")
-      val probes = e.filter(col("vec_id") < 100).toDF("qid", "q_emb")
+      // probe set = the 100 smallest vec_ids via sort+limit
+      // (TakeOrderedAndProject), not a literal `< 100` predicate: ids
+      // need not start at 0, and the set must never silently shrink
+      val probes = e.orderBy("vec_id").limit(100).toDF("qid", "q_emb")
       val best = e.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("qid"))
         .groupBy("qid")
@@ -317,10 +320,14 @@ object SimilarityOps {
         count(lit(1)).as("n_vecs"),
         (count(col("cos_sim")) * 1.0 >= count(lit(1)) * 0.95)
           .as("coverage_ok"))
+      // coalesce to false: if NO probe received an LSH neighbor, the
+      // aggregates are all-NULL and the audit must FAIL, not null out
       val samp = best.join(lsh, col("qid") === col("vec_id"), "left_outer")
         .agg(
-          (max(col("cos_sim") - col("best_cos")) <= 1e-3).as("bounds_ok"),
-          (avg(col("cos_sim")) >= avg(col("best_cos")) - 0.2).as("gap_ok"))
+          coalesce(max(col("cos_sim") - col("best_cos")) <= 1e-3,
+            lit(false)).as("bounds_ok"),
+          coalesce(avg(col("cos_sim")) >= avg(col("best_cos")) - 0.2,
+            lit(false)).as("gap_ok"))
       cov.crossJoin(samp)
         .select("n_vecs", "coverage_ok", "bounds_ok", "gap_ok")
     })

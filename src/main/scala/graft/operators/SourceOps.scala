@@ -53,11 +53,14 @@ object SourceOps {
           count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 2).as("total"),
           min("o_orderdate").as("first_date"),
-          count_if(col("o_custkey") =!= col("x_custkey") ||
-            col("o_orderstatus") =!= col("x_status") ||
-            col("o_totalprice") =!= col("x_price") ||
-            col("o_orderdate") =!= col("x_date") ||
-            col("o_orderpriority") =!= col("x_priority")).as("n_mismatch"))
+          // null-safe inequality: a value mangled into NULL by a
+          // PERMISSIVE-mode parse failure must COUNT as a mismatch, and
+          // plain =!= yields NULL (uncounted) on NULL input.
+          count_if(!(col("o_custkey") <=> col("x_custkey")) ||
+            !(col("o_orderstatus") <=> col("x_status")) ||
+            !(col("o_totalprice") <=> col("x_price")) ||
+            !(col("o_orderdate") <=> col("x_date")) ||
+            !(col("o_orderpriority") <=> col("x_priority"))).as("n_mismatch"))
     })
 
   /** JSON round-trip on `documents` (free text with spaces/quoting is the
@@ -81,9 +84,9 @@ object SourceOps {
           count(lit(1)).as("n_docs"),
           sum("n_chars").as("sum_chars"),
           countDistinct("lang").as("n_langs"),
-          count_if(col("text") =!= col("x_text") ||
-            col("lang") =!= col("x_lang") ||
-            col("n_chars") =!= col("x_chars")).as("n_mismatch"))
+          count_if(!(col("text") <=> col("x_text")) ||
+            !(col("lang") <=> col("x_lang")) ||
+            !(col("n_chars") <=> col("x_chars"))).as("n_mismatch"))
     })
 
   def defs: Seq[NamedQuery] = Seq(csvRoundtrip, jsonRoundtrip)

@@ -113,6 +113,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q130 first-occurrence rule is window-free (skew-splittable)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // a row_number window PARTITION BY chunk serializes a corpus-hot
+    // chunk into one task; the min-struct groupBy + equi-join keeps the
+    // hot key combinable map-side and AQE-splittable at the join
+    val plan = castToImpl(SparkEntry.queries("q130_passage_dedup")(spark, sf))
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.isEmpty,
+      s"q130 regressed to a window over per-chunk occurrences: $wins")
+  }
+
   test("no query plan reads driver-materialized data (collect-free law)") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     // q67's memory sink is the stream test harness's sink (production

@@ -125,8 +125,13 @@ class RefTestSpec extends SparkSpec {
       // bracket list literals to array(...)
       // `dh.` (the attached remote db) and `main.` (DuckDB's default
       // schema, used by test_registration once `USE dh` is active) both
-      // resolve to the engine itself
-      var q = sql.replaceAll("\\bdh\\.", "").replaceAll("\\bmain\\.", "")
+      // resolve to the engine itself. `dh.` qualifies arbitrary table
+      // names across the suite, so it strips as a prefix; `main.` only
+      // ever qualifies duckherder_* functions (test_registration), so
+      // strip exactly that — a literal or column named `main.x` in a
+      // future test file must NOT be rewritten.
+      var q = sql.replaceAll("\\bdh\\.", "")
+        .replaceAll("\\bmain\\.(duckherder_)", "$1")
         .replaceAll("(?i)::VARCHAR\\b", "::STRING")
         .replaceAll("(\\w+)\\[(\\d+)\\]", "try_element_at($1, $2)")
         .replaceAll("(?<![\\w\\]])\\[([^\\[\\]]*)\\]", "array($1)")
