@@ -224,7 +224,47 @@ object CurationOps {
             .as("contaminated"))
     })
 
+  /** Temperature-based domain mixing — the sampling-weight computation a
+    * multi-source training run uses to up-weight small domains (α = 0.5
+    * square-root scaling, the common "temperature" choice): per-source
+    * token mass → p_i = tok_i / Σtok → w_i ∝ √p_i normalized → token
+    * budget per 1M drawn. sqrt (not pow) on both sides: IEEE 754
+    * requires sqrt correctly rounded, so the doubles match bit-for-bit
+    * across engines, while pow(x, 0.5) may differ in the last ulp.
+    *
+    * Scale shape: one combiner-friendly aggregation collapses the corpus
+    * to O(sources) rows; the unpartitioned windows after it run on that
+    * tiny frame (same already-collapsed-by-aggregation exemption the
+    * q97 de-skew law encodes). */
+  val domainMixing: NamedQuery = NamedQuery("q135_domain_mixing",
+    Some("""WITH s AS (SELECT source, count(*) AS n_docs,
+           |  sum(len(string_split(text, ' '))) AS n_tokens
+           |  FROM documents GROUP BY source),
+           |w AS (SELECT source, n_docs, n_tokens,
+           |  sqrt(n_tokens * 1.0 / (SELECT sum(n_tokens) FROM s)) AS raw
+           |  FROM s)
+           |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  round(raw / sum(raw) OVER (), 6) AS weight,
+           |  CAST(floor(raw / sum(raw) OVER () * 1000000) AS BIGINT)
+           |    AS tokens_per_m
+           |FROM w ORDER BY source""".stripMargin),
+    (s, d) => {
+      val wAll = Window.partitionBy()
+      t(s, d, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("raw",
+          sqrt(col("n_tokens") * 1.0 / sum("n_tokens").over(wAll)))
+        .withColumn("wsum", sum("raw").over(wAll))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("raw") / col("wsum"), 6).as("weight"),
+          floor(col("raw") / col("wsum") * 1000000).cast("long")
+            .as("tokens_per_m"))
+        .orderBy("source")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(stratifiedSample, shardPacking, vocabTopK, curationPipeline,
-      contamination)
+      contamination, domainMixing)
 }

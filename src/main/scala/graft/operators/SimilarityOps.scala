@@ -411,7 +411,58 @@ object SimilarityOps {
         .orderBy("vec_id")
     })
 
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * compression an ANN serving tier applies before indexing (scale =
+    * max|x|/127 per vector, q_i = round(x_i/scale) clamped to ±127).
+    * The oracle recomputes the IDENTICAL quantization in DuckDB and
+    * compares exact integer checksums per label (Σ|q_i| and Σq_i over
+    * each label's vectors): every arithmetic step — float→double
+    * promotion, division, round-half-away, clamp — is deterministic
+    * IEEE 754, so a single off-by-one in any quantized value flips the
+    * hash. Zero vectors (scale = 0) are excluded identically on both
+    * sides.
+    *
+    * Scale shape: a narrow per-row transform (no shuffle) + one
+    * combiner-friendly aggregation on label; the higher-order-function
+    * lambdas stay off the hot path (this runs once per corpus snapshot,
+    * unlike the per-pair cosine which got a codegen'd expression). */
+  val embeddingQuantize: NamedQuery = NamedQuery("q139_embedding_quantize",
+    Some("""WITH q AS (SELECT vec_id, label,
+           |    CAST(embedding AS DOUBLE[]) AS e,
+           |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> abs(x))) / 127 AS scale
+           |  FROM embeddings),
+           |z AS (SELECT label,
+           |    list_transform(e, x ->
+           |      greatest(least(round(x / scale), 127), -127)) AS qv
+           |  FROM q WHERE scale > 0)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST(sum(list_sum(list_transform(qv, v -> abs(v))))
+           |    AS BIGINT) AS l1_sum,
+           |  CAST(sum(list_sum(qv)) AS BIGINT) AS signed_sum
+           |FROM z GROUP BY label ORDER BY label""".stripMargin),
+    (s, d) => {
+      val ed = transform(col("embedding"), x => x.cast("double"))
+      val qv = transform(col("e"), x =>
+        greatest(least(round(x / col("scale")), lit(127.0)), lit(-127.0)))
+      t(s, d, "embeddings")
+        .select(col("label"), ed.as("e"),
+          (array_max(transform(ed, x => abs(x))) / 127).as("scale"))
+        .filter(col("scale") > 0)
+        .select(col("label"), qv.as("qv"))
+        .select(col("label"),
+          aggregate(col("qv"), lit(0L), (a, v) =>
+            a + abs(v).cast("long")).as("l1"),
+          aggregate(col("qv"), lit(0L), (a, v) =>
+            a + v.cast("long")).as("sq"))
+        .groupBy("label").agg(
+          count(lit(1)).as("n_vecs"),
+          sum("l1").as("l1_sum"),
+          sum("sq").as("signed_sum"))
+        .orderBy("label")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(embeddingNearDup, annTopK, annLsh, annIvf, annLshAudit, annIvfAudit,
-      embeddingClusters)
+      embeddingClusters, embeddingQuantize)
 }

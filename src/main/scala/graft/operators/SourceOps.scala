@@ -89,5 +89,70 @@ object SourceOps {
             !(col("n_chars") <=> col("x_chars"))).as("n_mismatch"))
     })
 
-  def defs: Seq[NamedQuery] = Seq(csvRoundtrip, jsonRoundtrip)
+  /** ORC round-trip on `lineitem` (BIGINT/INTEGER/DOUBLE/VARCHAR/
+    * TIMESTAMP mix, composite key): the columnar sink/source pair next
+    * to parquet in any lakehouse. Same null-safe fidelity contract as
+    * the CSV/JSON trips — ORC is binary columnar so the hazard is type
+    * mapping (timestamp epoch/zone, double payload), not quoting. */
+  val orcRoundtrip: NamedQuery = NamedQuery("q136_orc_roundtrip",
+    Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(sum(l_extendedprice), 2) AS total,
+           |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+           |  min(l_shipdate) AS first_ship,
+           |  CAST(0 AS BIGINT) AS n_mismatch
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val dir = tmp("orc_lineitem")
+      li.write.mode("overwrite").orc(dir)
+      val back = s.read.schema(li.schema).orc(dir)
+      // (orderkey, linenumber) is NOT unique in this synthetic tier;
+      // the 4-column key is — a non-unique join key cross-matches rows
+      // and reports phantom mismatches
+      val key = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      val orig = li.select((key.map(col) :+
+        col("l_quantity").as("x_qty") :+
+        col("l_extendedprice").as("x_price") :+
+        col("l_returnflag").as("x_flag") :+
+        col("l_shipdate").as("x_ship")): _*)
+      back.join(orig, key)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("total"),
+          sum("l_linenumber").cast("long").as("sum_line"),
+          min("l_shipdate").as("first_ship"),
+          count_if(!(col("l_quantity") <=> col("x_qty")) ||
+            !(col("l_extendedprice") <=> col("x_price")) ||
+            !(col("l_returnflag") <=> col("x_flag")) ||
+            !(col("l_shipdate") <=> col("x_ship"))).as("n_mismatch"))
+    })
+
+  /** Hive-partitioned parquet sink (`partitionBy("lang")`) + pruned
+    * read-back — THE production layout for a multi-language corpus: a
+    * reader filtering on the partition column opens only that
+    * partition's directories. At 100 TB with ~30 languages this turns a
+    * full-corpus scan into a listing-time prune — no file of a filtered-
+    * out language is touched (PlanQualitySpec asserts the filter lands
+    * in PartitionFilters, not post-scan). The write itself fans out per
+    * (task, lang) — no shuffle, no single-writer bottleneck. */
+  val partitionedSink: NamedQuery = NamedQuery("q137_partitioned_sink",
+    Some("""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+           |FROM documents WHERE lang IN ('en', 'de')
+           |GROUP BY lang, source""".stripMargin),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = tmp("part_documents")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy("lang", "source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+    })
+
+  def defs: Seq[NamedQuery] =
+    Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, partitionedSink)
 }

@@ -292,7 +292,51 @@ object TextOps {
         (col("n_cand") <= k.toLong).as("size_ok"))
     })
 
+  /** TF-IDF top-3 terms per document — the classic salience scoring a
+    * curation pipeline uses for keyword extraction / topic tagging:
+    * tf(term, doc) × ln(N / df(term)), ranked per doc with rounded-score
+    * tie-break on the term so both engines order identically.
+    *
+    * Scale shape: explode → combiner-friendly (doc, term) count → df by
+    * a second partial-agg → equi-join on term (stopwords are corpus-hot
+    * keys: the join is AQE skew-splittable, and their idf ≈ 0 drops
+    * them from every top-3 anyway) → per-doc top-k via the row_number
+    * WindowGroupLimit (partition key is doc_id — corpus-cardinality, no
+    * skew). N rides along as a 1-row broadcast. */
+  val tfidf: NamedQuery = NamedQuery("q138_tfidf",
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT count(*) AS nn FROM documents),
+           |sc AS (SELECT doc_id, term, tf,
+           |  round(tf * ln(nn * 1.0 / df), 4) AS score FROM tf
+           |  JOIN df USING (term), n),
+           |rk AS (SELECT doc_id, term, tf, score, row_number()
+           |  OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+           |  FROM sc)
+           |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+           |  CAST(rk AS BIGINT) AS rk
+           |FROM rk WHERE rk <= 3""".stripMargin),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("nn") * 1.0 / col("df")), 4))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("score"),
+          col("rk"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
-      piiScrub, normalize, repetition, heavyHitters)
+      piiScrub, normalize, repetition, heavyHitters, tfidf)
 }

@@ -113,6 +113,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q137 lang filter prunes partitions at listing time") {
+    // the filter on the Hive partition column must land in the scan's
+    // PartitionFilters (directory-level prune — filtered-out languages'
+    // files are never opened), not run as a post-scan data filter
+    val df = SparkEntry.queries("q137_partitioned_sink")(spark, sf)
+    val scan = scans(df)
+    assert(scan.nonEmpty)
+    val pf = scan.head.partitionFilters.mkString(";")
+    assert(pf.contains("lang"),
+      s"lang filter did not reach PartitionFilters: $pf")
+    // pruned listing: the scan's numFiles metric must equal the file
+    // count of exactly the two selected language partitions on disk —
+    // strictly fewer than the full table
+    df.collect()
+    val read = scan.head.metrics("numFiles").value
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_roundtrip_part_documents")
+    def parquetCount(dir: java.io.File): Int =
+      Option(dir.listFiles).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    val selected = Seq("lang=en", "lang=de")
+      .map(l => parquetCount(new java.io.File(root, l))).sum
+    val total = Option(root.listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .map(parquetCount).sum
+    assert(selected > 0 && selected < total, s"bad fixture: $selected/$total")
+    assert(read == selected,
+      s"scan read $read files; pruned partitions hold $selected of $total")
+  }
+
   test("q130 first-occurrence rule is window-free (skew-splittable)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // a row_number window PARTITION BY chunk serializes a corpus-hot
