@@ -138,5 +138,70 @@ object JoinOps {
           (col("r_lt") <= 0.505 && col("r_le") >= 0.495).as("med_ok"))
     })
 
-  def defs: Seq[NamedQuery] = Seq(tpchQ3, tpchQ5, approxSketches)
+  /** Distributed range (interval) join — attribution shape: every
+    * purchase opens a 30-minute look-back window and aggregates the
+    * clicks (any user) falling inside it. Spark has no native interval
+    * join: the naive θ-join plans BroadcastNestedLoopJoin — O(P×C)
+    * comparisons — and even a slot-bucketed equi-join must ENUMERATE
+    * every (purchase, click) match, which is quadratic in event
+    * density: 2.77 G matched pairs at the sf10 tier (BENCH_NOTES), the
+    * cost any pair-materializing engine pays, native IEJoin included.
+    *
+    * Because the query's output is an ALGEBRAIC aggregate per probe
+    * (count + sum), the pairs never need to exist: time buckets into
+    * window-length (30 min) slots; each slot collapses its clicks into
+    * one sorted-timestamp + prefix-sum row and its window-intersecting
+    * purchases into one probe-array row (both plain collect_list
+    * aggregations); the codegen'd [[graft.functions.SlotRangeAgg]]
+    * kernel binary-searches each probe's half-open range — O(C log C +
+    * P log C) total, versus O(P·C) enumeration. A purchase spans ≤ 2
+    * slots and gets one partial from each (never overlapping — a
+    * slot's array holds only its own clicks), merged by a final
+    * combiner-friendly sum; purchases with zero clicks flow through
+    * the left join of probe-slots to click-slots, so no re-join
+    * against the purchase table is needed. Slot ids use integral
+    * `div` on unix_micros, never double division (a correctly-rounded
+    * quotient can round UP across the floor boundary). At 100 TB the
+    * slot width is the knob bounding per-slot array size (narrower
+    * slots ⇒ more, smaller groups); a corpus-hot slot would shard into
+    * (slot, salt) sub-arrays whose partials merge identically. The
+    * pair-enumerating variant stays the right plan only when the pair
+    * LIST itself is the output. PlanQualitySpec asserts no nested-loop
+    * join survives in the plan. */
+  val rangeJoin: NamedQuery = NamedQuery("q140_range_join",
+    Some("""WITH p AS (SELECT event_id, ts FROM events
+           |  WHERE event_type = 'purchase'),
+           |c AS (SELECT ts, value FROM events WHERE event_type = 'click')
+           |SELECT p.event_id, CAST(count(c.ts) AS BIGINT) AS n_clicks,
+           |  round(coalesce(sum(c.value), 0), 2) AS click_value
+           |FROM p LEFT JOIN c ON c.ts >= p.ts - INTERVAL 30 MINUTE
+           |  AND c.ts < p.ts
+           |GROUP BY p.event_id""".stripMargin),
+    (s, d) => {
+      val slotUs = 1800L * 1000000L // 30 min of microseconds
+      val ev = t(s, d, "events")
+      val pb = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("unix_micros(ts)").as("pus"))
+        .withColumn("slot", explode(sequence(
+          expr(s"(pus - $slotUs) div $slotUs"),
+          expr(s"pus div $slotUs"))))
+        .groupBy("slot")
+        .agg(collect_list(struct(col("event_id"), col("pus"))).as("parr"))
+      val cb = ev.filter(col("event_type") === "click")
+        .select(expr("unix_micros(ts)").as("cus"), col("value"))
+        .withColumn("slot", expr(s"cus div $slotUs"))
+        .groupBy("slot")
+        .agg(sort_array(collect_list(struct(col("cus"), col("value"))))
+          .as("carr"))
+      val emptyCarr =
+        expr("CAST(array() AS array<struct<cus: bigint, value: double>>)")
+      pb.join(cb, Seq("slot"), "left_outer")
+        .select(explode(graft.functions.SlotRangeAgg.slotRangeAgg(
+          col("parr"), coalesce(col("carr"), emptyCarr), slotUs)).as("r"))
+        .groupBy(col("r.id").as("event_id"))
+        .agg(sum("r.n").as("n_clicks"),
+          round(sum("r.sv"), 2).as("click_value"))
+    })
+
+  def defs: Seq[NamedQuery] = Seq(tpchQ3, tpchQ5, approxSketches, rangeJoin)
 }

@@ -320,20 +320,38 @@ object TextOps {
            |FROM rk WHERE rk <= 3""".stripMargin),
     (s, d) => {
       val docs = t(s, d, "documents")
+      // per-doc term counts computed IN-ROW (codegen'd TermCounts): all
+      // tokens of a doc live in one input row, so tf needs no shuffle —
+      // the explode → groupBy(doc_id, term) formulation exchanged one
+      // row per (doc, term) across the cluster, the largest stage of
+      // this query at sf1 (see TermCounts scaladoc)
       val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(graft.functions.TermCounts.termCounts(col("text")))
+            .as("tc"))
+        .select(col("doc_id"), col("tc.term").as("term"),
+          col("tc.tf").as("tf"))
+      // df aggregates map-side to vocab-sized partials before its one
+      // small shuffle; tf is cheap enough (scan + in-row counts) that
+      // recomputing it here beats caching a 5M-row frame
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("nn"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      // top-3 via aggregation, not a window: a row_number window plans
+      // sort + partial/final WindowGroupLimit over the full (doc, term)
+      // frame — two 5M-row sorts at sf1. The agg buffers one doc's terms
+      // (bounded by doc length), sorts ~150 elements in-memory, and
+      // slices — no frame-wide sort, one exchange on doc_id.
       tf.join(df, Seq("term")).crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * log(col("nn") * 1.0 / col("df")), 4))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
-        .select(col("doc_id"), col("term"), col("tf"), col("score"),
-          col("rk"))
+        .groupBy("doc_id").agg(
+          slice(array_sort(collect_list(struct(
+            (-col("score")).as("ns"), col("term"), col("tf"),
+            col("score")))), 1, 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")).as(Seq("i", "kv")))
+        .select(col("doc_id"), col("kv.term").as("term"),
+          col("kv.tf").as("tf"), col("kv.score").as("score"),
+          (col("i") + 1).cast("long").as("rk"))
     })
 
   def defs: Seq[NamedQuery] =

@@ -143,6 +143,17 @@ class PlanQualitySpec extends SparkSpec {
       s"scan read $read files; pruned partitions hold $selected of $total")
   }
 
+  test("q140 range join is bucketed (no nested-loop join in the plan)") {
+    // the θ-join formulation plans BroadcastNestedLoopJoin — O(P×C)
+    // comparisons; the slot-bucketed rewrite must keep it an equi-join
+    val df = SparkEntry.queries("q140_range_join")(spark, sf)
+    df.collect()
+    val s = planString(df)
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"),
+      "range join regressed to a nested-loop plan")
+  }
+
   test("q130 first-occurrence rule is window-free (skew-splittable)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     // a row_number window PARTITION BY chunk serializes a corpus-hot
