@@ -409,7 +409,39 @@ object DedupOps {
           count_if(!col("is_first")).as("n_removed"))
     })
 
+  /** Keep-BEST near-dup dedup — the production variant of q95: instead
+    * of keeping the min-id representative, each cluster keeps its
+    * highest-quality member (longest document, ties to the smaller id)
+    * — the "keep the best copy" rule a curation pipeline actually
+    * applies. Selection is an algebraic argmax — `max(struct(quality,
+    * -doc_id))` with map-side partial combine — never a per-cluster
+    * sort or row_number window, so a pathological giant cluster (every
+    * boilerplate page in a crawl) costs one combiner cell, not one
+    * task. */
+  val keepBest: NamedQuery = NamedQuery("q142_dedup_keep_best",
+    Some(s"""WITH best AS (SELECT t.cluster_rep, t.doc_id, d.n_chars,
+            |  row_number() OVER (PARTITION BY t.cluster_rep
+            |    ORDER BY d.n_chars DESC, t.doc_id) AS rk,
+            |  count(*) OVER (PARTITION BY t.cluster_rep) AS n_members
+            |FROM (${nearDupClusters.oracle.get}) t
+            |JOIN documents d USING (doc_id))
+            |SELECT cluster_rep, doc_id AS kept_doc,
+            |  CAST(n_chars AS BIGINT) AS kept_chars,
+            |  CAST(n_members AS BIGINT) AS n_members
+            |FROM best WHERE rk = 1 ORDER BY cluster_rep""".stripMargin),
+    (s, d) => {
+      val m = nearDupClusters.fn(s, d).select("doc_id", "cluster_rep")
+      val docs = t(s, d, "documents").select("doc_id", "n_chars")
+      m.join(docs, Seq("doc_id"))
+        .groupBy("cluster_rep").agg(
+          max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("m"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_rep"), (-col("m.negid")).as("kept_doc"),
+          col("m.n_chars").as("kept_chars"), col("n_members"))
+        .orderBy("cluster_rep")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters,
-      minhashAudit, simhashAudit, passageDedup)
+      minhashAudit, simhashAudit, passageDedup, keepBest)
 }

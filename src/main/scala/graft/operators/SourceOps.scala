@@ -153,6 +153,34 @@ object SourceOps {
           sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
     })
 
+  /** Globally range-sorted export: `repartitionByRange` +
+    * `sortWithinPartitions` writes shards that cover DISJOINT,
+    * internally-sorted key ranges — the binary-searchable layout a
+    * time-keyed lakehouse table wants (a reader seeking one date range
+    * opens one shard, and every shard's parquet footer min/max prunes
+    * row groups for free on BOTH engines). The range exchange samples
+    * key quantiles, so shards are balanced even on skewed keys.
+    * SourcesSpec reads each written file individually and asserts the
+    * disjoint-and-sorted property; the query itself hash-checks
+    * fidelity through the round-trip. */
+  val sortedExport: NamedQuery = NamedQuery("q141_sorted_export",
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+           |  round(sum(l_extendedprice), 2) AS total
+           |FROM lineitem""".stripMargin),
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val dir = tmp("sorted_lineitem")
+      li.repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir).agg(count(lit(1)).as("n_rows"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"),
+        round(sum("l_extendedprice"), 2).as("total"))
+    })
+
   def defs: Seq[NamedQuery] =
-    Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, partitionedSink)
+    Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, partitionedSink,
+      sortedExport)
 }

@@ -65,4 +65,32 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       engine.registerTable("nope", "/tmp/x", "avro"))
   }
+
+  test("q141 sorted export: shard key ranges are disjoint and sorted") {
+    // run the export (writes to the query's temp dir), then verify the
+    // layout property file-by-file: every shard covers a disjoint
+    // l_shipdate range and is internally non-decreasing — the
+    // binary-searchable layout the operator promises
+    SparkEntry.queries("q141_sorted_export")(spark, sf).collect()
+    val dir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_roundtrip_sorted_lineitem")
+    val files = Option(dir.listFiles).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.size >= 2, s"expected multiple shards, got ${files.size}")
+    val ranges = files.map { f =>
+      // cast to ISO string (sorts like the timestamp; the column reads
+      // back as NTZ, whose JVM type varies by reader settings)
+      val df = spark.read.parquet(f.getPath)
+        .select(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      // per-file sortedness: the read of ONE file is a single split at
+      // this size, so collect order is file order
+      val vals = df.collect().map(_.getString(0))
+      assert(vals.zip(vals.drop(1)).forall { case (a, b) => a <= b },
+        s"${f.getName} is not internally sorted")
+      (vals.head, vals.last)
+    }.sortBy(_._1)
+    ranges.zip(ranges.drop(1)).foreach { case ((_, hiA), (loB, _)) =>
+      assert(hiA <= loB, s"shard ranges overlap: $hiA > $loB")
+    }
+  }
 }
