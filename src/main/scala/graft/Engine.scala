@@ -564,6 +564,14 @@ class Engine private[graft] (val spark: SparkSession) {
     * data stays distributed (unionByName of DataFrames). */
   def insertInto(name: String, df: DataFrame): Unit = {
     val e = registry.getOrElse(name, missing(name))
+    put(name, e.df.unionByName(coerceAndValidate(name, e, df)))
+  }
+
+  /** Shared INSERT/MERGE ingress path: positional column alignment, the
+    * implicit DuckDB-style coercions, and the delta-bounded NOT NULL +
+    * ENUM constraint probes. Throws (table untouched) on violation. */
+  private def coerceAndValidate(name: String, e: TableEntry,
+      df: DataFrame): DataFrame = {
     val aligned0 = df.toDF(e.df.columns.toIndexedSeq: _*)
     // degraded-carry columns first: ANSI interval input → comparable
     // struct (cast cannot), before the generic cast pass below
@@ -622,7 +630,40 @@ class Engine private[graft] (val spark: SparkSession) {
               s" to enum type $en")
       }
     }
-    put(name, e.df.unionByName(aligned))
+    aligned
+  }
+
+  /** MERGE (upsert) as copy-on-write — beyond the reference's DML verb
+    * set (INSERT/DELETE only): source rows matching the target on `keys`
+    * REPLACE the matched rows whole-row; unmatched source rows append.
+    * One left-anti join keeps the untouched target rows, one union
+    * appends the source — shuffles on the key columns, never a driver
+    * collect; at file-table scale this is the per-file rewrite
+    * Delta/Iceberg perform. Standard MERGE forbids updating one target
+    * row twice, so a source with duplicate keys raises (checked with a
+    * bounded probe). NULL key values never equal anything (SQL join
+    * semantics) — such source rows insert. Returns (updated, inserted). */
+  def mergeInto(name: String, source: DataFrame,
+      keys: Seq[String]): (Long, Long) = {
+    require(keys.nonEmpty, "MERGE requires at least one key column")
+    val e = registry.getOrElse(name, missing(name))
+    keys.foreach { k =>
+      if (!e.df.columns.contains(k))
+        throw new IllegalArgumentException(
+          s"Binder Error: key column $k not in table $name")
+    }
+    val src = coerceAndValidate(name, e, source)
+    val dup = src.groupBy(keys.map(src.col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        "Constraint Error: MERGE source matches the same target row " +
+          s"more than once (key ${dup.head.toSeq.init.mkString(",")})")
+    val updated = e.df.join(src, keys, "left_semi").count()
+    val untouched = e.df.join(src, keys, "left_anti")
+    val inserted = src.count() - updated
+    put(name, untouched.unionByName(src))
+    (updated, inserted)
   }
 
   def insertValues(name: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{ArrayContains, ElementAt, Explode, Expression, ExpressionInfo, Size}
 
-import graft.functions.{CosineSimilarity, RollingHashFingerprint, ShingleArray, ShingleHashArray}
+import graft.functions.{CosineSimilarity, RollingHashFingerprint, ShingleArray, ShingleHashArray, TermCounts, WordChunks}
 
 /** SparkSessionExtensions entry point — the standard deployment path for
   * a Spark library's Catalyst extensions:
@@ -58,6 +58,11 @@ object GraftExtensions {
       case Seq(c) => ShingleHashArray(c, 3)
       case Seq(c, n) => ShingleHashArray(c, intLit(n))
     },
+    "word_chunks" -> {
+      case Seq(c) => WordChunks(c, 10)
+      case Seq(c, n) => WordChunks(c, intLit(n))
+    },
+    "term_counts" -> (e => TermCounts(e.head)),
     "len" -> (e => Size(e.head)),
     "unnest" -> (e => Explode(e.head)),
     "list_contains" -> (e => ArrayContains(e(0), e(1))),

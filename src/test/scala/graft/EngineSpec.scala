@@ -80,6 +80,29 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("merge (upsert): updates matched keys, inserts the rest") {
+    val t = freshTable("merge_test")
+    engine.insertValues(t, Seq(Row(1, "alice"), Row(2, "bob"), Row(3, "eve")))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2, "bob2"), Row(4, "dan")),
+      engine.table(t).schema)
+    val (updated, inserted) = engine.mergeInto(t, src, Seq("id"))
+    assert(updated == 1 && inserted == 1)
+    val got = engine.table(t).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "alice", 2 -> "bob2", 3 -> "eve", 4 -> "dan"))
+    // a source updating the same target row twice must raise
+    val dup = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1, "a"), Row(1, "b")),
+      engine.table(t).schema)
+    val err = intercept[IllegalArgumentException](
+      engine.mergeInto(t, dup, Seq("id")))
+    assert(err.getMessage.contains("more than once"))
+    // and the failed merge left the table untouched
+    assert(engine.table(t).count() == 4)
+    engine.dropTable(t)
+  }
+
   test("alter table matrix: add/drop/rename column, rename table") {
     val t = freshTable("test_alter_table")
     engine.insertValues(t, Seq(Row(1, "x")))

@@ -11,8 +11,18 @@ class ExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
       "cosine_similarity", "shingle_array", "shingle_hash_array",
-      "rolling_fingerprint", "len", "unnest", "list_contains",
-      "list_extract"))
+      "rolling_fingerprint", "word_chunks", "term_counts",
+      "len", "unnest", "list_contains", "list_extract"))
+  }
+
+  test("word_chunks + term_counts callable from SQL") {
+    val r = spark.sql(
+      """SELECT word_chunks('a b c d e', 2) AS wc,
+        |term_counts('x y x') AS tc""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "c d", "e"))
+    val tc = r.getSeq[org.apache.spark.sql.Row](1)
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(tc == Map("x" -> 2L, "y" -> 1L))
   }
 
   test("shingle_array + rolling_fingerprint callable from SQL") {
