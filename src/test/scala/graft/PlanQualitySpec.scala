@@ -166,6 +166,36 @@ class PlanQualitySpec extends SparkSpec {
       s"q130 regressed to a window over per-chunk occurrences: $wins")
   }
 
+  test("runtime bloom filter prunes the big side of a shuffle join") {
+    // at 100 TB the fact side of a selective join should be pre-filtered
+    // by a runtime bloom filter built from the small side — Spark's
+    // runtime row-level filtering does this when broadcast is off; prove
+    // the mechanism engages on this session's plans
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val li = Tables.t(spark, sf, "lineitem")
+      val o = Tables.t(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)))
+      val s = castToImpl(j).queryExecution.optimizedPlan.toString()
+      assert(s.contains("bloom_filter") || s.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${s.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no query plan reads driver-materialized data (collect-free law)") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     // q67's memory sink is the stream test harness's sink (production
