@@ -144,12 +144,46 @@ class Engine private[graft] (val spark: SparkSession) {
 
   def unregisterTable(name: String): Unit = {
     registry.remove(name)
+    versions.remove(name)
     spark.catalog.dropTempView(name)
   }
 
   private def put(name: String, df: DataFrame, knownRows: Long = -1L): Unit = {
+    // snapshot the outgoing version (lazy plans — a version is a plan
+    // object over the copy-on-write lineage, no data is retained);
+    // bounded history, oldest dropped first
+    registry.get(name).foreach { prev =>
+      val vs = versions.getOrElse(name, Vector.empty) :+ prev.df
+      versions.put(name, vs.takeRight(Engine.MaxVersions))
+    }
     registry.put(name, new TableEntry(df, knownRows))
     df.createOrReplaceTempView(name)
+  }
+
+  /** Retained prior versions per table (time travel over the
+    * copy-on-write DML path — what Delta/Iceberg snapshots give a
+    * lakehouse table, scoped to the bounded in-session history). */
+  private val versions = TrieMap.empty[String, Vector[DataFrame]]
+
+  /** Number of retained PRIOR versions (current is not counted). */
+  def versionCount(name: String): Int = {
+    registry.getOrElse(name, missing(name))
+    versions.get(name).map(_.size).getOrElse(0)
+  }
+
+  /** Time travel: `versionsBack = 0` is the current table, 1 the state
+    * before the latest DML, … up to [[versionCount]]. */
+  def tableAt(name: String, versionsBack: Int): DataFrame = {
+    val cur = registry.getOrElse(name, missing(name)).df
+    if (versionsBack == 0) cur
+    else {
+      val vs = versions.getOrElse(name, Vector.empty)
+      if (versionsBack < 0 || versionsBack > vs.size)
+        throw new IllegalArgumentException(
+          s"Catalog Error: table $name has ${vs.size} retained " +
+            s"versions, asked for $versionsBack back")
+      vs(vs.size - versionsBack)
+    }
   }
 
   def table(name: String): DataFrame =
@@ -795,6 +829,11 @@ class Engine private[graft] (val spark: SparkSession) {
 }
 
 object Engine {
+  /** Retained prior versions per table for time travel ([[Engine.tableAt]]);
+    * versions are lazy plan objects, so the cap bounds plan-graph growth,
+    * not data. */
+  val MaxVersions = 10
+
   /** Latest Engine per SparkSession — lets the session-level
     * [[graft.plans.EnumOrderRewrite]] extension rule find the catalogs of
     * the engine driving that session (reference semantics: one server per

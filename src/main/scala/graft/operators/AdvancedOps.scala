@@ -356,7 +356,62 @@ object AdvancedOps {
       datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
         .cast("bigint").as("days_to")))
 
+  /** Sequential conversion funnel (view → click → purchase): per level,
+    * the users whose first qualifying event strictly follows their
+    * previous level's — the ordered-sequence analytics shape (ClickHouse
+    * windowFunnel, Snowplow funnels) composed from min-aggregations and
+    * user-keyed joins. Each stage is one combiner-friendly groupBy on
+    * user_id plus an equi-join AQE can skew-split; no window, no
+    * per-user event sort — at 100 TB each level is one shuffle of the
+    * (shrinking) qualifying-user set. Conversion is floor-based basis
+    * points (engine-independent; see q143). */
+  val funnel: NamedQuery = NamedQuery("q144_funnel",
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           |  JOIN v ON e.user_id = v.user_id
+           |  WHERE e.event_type = 'click' AND e.ts > v.t1
+           |  GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           |  JOIN c ON e.user_id = c.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+           |  GROUP BY e.user_id),
+           |n AS (SELECT (SELECT count(*) FROM v) AS nv,
+           |  (SELECT count(*) FROM c) AS nc,
+           |  (SELECT count(*) FROM p) AS np)
+           |SELECT * FROM (
+           |  SELECT 1 AS level, 'view' AS step, CAST(nv AS BIGINT) AS n_users,
+           |    CAST(10000 AS BIGINT) AS conv_bp FROM n
+           |  UNION ALL SELECT 2, 'click', CAST(nc AS BIGINT),
+           |    CAST(floor(nc * 10000.0 / nv) AS BIGINT) FROM n
+           |  UNION ALL SELECT 3, 'purchase', CAST(np AS BIGINT),
+           |    CAST(floor(np * 10000.0 / nv) AS BIGINT) FROM n)
+           |ORDER BY level""".stripMargin),
+    (s, d) => {
+      val ev = t(s, d, "events")
+      def firstAfter(typ: String, prev: DataFrame, prevTs: String,
+          out: String): DataFrame =
+        ev.filter(col("event_type") === typ)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevTs))
+          .groupBy("user_id").agg(min("ts").as(out))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = firstAfter("click", v, "t1", "t2")
+      val p = firstAfter("purchase", c, "t2", "t3")
+      val n = v.agg(count(lit(1)).as("nv"))
+        .crossJoin(c.agg(count(lit(1)).as("nc")))
+        .crossJoin(p.agg(count(lit(1)).as("np")))
+      val lvl = n.select(lit(1L).as("level"), lit("view").as("step"),
+        col("nv").as("n_users"), lit(10000L).as("conv_bp"))
+        .unionAll(n.select(lit(2L), lit("click"), col("nc"),
+          floor(col("nc") * 10000.0 / col("nv")).cast("long")))
+        .unionAll(n.select(lit(3L), lit("purchase"), col("np"),
+          floor(col("np") * 10000.0 / col("nv")).cast("long")))
+      lvl.orderBy("level")
+    })
+
   def defs: Seq[NamedQuery] = Seq(rollup, groupingSets, percentiles,
     percentilesApprox, aggMatrix, pivotQ,
-    sessions, asof, correlated, stringAdv, mathFuncs, dateFuncs)
+    sessions, asof, correlated, stringAdv, mathFuncs, dateFuncs, funnel)
 }

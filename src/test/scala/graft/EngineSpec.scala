@@ -80,6 +80,19 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("time travel: prior versions stay queryable after DML") {
+    val t = freshTable("tt_test")
+    engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b")))
+    engine.deleteFrom(t, col("id") === 1)
+    assert(engine.table(t).count() == 1)
+    assert(engine.versionCount(t) == 2) // post-create insert + delete
+    assert(engine.tableAt(t, 0).count() == 1) // current
+    assert(engine.tableAt(t, 1).count() == 2) // before the delete
+    assert(engine.tableAt(t, 2).count() == 0) // before the insert
+    intercept[IllegalArgumentException](engine.tableAt(t, 99))
+    engine.dropTable(t)
+  }
+
   test("merge (upsert): updates matched keys, inserts the rest") {
     val t = freshTable("merge_test")
     engine.insertValues(t, Seq(Row(1, "alice"), Row(2, "bob"), Row(3, "eve")))
