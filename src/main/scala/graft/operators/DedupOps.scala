@@ -441,7 +441,69 @@ object DedupOps {
         .orderBy("cluster_rep")
     })
 
+  /** Incremental snapshot dedup — the production cadence: a NEW batch
+    * (here source 'src0') arrives and must be deduped against the
+    * already-KEPT corpus without reprocessing the corpus. The shingle
+    * index is the shared per-snapshot artifact ([[sharedShingles]]);
+    * candidate generation restricts the inverted-index join to
+    * (new × kept) — the quadratic new×new and kept×kept blocks are
+    * never formed, so the marginal cost of a batch is O(batch) joins
+    * against the index, which is how a 100 TB pipeline absorbs a daily
+    * crawl. Output: each new doc dropped (exact Jaccard ≥ 0.9 against
+    * any kept doc) with its best match — the argmax is an algebraic
+    * max(struct), no per-doc window. */
+  val incrementalDedup: NamedQuery = NamedQuery("q145_incremental_dedup",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(ws) - 1, 1)),
+           |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+           |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+           |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |newd AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+           |pair AS (SELECT a.doc_id AS nid, b.doc_id AS kid, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.s = b.s
+           |  WHERE a.doc_id IN (SELECT doc_id FROM newd)
+           |    AND b.doc_id NOT IN (SELECT doc_id FROM newd)
+           |  GROUP BY 1, 2),
+           |j AS (SELECT nid, kid,
+           |    inter * 1.0 / (sa.n + sb.n - inter) AS jac
+           |  FROM pair JOIN sz sa ON sa.doc_id = nid
+           |  JOIN sz sb ON sb.doc_id = kid
+           |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9),
+           |r AS (SELECT nid, kid, jac,
+           |    row_number() OVER (PARTITION BY nid ORDER BY jac DESC, kid)
+           |      AS rk,
+           |    count(*) OVER (PARTITION BY nid) AS n_matches FROM j)
+           |SELECT nid AS doc_id, kid AS dup_of, round(jac, 3) AS jaccard,
+           |  CAST(n_matches AS BIGINT) AS n_matches
+           |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+    (s, d) => {
+      val srcOf = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val sh = sharedShingles(s, d).join(srcOf, Seq("doc_id"))
+      val sz = sharedShingles(s, d).groupBy("doc_id")
+        .agg(count(lit(1)).as("n"))
+      val newSh = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("nid"), col("s"))
+      val keptSh = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("kid"), col("s"))
+      val jac = col("inter") * lit(1.0) /
+        (col("na") + col("nb") - col("inter"))
+      newSh.join(keptSh, Seq("s"))
+        .groupBy("nid", "kid").agg(count(lit(1)).as("inter"))
+        .join(sz.toDF("nid", "na"), "nid")
+        .join(sz.toDF("kid", "nb"), "kid")
+        .filter(jac >= 0.9)
+        .select(col("nid"), col("kid"), jac.as("jac"))
+        .groupBy("nid").agg(
+          max(struct(col("jac"), (-col("kid")).as("negk"))).as("m"),
+          count(lit(1)).as("n_matches"))
+        .select(col("nid").as("doc_id"), (-col("m.negk")).as("dup_of"),
+          round(col("m.jac"), 3).as("jaccard"), col("n_matches"))
+        .orderBy("doc_id")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters,
-      minhashAudit, simhashAudit, passageDedup, keepBest)
+      minhashAudit, simhashAudit, passageDedup, keepBest, incrementalDedup)
 }

@@ -56,6 +56,35 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Streaming quantile monitor: per event_type, the log-histogram
+    * median sketch ([[graft.functions.LogHistogramQuantile]]) over the
+    * value stream — the bounded-memory latency/size-percentile monitor
+    * every ingestion pipeline runs. The sketch buffer is a histogram of
+    * counts, so its merge is ORDER-INDEPENDENT: the streamed result is
+    * bit-identical to the batch sketch over the same data
+    * (StreamingSpec asserts exact equality), and state per group is the
+    * fixed histogram — the query runs forever at any rate. */
+  def medianSketch(spark: SparkSession, dir: String,
+      queryName: String = "graft_events_sketch"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.LogHistogramQuantile
+          .logHistQuantile(col("value"), Seq(0.5)).as("med"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Hourly per-type counts computed as a stream; blocks until the source
     * is drained and returns the materialized result. */
   def hourlyCounts(spark: SparkSession, dir: String,
