@@ -180,7 +180,45 @@ object SourceOps {
         round(sum("l_extendedprice"), 2).as("total"))
     })
 
+  /** PERMISSIVE-mode corrupt-record accounting — the ingestion behavior
+    * the q132/q133 null-safe checks guard against, proven directly: a
+    * CSV with known-malformed lines must surface EXACTLY the bad rows in
+    * the corrupt-record column (never silently null a field into the
+    * good set), and the good rows must aggregate clean. The fixture is
+    * deterministic (five fixed lines, two malformed: a non-numeric id
+    * and a truncated row) and written through the distributed text
+    * sink; the oracle pins the exact expected counts. At scale this is
+    * the quarantine path of an ingestion job — corrupt rows routed to a
+    * dead-letter table instead of poisoning the corpus. */
+  val csvCorrupt: NamedQuery = NamedQuery("q146_csv_corrupt",
+    Some("""SELECT CAST(4 AS BIGINT) AS n_good, CAST(1 AS BIGINT) AS n_bad,
+           |  CAST(100 AS BIGINT) AS sum_id, 'x,oops,1.5' AS worst_bad""".stripMargin),
+    (s, d) => {
+      val dir = tmp("csv_corrupt")
+      val spark = s
+      import spark.implicits._
+      Seq("10,alice,1.0", "x,oops,1.5", "20,bob,2.0", "30,carol",
+        "40,dan,4.0,extra,cols,beyond,schema").toDS()
+        .coalesce(1).write.mode("overwrite").text(dir)
+      val schema = "id INT, name STRING, v DOUBLE, _corrupt STRING"
+      val back = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dir)
+      // the pinned contract (Spark CSV PERMISSIVE): a short row
+      // ('30,carol') null-fills and stays GOOD; extra tokens
+      // ('40,…,extra,…') are truncated and stay GOOD; only a field
+      // that fails its declared type ('x' as INT) is quarantined into
+      // the corrupt column. sum_id covers exactly the valid ids — a
+      // change in any of these rules flips the oracle hash.
+      back.agg(
+        count_if(col("_corrupt").isNull).as("n_good"),
+        count_if(col("_corrupt").isNotNull).as("n_bad"),
+        sum(when(col("_corrupt").isNull, col("id"))).as("sum_id"),
+        min(col("_corrupt")).as("worst_bad"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, partitionedSink,
-      sortedExport)
+      sortedExport, csvCorrupt)
 }
