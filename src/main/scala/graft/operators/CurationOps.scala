@@ -264,7 +264,56 @@ object CurationOps {
         .orderBy("source")
     })
 
+  /** Per-source distribution divergence — the data-mixing health metric:
+    * KL(source ‖ corpus) over the token distribution restricted to the
+    * corpus top-100 tokens (a bounded, deterministic support: full-vocab
+    * KL would be dominated by singleton noise and unbounded output).
+    * A source drifting from the corpus mix (different language, spam
+    * injection, template flood) shows as a KL spike — the monitor a
+    * mixing pipeline alarms on.
+    *
+    * Scale shape: one (source, token) count (combiner-friendly), one
+    * token total, top-100 via orderBy+limit (per-partition heaps), the
+    * rest is joins against the 100-row broadcast frame. */
+  val sourceDivergence: NamedQuery = NamedQuery("q147_source_divergence",
+    Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+           |tot AS (SELECT w, sum(c) AS cw FROM cnt GROUP BY 1),
+           |top AS (SELECT w, cw FROM tot ORDER BY cw DESC, w LIMIT 100),
+           |qd AS (SELECT w, cw * 1.0 / (SELECT sum(cw) FROM top) AS q
+           |  FROM top),
+           |sc AS (SELECT c.source, c.w, c.c FROM cnt c JOIN top USING (w)),
+           |st AS (SELECT source, sum(c) AS ts FROM sc GROUP BY source),
+           |kl AS (SELECT sc.source,
+           |    sum((sc.c * 1.0 / st.ts) * ln((sc.c * 1.0 / st.ts) / qd.q))
+           |      AS kl,
+           |    count(*) AS n_top
+           |  FROM sc JOIN st USING (source) JOIN qd USING (w)
+           |  GROUP BY sc.source)
+           |SELECT source, CAST(n_top AS BIGINT) AS n_top,
+           |  round(kl, 4) AS kl
+           |FROM kl ORDER BY source""".stripMargin),
+    (s, d) => {
+      val cnt = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val top = cnt.groupBy("w").agg(sum("c").as("cw"))
+        .orderBy(col("cw").desc, col("w")).limit(100)
+      val qd = top.crossJoin(broadcast(top.agg(sum("cw").as("tcw"))))
+        .select(col("w"), (col("cw") * 1.0 / col("tcw")).as("q"))
+      val sc = cnt.join(broadcast(qd), Seq("w"))
+      val st = sc.groupBy("source").agg(sum("c").as("ts"))
+      val p = col("c") * 1.0 / col("ts")
+      sc.join(st, Seq("source"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_top"),
+          round(sum(p * log(p / col("q"))), 4).as("kl"))
+        .select(col("source"), col("n_top"), col("kl"))
+        .orderBy("source")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(stratifiedSample, shardPacking, vocabTopK, curationPipeline,
-      contamination, domainMixing)
+      contamination, domainMixing, sourceDivergence)
 }
