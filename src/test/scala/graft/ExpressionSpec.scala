@@ -157,4 +157,51 @@ class ExpressionSpec extends SparkSpec {
       .head()
     assert(r.getInt(0) == 64 && r.getBoolean(1) && r.getString(2) == "x")
   }
+
+  test("term_counts matches the explode-groupBy formulation") {
+    val texts = samples(Gen.listOfN(12,
+      Gen.oneOf("a", "b", "cc", "dd", "e")).map(_.mkString(" ")), 40)
+      .toDF("text").withColumn("id", monotonically_increasing_id())
+    val fast = texts.select(col("id"),
+      explode(graft.functions.TermCounts.termCounts(col("text")))
+        .as("tc"))
+      .select(col("id"), col("tc.term").as("w"), col("tc.tf").as("n"))
+    val slow = texts.select(col("id"),
+      explode(split(col("text"), " ")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("n"))
+    assert(fast.exceptAll(slow).count() == 0)
+    assert(slow.exceptAll(fast).count() == 0)
+    // empty text → one empty-string token with count 1 (split semantics)
+    val e = spark.sql("SELECT term_counts('') AS tc").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(e.map(r => r.getString(0) -> r.getLong(1)) == Seq("" -> 1L))
+  }
+
+  test("slot_range_agg: half-open bounds, empty points, prefix sums") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val probeT = ArrayType(StructType(Seq(StructField("id", LongType),
+      StructField("ts", LongType))))
+    val pointT = ArrayType(StructType(Seq(StructField("ts", LongType),
+      StructField("v", DoubleType))))
+    val schema = StructType(Seq(StructField("probes", probeT),
+      StructField("points", pointT)))
+    // window = 10: probe at t=20 covers [10, 20) — the point AT 10 is
+    // IN (closed lower), the point AT 20 is OUT (open upper)
+    val rows = java.util.Arrays.asList(
+      Row(Seq(Row(1L, 20L), Row(2L, 35L), Row(3L, 5L)),
+        Seq(Row(10L, 1.0), Row(15L, 2.0), Row(20L, 4.0), Row(30L, 8.0))),
+      Row(Seq(Row(4L, 100L)), Seq.empty[Row]))
+    val df = spark.createDataFrame(rows, schema)
+    val got = df.select(explode(graft.functions.SlotRangeAgg
+        .slotRangeAgg(col("probes"), col("points"), 10L)).as("r"))
+      .select(col("r.id"), col("r.n"), col("r.sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 3.0),  // [10,20): points 10,15 — 20 excluded
+      (2L, 1L, 8.0),  // [25,35): point 30
+      (3L, 0L, 0.0),  // [-5,5): nothing
+      (4L, 0L, 0.0))) // empty slot array
+  }
 }
