@@ -64,16 +64,25 @@ object Bench {
         finally spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts(ts.size / 2) }
       .mkString("{", ",", "}")
+    // per-query [min, median, max] so host-noise variance is VISIBLE in
+    // the artifact — a swung median (e.g. q42 r6: 1.06s committed vs
+    // 1.94s driver-run of identical code) reads as spread, not regression
+    val spreads = results.map { case (k, ts) =>
+      "\"" + k + "\":[" + r3(ts.head) + "," + r3(ts(ts.size / 2)) + "," +
+        r3(ts.last) + "]"
+    }.mkString("{", ",", "}")
     val stages = stageTimes.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum + stageTimes.values.sum
+    val total = results.map { case (_, ts) => ts(ts.size / 2) }.sum +
+      stageTimes.values.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""stages":$stages,"sf":"$sfDir"}"""
+        s""""spread":$spreads,"stages":$stages,"sf":"$sfDir"}"""
     // the machine-readable artifact: sbt prefixes stdout with [info], so
     // the file is the trustworthy channel; stdout stays for humans
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),

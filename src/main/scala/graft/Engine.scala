@@ -148,17 +148,25 @@ class Engine private[graft] (val spark: SparkSession) {
     spark.catalog.dropTempView(name)
   }
 
-  private def put(name: String, df: DataFrame, knownRows: Long = -1L): Unit = {
-    // snapshot the outgoing version (lazy plans — a version is a plan
-    // object over the copy-on-write lineage, no data is retained);
-    // bounded history, oldest dropped first
-    registry.get(name).foreach { prev =>
-      val vs = versions.getOrElse(name, Vector.empty) :+ prev.df
-      versions.put(name, vs.takeRight(Engine.MaxVersions))
+  // serializes registry+versions mutation: snapshot-then-replace is a
+  // read-modify-write across two maps, so two concurrent DML statements
+  // on the same table could otherwise lose a snapshot or record history
+  // out of order (tableAt(n) skipping a state). Plans are lazy objects —
+  // the critical section is metadata-only, never data movement.
+  private val putLock = new Object
+
+  private def put(name: String, df: DataFrame, knownRows: Long = -1L): Unit =
+    putLock.synchronized {
+      // snapshot the outgoing version (lazy plans — a version is a plan
+      // object over the copy-on-write lineage, no data is retained);
+      // bounded history, oldest dropped first
+      registry.get(name).foreach { prev =>
+        val vs = versions.getOrElse(name, Vector.empty) :+ prev.df
+        versions.put(name, vs.takeRight(Engine.MaxVersions))
+      }
+      registry.put(name, new TableEntry(df, knownRows))
+      df.createOrReplaceTempView(name)
     }
-    registry.put(name, new TableEntry(df, knownRows))
-    df.createOrReplaceTempView(name)
-  }
 
   /** Retained prior versions per table (time travel over the
     * copy-on-write DML path — what Delta/Iceberg snapshots give a
@@ -674,9 +682,18 @@ class Engine private[graft] (val spark: SparkSession) {
     * appends the source — shuffles on the key columns, never a driver
     * collect; at file-table scale this is the per-file rewrite
     * Delta/Iceberg perform. Standard MERGE forbids updating one target
-    * row twice, so a source with duplicate keys raises (checked with a
-    * bounded probe). NULL key values never equal anything (SQL join
-    * semantics) — such source rows insert. Returns (updated, inserted). */
+    * row twice, so a source with duplicate NON-NULL keys raises (NULL
+    * key values never equal anything under SQL join semantics — such
+    * source rows always insert, and two NULL-key source rows are NOT
+    * duplicates of each other). If the TARGET contains duplicate key
+    * values (key uniqueness is not enforced on managed tables), all N
+    * matched target rows are replaced by the single matching source row
+    * — an explicit N-to-1 whole-row collapse, counted as ONE updated
+    * source row. Returns (updated = matched source rows, inserted =
+    * unmatched source rows); both counters and the duplicate probe come
+    * from ONE aggregation action (group source by key, left-join the
+    * distinct target keys, fold to a single row) so a MERGE in a loop
+    * pays one job, not three. */
   def mergeInto(name: String, source: DataFrame,
       keys: Seq[String]): (Long, Long) = {
     require(keys.nonEmpty, "MERGE requires at least one key column")
@@ -687,15 +704,30 @@ class Engine private[graft] (val spark: SparkSession) {
           s"Binder Error: key column $k not in table $name")
     }
     val src = coerceAndValidate(name, e, source)
-    val dup = src.groupBy(keys.map(src.col): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
-    if (dup.nonEmpty)
+    // keysNonNull evaluated AFTER the groupBy: all rows in a group share
+    // the key values, so the group-level predicate is well-defined
+    val keysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val perKey = src.groupBy(keys.map(src.col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val tgtKeys = e.df.select(keys.map(e.df.col): _*).distinct()
+      .withColumn("__m", lit(1))
+    val stats = perKey.join(tgtKeys, keys, "left_outer").agg(
+      // duplicate probe: only non-NULL-key groups can collide on a target
+      max(when(keysNonNull && col("__n") > 1, col("__n"))).as("__dup"),
+      coalesce(sum(when(col("__m").isNotNull, col("__n"))), lit(0L))
+        .as("__upd"),
+      coalesce(sum(when(col("__m").isNull, col("__n"))), lit(0L))
+        .as("__ins")).head()
+    if (!stats.isNullAt(0)) {
+      // failure path only: re-probe for the offending key value so the
+      // error is actionable (mirrors the reference's constraint message)
+      val bad = perKey.filter(keysNonNull && col("__n") > 1).head()
       throw new IllegalArgumentException(
         "Constraint Error: MERGE source matches the same target row " +
-          s"more than once (key ${dup.head.toSeq.init.mkString(",")})")
-    val updated = e.df.join(src, keys, "left_semi").count()
+          s"more than once (key ${bad.toSeq.init.mkString(",")})")
+    }
+    val (updated, inserted) = (stats.getLong(1), stats.getLong(2))
     val untouched = e.df.join(src, keys, "left_anti")
-    val inserted = src.count() - updated
     put(name, untouched.unionByName(src))
     (updated, inserted)
   }

@@ -211,6 +211,14 @@ object SourceOps {
       // that fails its declared type ('x' as INT) is quarantined into
       // the corrupt column. sum_id covers exactly the valid ids — a
       // change in any of these rules flips the oracle hash.
+      // SPARK-VERSION DEPENDENCY: the token-count-mismatch rules are
+      // parser behavior (UnivocityParser), not a stable API contract —
+      // some Spark 3.x releases flagged length-mismatched rows as
+      // malformed. Pinned against Spark 4.1 here; on an upgrade, run
+      // SourcesSpec's "q146 row-level quarantine contract" probe first:
+      // it asserts the SPECIFIC rows by id, so a behavior change shows
+      // up as a named-row diagnostic instead of an opaque oracle-hash
+      // mismatch.
       back.agg(
         count_if(col("_corrupt").isNull).as("n_good"),
         count_if(col("_corrupt").isNotNull).as("n_bad"),

@@ -36,8 +36,13 @@ object ContaminationStream {
     val grams = docs.withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), col("ts"),
         explode(ShingleArray.shingleArray(col("text"), 5)).as("g"))
+    // de-dup the static side INSIDE the operator: a duplicate gram in
+    // trainGrams would multiply matched rows through the left join and
+    // inflate both n_grams and n_hit — distinctness is enforced here,
+    // not trusted to the caller (re-planned per micro-batch, cheap)
     val marked = grams.join(
-      trainGrams.select(col("g"), lit(1).as("hit")), Seq("g"), "left_outer")
+      trainGrams.select(col("g")).distinct().withColumn("hit", lit(1)),
+      Seq("g"), "left_outer")
     marked
       .groupBy(window(col("ts"), window_), col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))

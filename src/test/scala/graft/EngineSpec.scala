@@ -116,6 +116,39 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("merge: NULL keys always insert and are never duplicates") {
+    val t = freshTable("merge_null")
+    engine.insertValues(t, Seq(Row(1, "alice")))
+    // two NULL-key source rows: NULL never equals anything (SQL join
+    // semantics), so neither matches the target NOR each other — both
+    // insert, and the duplicate probe must NOT fire on them
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, "x"), Row(null, "y"), Row(1, "a2")),
+      engine.table(t).schema)
+    val (updated, inserted) = engine.mergeInto(t, src, Seq("id"))
+    assert(updated == 1 && inserted == 2)
+    assert(engine.table(t).count() == 3)
+    engine.dropTable(t)
+  }
+
+  test("merge: duplicate target keys collapse N-to-1, counters stay sane") {
+    val t = freshTable("merge_dupt")
+    // target key uniqueness is not enforced; two rows share id=7
+    engine.insertValues(t, Seq(Row(7, "a"), Row(7, "b"), Row(9, "c")))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(Row(7, "z"), Row(8, "new")),
+      engine.table(t).schema)
+    val (updated, inserted) = engine.mergeInto(t, src, Seq("id"))
+    // updated counts MATCHED SOURCE rows (1), not collapsed target rows;
+    // inserted counts unmatched source rows — never negative
+    assert(updated == 1 && inserted == 1)
+    val got = engine.table(t).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(7 -> "z", 8 -> "new", 9 -> "c"))
+    assert(engine.table(t).count() == 3) // both id=7 rows collapsed to one
+    engine.dropTable(t)
+  }
+
   test("alter table matrix: add/drop/rename column, rename table") {
     val t = freshTable("test_alter_table")
     engine.insertValues(t, Seq(Row(1, "x")))

@@ -93,4 +93,32 @@ class SourcesSpec extends SparkSpec {
       assert(hiA <= loB, s"shard ranges overlap: $hiA > $loB")
     }
   }
+
+  test("q146 row-level quarantine contract (named-row diagnostics)") {
+    // q146's oracle pins aggregate counts; this probe asserts the
+    // SPECIFIC per-row PERMISSIVE verdicts so that a Spark-upgrade
+    // parser-behavior change (UnivocityParser token-count handling has
+    // differed across releases) produces a named-row failure here
+    // instead of an opaque oracle-hash mismatch in the driver gate.
+    val dir = Files.createTempDirectory("graft_q146_probe").toString
+    import spark.implicits._
+    Seq("10,alice,1.0", "x,oops,1.5", "20,bob,2.0", "30,carol",
+      "40,dan,4.0,extra,cols,beyond,schema").toDS()
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val back = spark.read.schema("id INT, name STRING, v DOUBLE, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(dir)
+      .select("id", "name", "_corrupt").collect()
+      .map(r => Option(r.get(1)).map(_.toString).getOrElse("<null-name>") ->
+        (Option(r.get(0)), r.isNullAt(2))).toMap
+    // good rows: well-formed, short (null-filled), and extra-token
+    // (truncated) — each keyed by name for a readable failure
+    assert(back("alice") == (Some(10), true), "well-formed row flagged bad")
+    assert(back("carol") == (Some(30), true), "short row must null-fill GOOD")
+    assert(back("dan") == (Some(40), true), "extra-token row must stay GOOD")
+    assert(back("bob") == (Some(20), true))
+    // the only BAD row: a field failing its declared type ('x' as INT)
+    assert(back("oops") == (None, false), "type-failed row must quarantine")
+  }
 }
