@@ -106,16 +106,26 @@ object SourceOps {
       val dir = tmp("orc_lineitem")
       li.write.mode("overwrite").orc(dir)
       val back = s.read.schema(li.schema).orc(dir)
-      // (orderkey, linenumber) is NOT unique in this synthetic tier;
-      // the 4-column key is — a non-unique join key cross-matches rows
-      // and reports phantom mismatches
-      val key = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-      val orig = li.select((key.map(col) :+
+      // No natural key is guaranteed unique in the synthetic tiers (a
+      // non-unique join key cross-matches rows and reports phantom
+      // mismatches), so the fidelity join uses a MULTISET row identity:
+      // (full-row hash, duplicate ordinal). Identical rows are
+      // interchangeable, so the arbitrary ordinal among them is sound;
+      // any column mangled in transit changes the hash, misses the
+      // join, and counts as a mismatch through the null-safe compares.
+      def rid(df: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__rh").orderBy(lit(1))
+        df.withColumn("__rh", xxhash64(df.columns.map(col): _*))
+          .withColumn("__ri", row_number().over(w))
+      }
+      val key = Seq("__rh", "__ri")
+      val orig = rid(li).select((key.map(col) :+
         col("l_quantity").as("x_qty") :+
         col("l_extendedprice").as("x_price") :+
         col("l_returnflag").as("x_flag") :+
         col("l_shipdate").as("x_ship")): _*)
-      back.join(orig, key)
+      rid(back).join(orig, key, "left_outer")
         .groupBy("l_returnflag").agg(
           count(lit(1)).as("n_rows"),
           round(sum("l_extendedprice"), 2).as("total"),
@@ -226,7 +236,73 @@ object SourceOps {
         min(col("_corrupt")).as("worst_bad"))
     })
 
+  /** Seeded deterministic SHUFFLE-shard export — the complement of the
+    * q141 range-sorted layout: a training pipeline needs a reproducible
+    * RANDOM order sharded to N files, where the same seed yields the
+    * same shards and the same within-shard order on ANY cluster size.
+    * Both shard membership and order are pure row functions of
+    * (doc_id, seed): h = md5(doc_id || ':' || seed) gives a uniform
+    * pseudo-random key; shard = first-hex-digit(h) mod N; within-shard
+    * order = sort by h. No global sort, no sampled range boundaries
+    * (repartitionByRange would tie the layout to the sample): the write
+    * is one hash shuffle on `shard` + a local sort — at 100 TB this is
+    * embarrassingly parallel and restart-safe (re-running a failed shard
+    * rewrites byte-identical output). The returned audit re-reads the
+    * written files and emits per-shard (count, positional checksum
+    * sum(rank*doc_id), min/max h) — the DuckDB oracle recomputes the
+    * same permutation from the raw table, so any membership or rank
+    * deviation flips the hash. (The audit's per-shard window is
+    * verification-only; the export path itself is window-free.) */
+  val shuffledExport: NamedQuery = NamedQuery("q148_shuffled_export",
+    Some("""WITH h AS (
+           |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':s42') AS h
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, h,
+           |    CAST((instr('0123456789abcdef', substring(h, 1, 1)) - 1) % 4
+           |      AS BIGINT) AS shard
+           |  FROM h),
+           |r AS (
+           |  SELECT shard, doc_id, h,
+           |    row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+           |  FROM s)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(rn * doc_id) AS BIGINT) AS perm_sum,
+           |  min(h) AS min_h, max(h) AS max_h
+           |FROM r GROUP BY shard""".stripMargin),
+    (s, d) => {
+      val dir = tmp("shuffled_documents")
+      exportShuffled(s, d, dir)
+      val back = s.read.parquet(dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("h", "doc_id")
+      back.withColumn("rn", row_number().over(w))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("rn") * col("doc_id")).as("perm_sum"),
+          min("h").as("min_h"), max("h").as("max_h"))
+    })
+
+  /** The q148 export path, callable with an explicit pre-shuffle
+    * partitioning so SourcesSpec can prove cluster-size independence
+    * (same seed → byte-identical shards under a different task count). */
+  def exportShuffled(s: org.apache.spark.sql.SparkSession, d: String,
+      dir: String, preShufflePartitions: Option[Int] = None): Unit = {
+    val docs = t(s, d, "documents")
+    val base = preShufflePartitions.fold(docs)(docs.repartition)
+    val hashed = base.select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":s42"))).as("h"))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1) % 4)
+          .cast("long"))
+    // repartition on the shard column puts each shard's rows in exactly
+    // one task → one internally-sorted file per shard directory
+    hashed.repartition(col("shard"))
+      .sortWithinPartitions("shard", "h", "doc_id")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+  }
+
   def defs: Seq[NamedQuery] =
     Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, partitionedSink,
-      sortedExport, csvCorrupt)
+      sortedExport, csvCorrupt, shuffledExport)
 }

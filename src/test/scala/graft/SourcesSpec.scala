@@ -94,6 +94,50 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("q148 shuffled export: disjoint shards, pure membership, " +
+      "cluster-size independent") {
+    SparkEntry.queries("q148_shuffled_export")(spark, sf).collect()
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_roundtrip_shuffled_documents")
+    val shardDirs = Option(root.listFiles).toSeq.flatten
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.size == 4, s"expected 4 shards, got ${shardDirs.size}")
+    val hex = "0123456789abcdef"
+    val seqs = shardDirs.map { sd =>
+      val shardId = sd.getName.stripPrefix("shard=").toLong
+      val files = sd.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: one file per shard")
+      // one file = one split at this size → collect order is file order
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("h", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val hs = rows.map(_._1)
+      assert(hs.zip(hs.drop(1)).forall { case (a, b) => a <= b },
+        s"${sd.getName} not sorted by seeded hash")
+      // membership is a pure row function: every row's recomputed shard
+      // must equal its directory — disjointness follows
+      rows.foreach { case (h, _) =>
+        assert((hex.indexOf(h.head)) % 4 == shardId,
+          s"row with h=$h landed in wrong shard $shardId")
+      }
+      shardId -> rows.map(_._2).toSeq
+    }.toMap
+    assert(seqs.values.map(_.size).sum ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // cluster-size independence: re-export from a DIFFERENT pre-shuffle
+    // partitioning (different task count and input order) — same seed
+    // must yield the identical per-shard doc_id sequences
+    val dir2 = Files.createTempDirectory("graft_q148_alt").toString
+    operators.SourceOps.exportShuffled(spark, sf, dir2,
+      preShufflePartitions = Some(3))
+    val back2 = spark.read.parquet(dir2)
+    val seqs2 = back2.select("shard", "h", "doc_id").collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(x => (x._2, x._3)).map(_._3).toSeq).toMap
+    assert(seqs2 == seqs, "shard layout changed with cluster size")
+  }
+
   test("q146 row-level quarantine contract (named-row diagnostics)") {
     // q146's oracle pins aggregate counts; this probe asserts the
     // SPECIFIC per-row PERMISSIVE verdicts so that a Spark-upgrade
