@@ -799,6 +799,25 @@ class Engine private[graft] (val spark: SparkSession) {
     createIndex(indexName, tableName, Seq(embCol), ifNotExists = true)
   }
 
+  /** Build a DURABLE shingle index over a managed documents table:
+    * materialize the df-capped distinct-shingle-hash stage to parquet
+    * at `path` and register the COLD read-back as a managed table —
+    * every consumer (the q145-shaped incremental dedup of a daily
+    * batch) plans a fresh scan over storage, so index cost amortizes
+    * across snapshots while the marginal batch stays O(batch).
+    * Registry round-trip semantics follow
+    * `duckherder_register_remote_table`
+    * (src/client/duckherder_pragmas.cpp:16-60): the catalog entry
+    * points at the persisted artifact, not a session cache. */
+  def buildShingleIndex(indexName: String, docsTable: String,
+      path: String): Unit = {
+    val docs = table(docsTable)
+    graft.operators.DedupOps.shingleTokens(docs)
+      .write.mode("overwrite").parquet(path)
+    put(indexName, spark.read.parquet(path))
+    createIndex(indexName, docsTable, Seq("text"), ifNotExists = true)
+  }
+
   /** Probe an [[buildAnnIndex]] index: rank cells against the query on
     * the driver (centroids are metadata-scale, ≈√N rows), then scan
     * only the probed cells — per-query work O(nprobe·N/nlist). */

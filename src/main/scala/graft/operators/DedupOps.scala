@@ -24,7 +24,8 @@ object DedupOps {
     * immaterial next to MinHash's own error). Hot shingles dropped: a
     * shingle appearing in > maxDf docs (stopword-like) would explode the
     * pair join quadratically at scale while carrying no dedup signal. */
-  private def shingleTokens(docs: DataFrame, maxDf: Int = 1000): DataFrame = {
+  private[graft] def shingleTokens(docs: DataFrame,
+      maxDf: Int = 1000): DataFrame = {
     // hashes computed inside the shingling expression: the explode emits
     // 8-byte longs, never shingle strings (ShingleHashArray ≡
     // xxhash64(shingle) — same seed, interchangeable values)
@@ -61,6 +62,30 @@ object DedupOps {
     * own entry — the per-pass dedup numbers then measure the passes). */
   private[graft] def warmShingles(s: SparkSession, d: String): Unit =
     sharedShingles(s, d).write.mode("overwrite").format("noop").save()
+
+  /** Durable shingle index — the session memo above is the right
+    * MARGINAL cost but the wrong durability: a daily-crawl pipeline
+    * reads YESTERDAY'S index from storage, it does not hold it in a
+    * warm cache across days. The write is memoized per (session, dir)
+    * — one materialization per corpus snapshot — but every consumer
+    * plans a fresh COLD scan over the parquet files, so the
+    * incremental path (q145) pays the true re-read cost of the
+    * storage format, never a cache hit. At 100 TB the index lives
+    * bucketed-by-shingle next to the corpus; here the local temp dir
+    * stands in for the object store. Reference analog: the registry
+    * round-trip of `duckherder_register_remote_table`
+    * (src/client/duckherder_pragmas.cpp:16-60). */
+  private val indexDirMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private[graft] def persistShingleIndex(s: SparkSession, d: String): String =
+    indexDirMemo.getOrElseUpdate((s, d), {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_shingle_index_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      sharedShingles(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+  private[graft] def coldShingleIndex(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(persistShingleIndex(s, d))
 
   /** Exact dedup: hash groupBy on the dedup key, keep min doc_id.
     * One shuffle on the key; at 100 TB this is the cheapest possible
@@ -449,9 +474,12 @@ object DedupOps {
     * (new × kept) — the quadratic new×new and kept×kept blocks are
     * never formed, so the marginal cost of a batch is O(batch) joins
     * against the index, which is how a 100 TB pipeline absorbs a daily
-    * crawl. Output: each new doc dropped (exact Jaccard ≥ 0.9 against
-    * any kept doc) with its best match — the argmax is an algebraic
-    * max(struct), no per-doc window. */
+    * crawl. The index is consumed through [[coldShingleIndex]] — a COLD
+    * parquet scan of the persisted per-snapshot artifact, the daily-
+    * cadence durability shape (not a session cache hit). Output: each
+    * new doc dropped (exact Jaccard ≥ 0.9 against any kept doc) with
+    * its best match — the argmax is an algebraic max(struct), no
+    * per-doc window. */
   val incrementalDedup: NamedQuery = NamedQuery("q145_incremental_dedup",
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
            |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
@@ -480,9 +508,9 @@ object DedupOps {
            |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin),
     (s, d) => {
       val srcOf = t(s, d, "documents").select(col("doc_id"), col("source"))
-      val sh = sharedShingles(s, d).join(srcOf, Seq("doc_id"))
-      val sz = sharedShingles(s, d).groupBy("doc_id")
-        .agg(count(lit(1)).as("n"))
+      val idx = coldShingleIndex(s, d)
+      val sh = idx.join(srcOf, Seq("doc_id"))
+      val sz = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val newSh = sh.filter(col("source") === "src0")
         .select(col("doc_id").as("nid"), col("s"))
       val keptSh = sh.filter(col("source") =!= "src0")

@@ -116,6 +116,23 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("durable shingle index: registry round-trip reads cold from storage") {
+    engine.registerTable("shidx_docs", s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shidx").toString
+    engine.buildShingleIndex("shidx", "shidx_docs", s"$dir/index")
+    assert(engine.tableExists("shidx"))
+    val idx = engine.table("shidx")
+    assert(idx.columns.toSeq == Seq("doc_id", "s"))
+    assert(idx.count() > 0)
+    // the registered plan must scan the PERSISTED files (cold storage
+    // round-trip), not a session cache over the documents table
+    assert(idx.inputFiles.nonEmpty &&
+      idx.inputFiles.forall(_.contains("index")),
+      s"index table reads ${idx.inputFiles.take(1).mkString} — not storage")
+    assert(engine.indexes.collect().exists(_.getString(0) == "shidx"))
+    engine.unregisterTable("shidx_docs"); engine.unregisterTable("shidx")
+  }
+
   test("merge: NULL keys always insert and are never duplicates") {
     val t = freshTable("merge_null")
     engine.insertValues(t, Seq(Row(1, "alice")))
