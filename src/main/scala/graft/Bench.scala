@@ -22,6 +22,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bench tiers write fact tables as 32×~44 MB files; the 128 MB
+      // default packs ~3 files per scan task (1/3 parallelism on 32
+      // cores). ≤44 MB keeps one file per task — q06 sf10 2.2× → ~1.3×
+      // (Sweep06). Production rule: maxPartitionBytes ≤ file size so a
+      // scan fans out to ≥ the core count.
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -161,6 +161,23 @@ object AdvancedOps {
           ok("lt3", "le3", 0.1).as("p10_ok"))
       })
 
+  /** The q94 sketch pass ALONE — no audit, no cache, and no counted
+    * frame: the value-collapsing shuffle exists only to feed the
+    * audit's rank counts; the pure sketch streams rows directly (one
+    * scan, map-side partial sketches, one tiny merge). This is the
+    * per-query production cost (the audit is per-snapshot, not
+    * per-query); benched separately so the scale-tier table carries
+    * both numbers (BENCH_NOTES q94 sketch-only row). */
+  private[graft] def q94SketchOnly(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("double").as("v"))
+      .groupBy("l_returnflag")
+      .agg(graft.functions.LogHistogramQuantile.logHistQuantile(
+        col("v"), Seq(0.5, 0.9, 0.1)).as("ps"),
+        count(lit(1)).as("n"))
+
   /** Aggregate-function matrix: boolean, bitwise, ordered string, and
     * the bivariate-statistics family — identical SQL semantics on both
     * engines; floating aggregates rounded (partial-aggregation order

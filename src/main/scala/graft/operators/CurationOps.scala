@@ -67,6 +67,26 @@ object CurationOps {
       .orderBy("lang", "shard")
   }
 
+  /** Stage-prefix plans of [[packShards]] for stage-accounted benching
+    * (BENCH_NOTES q97 floor analysis): tokenize-scan alone, + offsets
+    * frame, + the cum window, then the full query is the basket entry.
+    * Each prefix is a runnable plan; successive deltas attribute the
+    * wall time to (scan, offsets shuffle, window shuffle, final agg). */
+  private[graft] def packShardsStages(
+      docs: org.apache.spark.sql.DataFrame)
+      : Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    val b = docs.withColumn("b", floor(col("doc_id") / 8192L))
+    val wBuck = Window.partitionBy("lang").orderBy("b")
+    val offsets = b.groupBy("lang", "b").agg(sum("tok").as("bt"))
+      .withColumn("off", sum("bt").over(wBuck) - col("bt"))
+      .drop("bt")
+    val wIn = Window.partitionBy("lang", "b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = b.join(offsets, Seq("lang", "b"))
+      .withColumn("cum", sum("tok").over(wIn) + col("off"))
+    Seq("s1_tokenize" -> docs, "s2_offsets" -> offsets, "s3_cum" -> cum)
+  }
+
   /** Token-budget shard packing: within each language, documents are
     * packed in doc_id order into shards of ≤ 2k whitespace tokens by a
     * running sum — the streaming shard assignment a training-data

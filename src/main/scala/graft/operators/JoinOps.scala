@@ -32,10 +32,21 @@ object JoinOps {
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      // orders/customer scale with the fact table — no broadcast hint;
-      // AQE broadcasts them locally and falls back to SMJ at real scale
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      // Join ORDER: orders ⋈ customer first — the BUILDING segment is
+      // ~20% of customers, so the orders side entering the fact join
+      // shrinks 5× (sf10: 6.85M → 1.34M rows) BEFORE the expensive
+      // l_orderkey shuffle. customer scales with the facts, so its hint
+      // stays size-gated. shuffle_hash on the shrunken orders side: a
+      // per-partition hash build (|side|/numPartitions rows) beats
+      // SMJ's sort of the 33M-row filtered lineitem, and the build
+      // footprint falls as partitions grow — scale-safe, AQE still
+      // skew-splits. Measured sf10: 2.95 s SMJ → see BENCH_NOTES r7.
+      val oc = o.join(NamedQuery.maybeBroadcast(c,
+          t(s, d, "customer"), 100L << 20),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      li.join(oc.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"),
           col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
@@ -91,9 +102,14 @@ object JoinOps {
       // only shrinks it; the derived plan's own join-stat estimate is a
       // useless product of child sizes)
       val bcast = 100L << 20
+      // shuffle_hash on the date-filtered orders side (sf10: 6.9M rows,
+      // 2 cols): per-partition hash build beats sorting the 12M-row
+      // supplier-pruned lineitem side; footprint falls with partition
+      // count — scale-safe (see q68's note). Measured sf10: 2.14 s SMJ
+      // → see BENCH_NOTES r7.
       li.join(NamedQuery.maybeBroadcast(suA, suBase, bcast),
           col("l_suppkey") === col("s_suppkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(NamedQuery.maybeBroadcast(cA, cBase, bcast),
           col("o_custkey") === col("c_custkey")
           && col("s_nationkey") === col("c_nationkey"))

@@ -186,10 +186,17 @@ object Relational {
         // pass. The pre-agg output is already hash-partitioned on the
         // join key, so the orders join reuses that partitioning.
         // customer scales with the facts — broadcast only while small.
+        // shuffle_hash on the orders side: both sides are ~|orders| rows,
+        // and SMJ's two 15M-row sorts cost more than building a
+        // per-partition hash map (|orders|/numPartitions rows, a few MB —
+        // the footprint FALLS as partitions grow, so the hint is
+        // scale-safe; AQE still skew-splits SHJ). Measured sf10: 11.1 s
+        // SMJ → see BENCH_NOTES round-7 table.
         val perOrder = li.groupBy("l_orderkey")
           .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("rev"))
-        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+        perOrder.join(o.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
           .join(NamedQuery.maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
