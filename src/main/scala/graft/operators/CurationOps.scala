@@ -333,7 +333,38 @@ object CurationOps {
         .orderBy("source")
     })
 
+  /** Deterministic per-stratum UNIFORM sampling — the fixed-k
+    * complement of q96's fixed-RATE mod-sampling: exactly k docs per
+    * language, chosen by seeded-hash rank (md5(doc_id || seed)), so
+    * the same seed reproduces the same sample on any engine and any
+    * cluster size — a reservoir sample without RNG state. The rank
+    * filter plans as WindowGroupLimit (PlanQualitySpec law): each
+    * task keeps a k-bounded heap per group and the final per-group
+    * merge touches k·strata rows — no stratum is ever fully sorted,
+    * which is what makes fixed-k sampling safe when one language is
+    * half the corpus. */
+  val reservoirSample: NamedQuery = NamedQuery("q149_reservoir_sample",
+    Some("""WITH h AS (SELECT doc_id, lang,
+           |    md5(CAST(doc_id AS VARCHAR) || ':rs7') AS hv
+           |  FROM documents),
+           |r AS (SELECT doc_id, lang, hv,
+           |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id)
+           |      AS rk
+           |  FROM h)
+           |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+           |FROM r WHERE rk <= 50""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("hv"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(concat(col("doc_id").cast("string"), lit(":rs7"))).as("hv"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 50)
+        .select("doc_id", "lang", "rk")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(stratifiedSample, shardPacking, vocabTopK, curationPipeline,
-      contamination, domainMixing, sourceDivergence)
+      contamination, domainMixing, sourceDivergence, reservoirSample)
 }

@@ -85,6 +85,35 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Streaming approximate-distinct monitor: per event_type, HLL++
+    * distinct user_id over the stream — the bounded-memory cardinality
+    * monitor (unique visitors / unique documents per source) an
+    * ingestion pipeline runs continuously. HLL union is bucket-wise
+    * register max: commutative, associative, idempotent — so the
+    * streamed sketch is BIT-IDENTICAL to the batch sketch over the
+    * same data regardless of micro-batch boundaries (StreamingSpec
+    * asserts exact equality, plus the error bound against the exact
+    * count), and per-group state is the fixed register array. */
+  def distinctUsers(spark: SparkSession, dir: String,
+      queryName: String = "graft_events_distinct"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Hourly per-type counts computed as a stream; blocks until the source
     * is drained and returns the materialized result. */
   def hourlyCounts(spark: SparkSession, dir: String,

@@ -247,6 +247,20 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q149 reservoir sample plans as WindowGroupLimit, never a full sort") {
+    val df = SparkEntry.queries("q149_reservoir_sample")(spark, sf)
+    df.collect()
+    val s = planString(df)
+    // the rank-≤-k filter must run as the per-group top-k operator
+    // (k-bounded heap per task, k·strata rows into the final merge);
+    // losing it means every stratum is fully sorted — the formulation
+    // that dies when one language is half a 100 TB corpus
+    assert(s.contains("WindowGroupLimit"),
+      "q149 lost the per-group top-k (WindowGroupLimit) optimization")
+    assert(!s.contains("Exchange SinglePartition"),
+      "q149 serialized into one partition")
+  }
+
   test("q1_agg runs with exactly one shuffle") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect()

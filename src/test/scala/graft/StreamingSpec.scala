@@ -34,4 +34,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("streamed HLL distinct-users is bit-identical to batch and bounded") {
+    // HLL union is bucket-wise register max — commutative, associative,
+    // idempotent — so micro-batch boundaries cannot change the result
+    val streamed = EventsStream.distinctUsers(spark, sf)
+      .select(col("event_type"), col("approx_users"), col("n"))
+    val batch = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("approx_users"), col("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // and the sketch answers within its error envelope vs exact
+    val exact = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    val viol = streamed.join(exact, "event_type")
+      .filter(abs(col("approx_users") - col("exact_users")) >
+        col("exact_users") * 0.06) // 3 × rsd(0.02)
+      .count()
+    assert(viol == 0, "HLL estimate outside 3×rsd of the exact count")
+  }
 }
