@@ -364,7 +364,38 @@ object CurationOps {
         .select("doc_id", "lang", "rk")
     })
 
+  /** Context-window chunking with overlap — the step between curation
+    * and embedding/training: each document becomes overlapping
+    * 128-token windows on a 96-token stride (stride < window ⇒ 32
+    * tokens of overlap, so no boundary-spanning context is lost).
+    * Chunk starts are pure row arithmetic (sequence step), so the op
+    * is a narrow map + explode: embarrassingly parallel, no shuffle,
+    * and the chunk set is deterministic — the same doc always yields
+    * the same chunks, which makes downstream chunk-level dedup and
+    * embedding caches stable across runs. */
+  val contextChunks: NamedQuery = NamedQuery("q150_context_chunks",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |c AS (SELECT doc_id, n, unnest(range(0, n, 96)) AS start
+           |  FROM w)
+           |SELECT doc_id, CAST(start // 96 AS BIGINT) AS chunk_id,
+           |  CAST(least(128, n - start) AS BIGINT) AS n_tok
+           |FROM c""".stripMargin),
+    (s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n"))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+            lit(96))).as("start"))
+        .select(col("doc_id"),
+          (col("start") / 96).cast("long").as("chunk_id"),
+          least(lit(128), col("n") - col("start")).cast("long").as("n_tok"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(stratifiedSample, shardPacking, vocabTopK, curationPipeline,
-      contamination, domainMixing, sourceDivergence, reservoirSample)
+      contamination, domainMixing, sourceDivergence, reservoirSample,
+      contextChunks)
 }

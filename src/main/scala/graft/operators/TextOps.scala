@@ -354,7 +354,36 @@ object TextOps {
           (col("i") + 1).cast("long").as("rk"))
     })
 
+  /** C4-style heuristic quality gate (Raffel et al. 2020, the public
+    * rule set): drop docs containing '{' (code/markup), containing
+    * "lorem ipsum" (placeholder boilerplate), shorter than 5 words,
+    * or not ending in terminal punctuation. Each rule emits its own
+    * verdict column so a curation run can report per-rule kill rates,
+    * plus the conjunction `keep`. Pure narrow map — fully map-side at
+    * any corpus size, no shuffle at all until a consumer aggregates. */
+  val c4Gate: NamedQuery = NamedQuery("q151_c4_gate",
+    Some("""SELECT doc_id,
+           |  NOT contains(text, '{') AS r_brace,
+           |  NOT contains(lower(text), 'lorem ipsum') AS r_lorem,
+           |  len(string_split(text, ' ')) >= 5 AS r_minwords,
+           |  right(trim(text), 1) IN ('.', '!', '?', '"') AS r_terminal,
+           |  (NOT contains(text, '{')
+           |   AND NOT contains(lower(text), 'lorem ipsum')
+           |   AND len(string_split(text, ' ')) >= 5
+           |   AND right(trim(text), 1) IN ('.', '!', '?', '"')) AS keep
+           |FROM documents""".stripMargin),
+    (s, d) => {
+      val rBrace = !col("text").contains("{")
+      val rLorem = !lower(col("text")).contains("lorem ipsum")
+      val rMin = size(split(col("text"), " ")) >= 5
+      val rTerm = substring(trim(col("text")), -1, 1).isin(".", "!", "?", "\"")
+      t(s, d, "documents").select(col("doc_id"),
+        rBrace.as("r_brace"), rLorem.as("r_lorem"),
+        rMin.as("r_minwords"), rTerm.as("r_terminal"),
+        (rBrace && rLorem && rMin && rTerm).as("keep"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
-      piiScrub, normalize, repetition, heavyHitters, tfidf)
+      piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate)
 }
