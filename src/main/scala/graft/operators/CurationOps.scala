@@ -51,7 +51,7 @@ object CurationOps {
     * global running sums. Numerically identical to the single window,
     * so the oracle SQL stays the plain per-language cumulative sum.
     * Input must carry (doc_id, lang, tok). */
-  private[operators] def packShards(docs: org.apache.spark.sql.DataFrame) = {
+  private[graft] def packShards(docs: org.apache.spark.sql.DataFrame) = {
     val b = docs.withColumn("b", floor(col("doc_id") / 8192L))
     val wBuck = Window.partitionBy("lang").orderBy("b")
     val offsets = b.groupBy("lang", "b").agg(sum("tok").as("bt"))

@@ -193,9 +193,15 @@ object JoinOps {
            |FROM p LEFT JOIN c ON c.ts >= p.ts - INTERVAL 30 MINUTE
            |  AND c.ts < p.ts
            |GROUP BY p.event_id""".stripMargin),
-    (s, d) => {
-      val slotUs = 1800L * 1000000L // 30 min of microseconds
-      val ev = t(s, d, "events")
+    (s, d) => rangeJoinAgg(t(s, d, "events")))
+
+  /** The q140 kernel over ANY events frame carrying (event_id, ts,
+    * event_type, value) — extracted so RangeJoinPropertySpec can
+    * compare it against the enumerating join on adversarial random
+    * inputs (boundary-exact timestamps, duplicate instants, empty
+    * slots). `slotUs` is the look-back window in microseconds. */
+  private[graft] def rangeJoinAgg(ev: org.apache.spark.sql.DataFrame,
+      slotUs: Long = 1800L * 1000000L): org.apache.spark.sql.DataFrame = {
       val pb = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), expr("unix_micros(ts)").as("pus"))
         .withColumn("slot", explode(sequence(
@@ -217,7 +223,7 @@ object JoinOps {
         .groupBy(col("r.id").as("event_id"))
         .agg(sum("r.n").as("n_clicks"),
           round(sum("r.sv"), 2).as("click_value"))
-    })
+  }
 
   def defs: Seq[NamedQuery] = Seq(tpchQ3, tpchQ5, approxSketches, rangeJoin)
 }
