@@ -531,7 +531,99 @@ object DedupOps {
         .orderBy("doc_id")
     })
 
+  /** CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 — the
+    * one-sided overlap symmetric Jaccard misses. A short document
+    * quoted whole inside a long one scores Jaccard ≈ |short|/|long|
+    * (arbitrarily low) but containment ≈ 1: this is the rule that
+    * catches quote-inclusion and boilerplate-wrapping duplication in a
+    * crawl. Same df-capped inverted-index join as q41 (shared shingle
+    * stage, one shuffle on shingle hashes) — only the normalization
+    * differs, so the scale shape is identical. */
+  val containment: NamedQuery = NamedQuery("q152_containment_dedup",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(ws) - 1, 1)),
+           |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+           |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+           |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |       round(inter * 1.0 / least(sa.n, sb.n), 3) AS containment
+           |FROM pair
+           |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+           |WHERE inter * 1.0 / least(sa.n, sb.n) >= 0.9""".stripMargin),
+    (s, d) => {
+      val sh = sharedShingles(s, d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("id_a", "s")
+      val b = sh.toDF("id_b", "s")
+      val pairs = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val cont = col("inter") * lit(1.0) / least(col("na"), col("nb"))
+      pairs
+        .join(sz.toDF("id_a", "na"), "id_a")
+        .join(sz.toDF("id_b", "nb"), "id_b")
+        .filter(cont >= 0.9)
+        .select(col("id_a"), col("id_b"), round(cont, 3).as("containment"))
+    })
+
+  /** Cross-source overlap matrix — dataset-level diagnostics: for every
+    * (source_a, source_b) pair, how many near-dup pairs (Jaccard ≥ 0.5)
+    * cross them. This is the table a curation owner reads to decide
+    * which feeds to drop or de-prioritize (a source that is 90%
+    * duplicated against another carries little marginal signal). Built
+    * by joining doc sources onto the q41 pair list; the (doc_id,
+    * source) attachment SCALES WITH THE CORPUS, so its broadcast is
+    * size-gated — above the gate it degrades to a shuffle join on the
+    * already-small pair list. */
+  val sourceOverlap: NamedQuery = NamedQuery("q153_source_overlap",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(ws) - 1, 1)),
+           |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+           |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > 1000),
+           |sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+           |pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2),
+           |j AS (SELECT id_a, id_b FROM pair
+           |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+           |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5)
+           |SELECT least(da.source, db.source) AS source_a,
+           |  greatest(da.source, db.source) AS source_b,
+           |  CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM j JOIN documents da ON da.doc_id = id_a
+           |JOIN documents db ON db.doc_id = id_b
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => {
+      val srcOf = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val sh = sharedShingles(s, d)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.toDF("id_a", "s")
+      val b = sh.toDF("id_b", "s")
+      val jac = col("inter") * lit(1.0) /
+        (col("na") + col("nb") - col("inter"))
+      a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(sz.toDF("id_a", "na"), "id_a")
+        .join(sz.toDF("id_b", "nb"), "id_b")
+        .filter(jac >= 0.5)
+        .join(NamedQuery.maybeBroadcast(srcOf.toDF("id_a", "src_a"),
+          t(s, d, "documents"), 100L << 20), "id_a")
+        .join(NamedQuery.maybeBroadcast(srcOf.toDF("id_b", "src_b"),
+          t(s, d, "documents"), 100L << 20), "id_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters,
-      minhashAudit, simhashAudit, passageDedup, keepBest, incrementalDedup)
+      minhashAudit, simhashAudit, passageDedup, keepBest, incrementalDedup,
+      containment, sourceOverlap)
 }
