@@ -601,10 +601,23 @@ class Engine private[graft] (val spark: SparkSession) {
 
   // ---- DML -------------------------------------------------------------
 
+  // Per-table WRITER lock: every DML verb is a read-modify-write of the
+  // table's plan (read current df → build new df → put); without
+  // serialization two concurrent writers on one table both read state S
+  // and the later put() silently discards the earlier rows (lost
+  // update). Locking is per table — writers to different tables never
+  // contend — and the guarded region includes the verb's bounded
+  // validation probes: single-table writer serialization, the semantics
+  // Delta/Iceberg provide via optimistic commit-retry. Readers are
+  // never blocked (they hold a plan reference).
+  private val tableLocks = TrieMap.empty[String, Object]
+  private def withTableLock[A](name: String)(f: => A): A =
+    tableLocks.getOrElseUpdate(name, new Object).synchronized(f)
+
   /** INSERT: the reference buffers all rows driver-side then replays one
     * giant VALUES statement (distributed_insert.cpp:26-100); here appended
     * data stays distributed (unionByName of DataFrames). */
-  def insertInto(name: String, df: DataFrame): Unit = {
+  def insertInto(name: String, df: DataFrame): Unit = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     put(name, e.df.unionByName(coerceAndValidate(name, e, df)))
   }
@@ -695,7 +708,7 @@ class Engine private[graft] (val spark: SparkSession) {
     * distinct target keys, fold to a single row) so a MERGE in a loop
     * pays one job, not three. */
   def mergeInto(name: String, source: DataFrame,
-      keys: Seq[String]): (Long, Long) = {
+      keys: Seq[String]): (Long, Long) = withTableLock(name) {
     require(keys.nonEmpty, "MERGE requires at least one key column")
     val e = registry.getOrElse(name, missing(name))
     keys.foreach { k =>
@@ -740,7 +753,8 @@ class Engine private[graft] (val spark: SparkSession) {
   /** Exact dedup of a managed table (beyond-reference pipeline verb):
     * keeps one row per key set — hash groupBy underneath (dropDuplicates),
     * one shuffle on the key columns. Returns rows removed. */
-  def dedupTable(name: String, keys: Seq[String] = Seq.empty): Long = {
+  def dedupTable(name: String, keys: Seq[String] = Seq.empty): Long =
+      withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     val deduped =
       if (keys.isEmpty) e.df.dropDuplicates() else e.df.dropDuplicates(keys)
@@ -752,7 +766,7 @@ class Engine private[graft] (val spark: SparkSession) {
 
   /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
     * (what Delta/Iceberg do per-file), never a driver-side row collect. */
-  def deleteFrom(name: String, cond: Column): Long = {
+  def deleteFrom(name: String, cond: Column): Long = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     // SQL DELETE removes only rows where the predicate is TRUE; a row
     // where it evaluates NULL must be KEPT (plain `!cond` would drop it)

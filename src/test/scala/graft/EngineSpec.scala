@@ -140,6 +140,28 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("concurrent same-table inserts: no lost updates, no lost snapshots") {
+    val t = freshTable("conc_dml")
+    engine.insertValues(t, Seq(Row(0, "seed")))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try engine.insertValues(t, Seq(Row(i, s"v$i")))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent insert failed: ${errs.peek()}")
+    // writer serialization: every insert lands (no read-modify-write
+    // lost update) and every DML snapshots exactly its predecessor —
+    // the retained history is the full consecutive chain
+    assert(engine.table(t).count() == 9)
+    assert(engine.versionCount(t) == 9)
+    val counts = (1 to 9).map(engine.tableAt(t, _).count())
+    assert(counts == (1 to 9).map(j => 9L - j), s"history gap: $counts")
+    engine.dropTable(t)
+  }
+
   test("time travel retention: history is capped at MaxVersions") {
     val t = freshTable("ttr_test")
     engine.insertValues(t, Seq(Row(0, "seed")))
