@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions.expr
 /** Routes DDL/DML statement SQL to the engine catalog, mirroring the verb
   * set the reference intercepts at its catalog layer (CREATE/DROP/ALTER
   * TABLE, CREATE/DROP INDEX, INSERT, DELETE — duckherder_catalog.cpp,
-  * duckherder_schema_catalog_entry.cpp). SELECT-shaped statements return
-  * None and fall through to Spark SQL.
+  * duckherder_schema_catalog_entry.cpp — plus MERGE in its canonical
+  * whole-row upsert spelling, beyond the reference's verb set).
+  * SELECT-shaped statements return None and fall through to Spark SQL.
   *
   * Routing is PARSER-FIRST: the statement is classified with Spark's own
   * SQL parser, and anything that parses as a pure query is returned to
@@ -28,7 +29,7 @@ private[graft] object SqlRouter {
     * nodes whose packages moved across Spark versions, and the name set
     * is the stable surface. */
   private val RoutedFamilies = Set(
-    "InsertIntoStatement", "DeleteFromTable",
+    "InsertIntoStatement", "DeleteFromTable", "MergeIntoTable",
     "CreateTable", "CreateTableAsSelect", "ReplaceTable", "DropTable",
     "AddColumns", "DropColumns", "RenameColumn", "AlterColumn",
     "AlterColumns", "RenameTable", "CreateIndex", "DropIndex")
@@ -85,6 +86,14 @@ private[graft] object SqlRouter {
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)""".r
   private val DeleteAllSql =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*""".r
+  // MERGE in its canonical whole-row upsert form (the semantics
+  // Engine.mergeInto implements): UPDATE SET * / INSERT *. Non-canonical
+  // WHEN clauses (column-wise SET, conditions) don't match and fall
+  // through — Spark then raises its own unsupported-statement error.
+  private val MergeSubquerySql =
+    """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+\w+)?\s+USING\s+\((.+?)\)\s*(?:AS\s+)?\w*\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""".r
+  private val MergeTableSql =
+    """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+\w+)?\s+USING\s+([\w.]+)(?:\s+AS\s+\w+)?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""".r
 
   /** True iff `route` would intercept this statement — WITHOUT executing
     * anything (explain/plan paths must stay side-effect-free: Spark runs
@@ -100,7 +109,7 @@ private[graft] object SqlRouter {
       AlterSetNotNull, AlterDropNotNull, AlterDropDefault, AlterSetDefault,
       CreateType, DropType, AlterAdd, AlterDrop, AlterRenameCol,
       AlterRenameTable, CreateIndex, DropIndex, InsertColsSql, InsertSql,
-      DeleteSql, DeleteAllSql)
+      DeleteSql, DeleteAllSql, MergeSubquerySql, MergeTableSql)
     patterns.exists(_.pattern.matcher(q).matches())
   }
 
@@ -190,6 +199,12 @@ private[graft] object SqlRouter {
     case InsertSql(name, source) =>
       e.insertInto(unq(name), sourceDf(e, source))
       Some(emptyOk(e))
+    case MergeSubquerySql(name, source, onCond) =>
+      mergeRoute(e, name, e.spark.sql(DuckSyntax.rewriteCasts(source)),
+        onCond)
+    case MergeTableSql(name, srcTable, onCond) =>
+      mergeRoute(e, name,
+        e.spark.sql(s"SELECT * FROM ${unq(srcTable)}"), onCond)
     case DeleteSql(name, cond) =>
       val n = e.deleteFrom(unq(name), expr(cond))
       import e.spark.implicits._
@@ -199,6 +214,29 @@ private[graft] object SqlRouter {
       import e.spark.implicits._
       Some(Seq(n).toDF("deleted_rows"))
     case _ => None
+  }
+
+  /** Shared MERGE route body: extract the key columns from the ON
+    * clause's conjunctive same-named equalities (t.k = s.k AND …) and
+    * dispatch to the engine verb. */
+  private def mergeRoute(e: Engine, name0: String,
+      src: DataFrame, onCond: String): Option[DataFrame] = {
+    val eqs = """(?i)(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""".r
+      .findAllMatchIn(onCond).toSeq
+    if (eqs.isEmpty)
+      throw new IllegalArgumentException(
+        "Parser Error: MERGE ON must be a conjunction of " +
+          "alias-qualified key equalities (t.k = s.k [AND …])")
+    val keys = eqs.map { m =>
+      if (!m.group(2).equalsIgnoreCase(m.group(4)))
+        throw new IllegalArgumentException(
+          "Parser Error: MERGE ON must equate same-named key columns " +
+            s"(got ${m.group(2)} = ${m.group(4)})")
+      m.group(2)
+    }
+    val (updated, inserted) = e.mergeInto(unq(name0), src, keys)
+    import e.spark.implicits._
+    Some(Seq((updated, inserted)).toDF("updated_rows", "inserted_rows"))
   }
 
   private def sourceDf(e: Engine, source: String): DataFrame = {

@@ -236,6 +236,40 @@ class SqlRouterSpec extends SparkSpec {
       engine.sql("DROP TABLE router_missing"))
   }
 
+  test("MERGE INTO statement SQL routes to the engine verb") {
+    val t = s"router_merge_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING")
+    engine.sql(s"INSERT INTO $t VALUES (1, 'alice'), (2, 'bob')").collect()
+    // canonical whole-row upsert spelling, subquery source
+    val r = engine.sql(
+      s"""MERGE INTO $t AS t USING (
+         |  SELECT * FROM (VALUES (2, 'bob2'), (3, 'carl')) AS v(id, name)
+         |) AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1) // (updated, inserted)
+    val got = engine.table(t).collect()
+      .map(x => x.getInt(0) -> x.getString(1)).toMap
+    assert(got == Map(1 -> "alice", 2 -> "bob2", 3 -> "carl"))
+    // table source form
+    val srcT = s"${t}_src"
+    engine.createTable(srcT, "id INT, name STRING")
+    engine.sql(s"INSERT INTO $srcT VALUES (3, 'carl3'), (4, 'dana')").collect()
+    val r2 = engine.sql(
+      s"MERGE INTO $t AS t USING $srcT AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *").head()
+    assert(r2.getLong(0) == 1 && r2.getLong(1) == 1)
+    assert(engine.table(t).count() == 4)
+    // mismatched key names in ON must raise, not silently mis-merge
+    val err = intercept[IllegalArgumentException](engine.sql(
+      s"MERGE INTO $t AS t USING $srcT AS s ON t.id = s.name " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *"))
+    assert(err.getMessage.contains("same-named"))
+    engine.dropTable(t); engine.dropTable(srcT)
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     // 90% of left rows share one key — the shape AQE skew-split targets,
