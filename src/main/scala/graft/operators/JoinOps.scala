@@ -45,6 +45,12 @@ object JoinOps {
           t(s, d, "customer"), 100L << 20),
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      // NOTE: q12's pre-agg-below-the-join trick was measured HERE and
+      // rejected (sf10: 2.64 s vs 1.89 s) — with ~13 M near-unique
+      // groups the partial hash aggregation costs more than shuffling
+      // the raw 4-column rows; pre-agg pays only when it collapses the
+      // key space (q12 keeps it because the DISTINCT collapse also
+      // removes an Expand pass there).
       li.join(oc.hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"),
