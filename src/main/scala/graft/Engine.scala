@@ -478,33 +478,43 @@ class Engine private[graft] (val spark: SparkSession) {
   }
 
   // ALTER TABLE matrix (ref: catalog_utils.cpp:23-84 regenerates these as
-  // SQL; here they are DataFrame rewrites on the managed table).
+  // SQL; here they are DataFrame rewrites on the managed table). Each
+  // verb is a read-modify-write of the registry entry, so it runs under
+  // the same per-table writer lock as the DML verbs — the single-table
+  // writer serialization guarantee covers the WHOLE mutation surface,
+  // not just INSERT/MERGE/DELETE.
   def addColumn(name: String, col: String, typeDdl: String,
-      default: Option[Any] = None, ifNotExists: Boolean = false): Unit = {
+      default: Option[Any] = None, ifNotExists: Boolean = false): Unit =
+      withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     if (e.df.columns.contains(col)) {
-      if (ifNotExists) return
-      throw new IllegalArgumentException(
-        s"Catalog Error: Column with name $col already exists!")
+      if (!ifNotExists)
+        throw new IllegalArgumentException(
+          s"Catalog Error: Column with name $col already exists!")
+    } else {
+      Engine.detectOrigin(typeDdl).foreach(o =>
+        typeOrigins.put((name, col), o))
+      val v = default.map(lit).getOrElse(lit(null))
+        .cast(Engine.normalizeType(typeDdl))
+      put(name, e.df.withColumn(col, v))
     }
-    Engine.detectOrigin(typeDdl).foreach(o => typeOrigins.put((name, col), o))
-    val v = default.map(lit).getOrElse(lit(null))
-      .cast(Engine.normalizeType(typeDdl))
-    put(name, e.df.withColumn(col, v))
   }
 
-  def dropColumn(name: String, col: String, ifExists: Boolean = false): Unit = {
+  def dropColumn(name: String, col: String, ifExists: Boolean = false):
+      Unit = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     if (!e.df.columns.contains(col)) {
-      if (ifExists) return
-      throw new IllegalArgumentException(
-        s"Catalog Error: Column with name $col does not exist!")
+      if (!ifExists)
+        throw new IllegalArgumentException(
+          s"Catalog Error: Column with name $col does not exist!")
+    } else {
+      rekeyColumnMeta(name, col, None)
+      put(name, e.df.drop(col))
     }
-    rekeyColumnMeta(name, col, None)
-    put(name, e.df.drop(col))
   }
 
-  def renameColumn(name: String, from: String, to: String): Unit = {
+  def renameColumn(name: String, from: String, to: String): Unit =
+      withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     if (!e.df.columns.contains(from))
       throw new IllegalArgumentException(
@@ -513,7 +523,10 @@ class Engine private[graft] (val spark: SparkSession) {
     put(name, e.df.withColumnRenamed(from, to))
   }
 
-  def renameTable(from: String, to: String): Unit = {
+  /** Locks the SOURCE name: a racing DML on `from` serializes with the
+    * rename; the destination-exists probe runs inside the critical
+    * section. */
+  def renameTable(from: String, to: String): Unit = withTableLock(from) {
     val e = registry.getOrElse(from, missing(from))
     if (registry.contains(to))
       throw new IllegalArgumentException(
@@ -529,7 +542,8 @@ class Engine private[graft] (val spark: SparkSession) {
 
   /** ALTER COLUMN c TYPE t (catalog_utils.cpp:59-62): in-place cast
     * preserving column position. */
-  def alterColumnType(name: String, colName: String, typeDdl: String): Unit = {
+  def alterColumnType(name: String, colName: String, typeDdl: String):
+      Unit = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     if (!e.df.columns.contains(colName))
       throw new IllegalArgumentException(
@@ -717,6 +731,18 @@ class Engine private[graft] (val spark: SparkSession) {
           s"Binder Error: key column $k not in table $name")
     }
     val src = coerceAndValidate(name, e, source)
+    val (updated, inserted) = mergeStats(e, src, keys)
+    val untouched = e.df.join(src, keys, "left_anti")
+    put(name, untouched.unionByName(src))
+    (updated, inserted)
+  }
+
+  /** Shared MERGE statistics: (matched source rows, unmatched source
+    * rows) from ONE aggregation action. When `forbidDupMatches`, a
+    * source with duplicate non-NULL keys raises — one target row would
+    * otherwise be updated twice (nondeterministically). */
+  private def mergeStats(e: TableEntry, src: DataFrame, keys: Seq[String],
+      forbidDupMatches: Boolean = true): (Long, Long) = {
     // keysNonNull evaluated AFTER the groupBy: all rows in a group share
     // the key values, so the group-level predicate is well-defined
     val keysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
@@ -731,7 +757,7 @@ class Engine private[graft] (val spark: SparkSession) {
         .as("__upd"),
       coalesce(sum(when(col("__m").isNull, col("__n"))), lit(0L))
         .as("__ins")).head()
-    if (!stats.isNullAt(0)) {
+    if (forbidDupMatches && !stats.isNullAt(0)) {
       // failure path only: re-probe for the offending key value so the
       // error is actionable (mirrors the reference's constraint message)
       val bad = perKey.filter(keysNonNull && col("__n") > 1).head()
@@ -739,10 +765,99 @@ class Engine private[graft] (val spark: SparkSession) {
         "Constraint Error: MERGE source matches the same target row " +
           s"more than once (key ${bad.toSeq.init.mkString(",")})")
     }
-    val (updated, inserted) = (stats.getLong(1), stats.getLong(2))
-    val untouched = e.df.join(src, keys, "left_anti")
-    put(name, untouched.unionByName(src))
-    (updated, inserted)
+    (stats.getLong(1), stats.getLong(2))
+  }
+
+  /** Column-wise MERGE — the `UPDATE SET c = expr, …` / `INSERT (cols)
+    * VALUES (…)` SQL form. Matched target rows keep every column NOT
+    * named in `updateSet` and take the assignment expressions (evaluated
+    * over the joined row; target columns resolve under alias `ta`,
+    * source columns under `sa`) for those that are. Unmatched source
+    * rows insert via `insertSpec` (column list + value expressions over
+    * the source row); unnamed columns fill from their SET DEFAULT
+    * expression, NULL otherwise. Either clause may be absent: no
+    * MATCHED clause leaves matched target rows untouched, no NOT
+    * MATCHED clause drops unmatched source rows. Distributed shape
+    * matches [[mergeInto]] — one anti-join for the untouched rows, one
+    * equi-join for the updates, unions for assembly, all shuffling on
+    * the key columns only; the counters come from the same single
+    * aggregation action. Unlike the whole-row form, N target rows
+    * sharing a key are EACH updated (standard per-target-row MERGE
+    * semantics) rather than collapsed. NOT NULL / ENUM constraint
+    * probes run on the changed delta only, before the table is
+    * swapped — a rejected MERGE leaves the table untouched. */
+  def mergeIntoColumns(name: String, source: DataFrame, keys: Seq[String],
+      ta: String, sa: String,
+      updateSet: Option[Seq[(String, String)]],
+      insertSpec: Option[(Seq[String], Seq[String])]): (Long, Long) =
+      withTableLock(name) {
+    require(keys.nonEmpty, "MERGE requires at least one key column")
+    require(updateSet.isDefined || insertSpec.isDefined,
+      "MERGE requires at least one WHEN clause")
+    val e = registry.getOrElse(name, missing(name))
+    // resolve user-written column names against the target schema
+    // case-insensitively, like Spark's own identifier resolution
+    def canon(c: String): String =
+      e.df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Binder Error: column $c not in table $name"))
+    keys.foreach { k =>
+      canon(k)
+      if (!source.columns.exists(_.equalsIgnoreCase(k)))
+        throw new IllegalArgumentException(
+          s"Binder Error: key column $k not in MERGE source")
+    }
+    insertSpec.foreach { case (cols, vals) =>
+      if (cols.size != vals.size)
+        throw new IllegalArgumentException(
+          "Parser Error: MERGE INSERT column list and VALUES arity differ")
+    }
+    val updMap = updateSet.getOrElse(Nil)
+      .map { case (c, ex) => canon(c) -> ex }.toMap
+    val insMap = insertSpec.map { case (cols, vals) =>
+      cols.map(canon).zip(vals).toMap }.getOrElse(Map.empty)
+    // dup-source probe only matters when matched rows are rewritten;
+    // an insert-only MERGE legitimately inserts duplicate-key sources
+    val (updated, inserted) =
+      mergeStats(e, source, keys, forbidDupMatches = updateSet.isDefined)
+    val t = e.df.alias(ta)
+    val s = source.alias(sa)
+    val joinCond = keys.map(k => col(s"$ta.$k") === col(s"$sa.$k"))
+      .reduce(_ && _)
+    def assigned(c: String, ex: String): Column =
+      expr(ex).cast(e.df.schema(c).dataType).as(c)
+    val (untouched, updatedRows) = updateSet match {
+      case Some(_) =>
+        // NULL-key target rows never equi-match — they stay untouched,
+        // same as the whole-row path
+        (e.df.join(source.select(keys.map(source.col): _*), keys,
+          "left_anti"),
+          t.join(s, joinCond, "inner").select(e.df.columns.map { c =>
+            updMap.get(c).map(assigned(c, _))
+              .getOrElse(col(s"$ta.$c").as(c))
+          }.toIndexedSeq: _*))
+      case None => (e.df, e.df.limit(0))
+    }
+    val insertedRows = insertSpec match {
+      case Some(_) =>
+        s.join(t, joinCond, "left_anti").select(e.df.columns.map { c =>
+          insMap.get(c).map(assigned(c, _)).getOrElse {
+            // omitted columns fill like an explicit-column INSERT:
+            // SET DEFAULT expression when registered, NULL otherwise
+            columnDefault(name, c).map(expr).getOrElse(lit(null))
+              .cast(e.df.schema(c).dataType).as(c)
+          }
+        }.toIndexedSeq: _*)
+      case None => e.df.limit(0)
+    }
+    // constraint probes on the changed delta only (the untouched rows
+    // were valid already); coerceAndValidate also re-canonicalizes any
+    // degraded text-carry columns the assignments produced
+    val delta = coerceAndValidate(name, e,
+      updatedRows.unionByName(insertedRows))
+    put(name, untouched.unionByName(delta))
+    (if (updateSet.isDefined) updated else 0L,
+      if (insertSpec.isDefined) inserted else 0L)
   }
 
   def insertValues(name: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
@@ -824,12 +939,64 @@ class Engine private[graft] (val spark: SparkSession) {
     * (src/client/duckherder_pragmas.cpp:16-60): the catalog entry
     * points at the persisted artifact, not a session cache. */
   def buildShingleIndex(indexName: String, docsTable: String,
-      path: String): Unit = {
+      path: String, maxDf: Int = 1000): Unit = withTableLock(indexName) {
     val docs = table(docsTable)
-    graft.operators.DedupOps.shingleTokens(docs)
+    graft.operators.DedupOps.shingleTokens(docs, maxDf)
       .write.mode("overwrite").parquet(path)
     put(indexName, spark.read.parquet(path))
     createIndex(indexName, docsTable, Seq("text"), ifNotExists = true)
+  }
+
+  /** Incremental refresh of a [[buildShingleIndex]] artifact after new
+    * documents arrived: ONLY the docs absent from the index are
+    * shingled (anti-join on doc_id) — the existing corpus is never
+    * re-shingled, so the daily-crawl marginal cost is O(batch). The
+    * hot-shingle df-cap stays EXACT under refresh because document
+    * frequency is monotone under appends: a shingle the old build
+    * dropped (df already > maxDf) can only be hotter in the grown
+    * corpus, so its absence is correct; a shingle the new batch pushes
+    * over the cap is swept from the whole artifact (a parquet-level
+    * filter rewrite on the rare refresh that needs it — still far
+    * cheaper than re-shingling text). The refreshed artifact is
+    * row-identical to a from-scratch build over the grown corpus
+    * (EngineSpec law). The parquet swap invalidates time-travel
+    * versions of the index table (their plans reference replaced
+    * files) — the index is a derived artifact, rebuildable, not a
+    * versioned source of truth. Returns newly indexed doc count. */
+  def refreshShingleIndex(indexName: String, docsTable: String,
+      path: String, maxDf: Int = 1000): Long = withTableLock(indexName) {
+    val docs = table(docsTable)
+    val known = table(indexName).select("doc_id").distinct()
+    val newDocs = docs.join(known, Seq("doc_id"), "left_anti")
+    val added = newDocs.count()
+    if (added > 0) {
+      // cap NOT applied batch-locally — it is re-derived over the
+      // combined corpus below, where it is exact
+      val newSh = graft.operators.DedupOps.shingleTokens(newDocs,
+        maxDf = Int.MaxValue)
+      val old = spark.read.parquet(path)
+      val combined = old.unionByName(newSh)
+      val hotDelta = combined.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("s")
+      if (hotDelta.isEmpty) {
+        newSh.write.mode("append").parquet(path)
+      } else {
+        val tmp = path + "_refresh_tmp"
+        // the using-column join fronts `s` — restore the (doc_id, s)
+        // artifact schema before writing
+        combined.join(hotDelta, Seq("s"), "left_anti")
+          .select("doc_id", "s")
+          .write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(path))
+      }
+      put(indexName, spark.read.parquet(path))
+    }
+    added
   }
 
   /** Probe an [[buildAnnIndex]] index: rank cells against the query on

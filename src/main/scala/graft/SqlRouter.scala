@@ -86,14 +86,14 @@ private[graft] object SqlRouter {
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)""".r
   private val DeleteAllSql =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*""".r
-  // MERGE in its canonical whole-row upsert form (the semantics
-  // Engine.mergeInto implements): UPDATE SET * / INSERT *. Non-canonical
-  // WHEN clauses (column-wise SET, conditions) don't match and fall
-  // through — Spark then raises its own unsupported-statement error.
-  private val MergeSubquerySql =
-    """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+\w+)?\s+USING\s+\((.+?)\)\s*(?:AS\s+)?\w*\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""".r
-  private val MergeTableSql =
-    """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+\w+)?\s+USING\s+([\w.]+)(?:\s+AS\s+\w+)?\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""".r
+  // MERGE head only — the USING source, ON clause, and WHEN clauses are
+  // parsed structurally by routeMerge (balanced-paren subquery scan,
+  // strict ON-conjunction validation, whole-row AND column-wise WHEN
+  // forms). A statement that matches this head but has malformed
+  // clauses raises a Parser Error rather than silently falling through
+  // with partial semantics.
+  private val MergeHead =
+    """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
 
   /** True iff `route` would intercept this statement — WITHOUT executing
     * anything (explain/plan paths must stay side-effect-free: Spark runs
@@ -109,7 +109,7 @@ private[graft] object SqlRouter {
       AlterSetNotNull, AlterDropNotNull, AlterDropDefault, AlterSetDefault,
       CreateType, DropType, AlterAdd, AlterDrop, AlterRenameCol,
       AlterRenameTable, CreateIndex, DropIndex, InsertColsSql, InsertSql,
-      DeleteSql, DeleteAllSql, MergeSubquerySql, MergeTableSql)
+      DeleteSql, DeleteAllSql, MergeHead)
     patterns.exists(_.pattern.matcher(q).matches())
   }
 
@@ -199,12 +199,8 @@ private[graft] object SqlRouter {
     case InsertSql(name, source) =>
       e.insertInto(unq(name), sourceDf(e, source))
       Some(emptyOk(e))
-    case MergeSubquerySql(name, source, onCond) =>
-      mergeRoute(e, name, e.spark.sql(DuckSyntax.rewriteCasts(source)),
-        onCond)
-    case MergeTableSql(name, srcTable, onCond) =>
-      mergeRoute(e, name,
-        e.spark.sql(s"SELECT * FROM ${unq(srcTable)}"), onCond)
+    case MergeHead(name, tAlias, rest) =>
+      routeMerge(e, name, Option(tAlias), rest)
     case DeleteSql(name, cond) =>
       val n = e.deleteFrom(unq(name), expr(cond))
       import e.spark.implicits._
@@ -216,25 +212,227 @@ private[graft] object SqlRouter {
     case _ => None
   }
 
-  /** Shared MERGE route body: extract the key columns from the ON
-    * clause's conjunctive same-named equalities (t.k = s.k AND …) and
-    * dispatch to the engine verb. */
-  private def mergeRoute(e: Engine, name0: String,
-      src: DataFrame, onCond: String): Option[DataFrame] = {
-    val eqs = """(?i)(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""".r
-      .findAllMatchIn(onCond).toSeq
-    if (eqs.isEmpty)
-      throw new IllegalArgumentException(
-        "Parser Error: MERGE ON must be a conjunction of " +
-          "alias-qualified key equalities (t.k = s.k [AND …])")
-    val keys = eqs.map { m =>
-      if (!m.group(2).equalsIgnoreCase(m.group(4)))
-        throw new IllegalArgumentException(
-          "Parser Error: MERGE ON must equate same-named key columns " +
-            s"(got ${m.group(2)} = ${m.group(4)})")
-      m.group(2)
+  // ---- MERGE statement structural parser --------------------------------
+
+  /** What a WHEN clause asks for: `*` (whole-row) or explicit columns. */
+  private sealed trait MergeAction
+  private case object WholeRow extends MergeAction
+  private final case class UpdateCols(assigns: Seq[(String, String)])
+    extends MergeAction
+  private final case class InsertCols(cols: Option[Seq[String]],
+    vals: Seq[String]) extends MergeAction
+
+  private val AliasOn =
+    """(?is)\s*(?:(?:AS\s+)?(?!ON\b)(\w+)\s+)?ON\s+(.+)""".r
+  private val OnWhen = """(?is)(.+?)\s+(WHEN\s+.+)""".r
+  private val UpdAllClause =
+    """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*""".r
+  private val UpdSetClause =
+    """(?is)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val InsAllClause =
+    """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+  private val InsColsClause =
+    """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([\w\s,]+)\)\s*VALUES\s*\((.+)\)\s*""".r
+  private val InsValsClause =
+    """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+VALUES\s*\((.+)\)\s*""".r
+  private val AssignSql =
+    """(?is)\s*(?:(\w+)\.)?(\w+)\s*=\s*(.+?)\s*""".r
+  private val KeyEq =
+    """(?is)\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*""".r
+
+  private def parseErr(msg: String): Nothing =
+    throw new IllegalArgumentException(s"Parser Error: $msg")
+
+  /** Index of the ')' closing the '(' at `open`, honoring single-quoted
+    * SQL string literals (doubled '' escapes fall out naturally — each
+    * quote toggles the in-string state). */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
     }
-    val (updated, inserted) = e.mergeInto(unq(name0), src, keys)
+    parseErr("unbalanced parentheses in MERGE USING source")
+  }
+
+  /** Split on top-level commas (parentheses and string literals
+    * honored) — assignment lists and VALUES payloads may contain commas
+    * inside function calls. */
+  private def splitTopComma(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Split on top-level AND keywords (parentheses / strings honored). */
+  private def splitTopAnd(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    def wordBoundary(j: Int): Boolean =
+      j < 0 || j >= s.length ||
+        (!Character.isLetterOrDigit(s.charAt(j)) && s.charAt(j) != '_')
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'A' | 'a' if depth == 0 &&
+            s.regionMatches(true, i, "AND", 0, 3) &&
+            wordBoundary(i - 1) && wordBoundary(i + 3) =>
+          out += s.substring(start, i); start = i + 3; i += 2
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  /** Extract the MERGE key columns from the ON clause. The clause must
+    * REDUCE to a conjunction of same-named, alias-qualified key
+    * equalities — after splitting on top-level ANDs, every piece must
+    * be exactly `a.k = b.k` with {a, b} = {target alias, source alias}.
+    * Any residue (extra range predicates, OR, parenthesized disjuncts)
+    * is a Parser Error, never a silent wrong-key merge. */
+  private def mergeKeys(onCond: String, ta: String, sa: String):
+      Seq[String] =
+    splitTopAnd(onCond).map {
+      case KeyEq(a1, c1, a2, c2) =>
+        if (!c1.equalsIgnoreCase(c2))
+          parseErr("MERGE ON must equate same-named key columns " +
+            s"(got $c1 = $c2)")
+        val pair = Set(a1.toLowerCase, a2.toLowerCase)
+        if (pair != Set(ta.toLowerCase, sa.toLowerCase))
+          parseErr("MERGE ON must equate the target and source aliases " +
+            s"($ta, $sa); got $a1.$c1 = $a2.$c2")
+        c1
+      case other =>
+        parseErr("MERGE ON must be a conjunction of alias-qualified " +
+          s"key equalities (t.k = s.k [AND …]); unsupported predicate: " +
+          s"'${other.trim}'")
+    }
+
+  /** MERGE statement body (beyond the reference's verb set — see
+    * [[Engine.mergeInto]] / [[Engine.mergeIntoColumns]]). Grammar:
+    * {{{
+    * MERGE INTO tgt [AS t]
+    * USING (subquery)|src_table [AS s]
+    * ON t.k = s.k [AND …]
+    * [WHEN MATCHED THEN UPDATE SET * | SET c = expr, …]
+    * [WHEN NOT MATCHED THEN INSERT * | INSERT [(cols)] VALUES (…)]
+    * }}}
+    * The USING subquery is delimited by a balanced-paren scan, so
+    * nested joins containing interior `) alias ON` sequences parse
+    * correctly. Both-whole-row dispatches to the whole-row engine verb;
+    * any column-wise clause dispatches to the column-wise verb
+    * (unnamed columns keep target values on UPDATE, fill defaults/NULL
+    * on INSERT). Missing aliases default to the unqualified table
+    * name. */
+  private def routeMerge(e: Engine, name0: String, tAlias: Option[String],
+      rest0: String): Option[DataFrame] = {
+    val rest = rest0.trim
+    val (src, srcName, afterSrc) =
+      if (rest.startsWith("(")) {
+        val close = matchParen(rest, 0)
+        (e.spark.sql(DuckSyntax.rewriteCasts(rest.substring(1, close))),
+          None, rest.substring(close + 1))
+      } else """(?s)\s*([\w.]+)(.*)""".r.findFirstMatchIn(rest) match {
+        case Some(m) =>
+          val t = unq(m.group(1))
+          (e.spark.sql(s"SELECT * FROM $t"), Some(t), m.group(2))
+        case None => parseErr("malformed MERGE USING source")
+      }
+    val (sAlias, afterOn) = afterSrc match {
+      case AliasOn(a, r) => (Option(a), r)
+      case _ => parseErr("expected [AS alias] ON <cond> after MERGE " +
+        "USING source")
+    }
+    val (onCond, whenPart) = afterOn match {
+      case OnWhen(c, w) => (c, w)
+      case _ => parseErr("MERGE requires at least one WHEN clause")
+    }
+    val ta = tAlias.getOrElse(unq(name0))
+    val sa = sAlias.orElse(srcName).getOrElse(parseErr(
+      "a MERGE USING subquery requires an alias"))
+    val keys = mergeKeys(onCond, ta, sa)
+    // clauses split on the unambiguous WHEN NOT MATCHED boundary (a
+    // plain WHEN delimiter would false-trigger on CASE WHEN inside
+    // assignment expressions)
+    val parts = whenPart.split("""(?i)(?=WHEN\s+NOT\s+MATCHED\b)""")
+    if (parts.length > 2)
+      parseErr("at most one WHEN NOT MATCHED clause is supported")
+    var matched: Option[MergeAction] = None
+    var notMatched: Option[MergeAction] = None
+    parts.map(_.trim).filter(_.nonEmpty).foreach {
+      case UpdAllClause() => matched = Some(WholeRow)
+      case UpdSetClause(assigns) =>
+        matched = Some(UpdateCols(splitTopComma(assigns).map {
+          case AssignSql(qual, c, ex) =>
+            if (qual != null && !qual.equalsIgnoreCase(ta))
+              parseErr("MERGE UPDATE SET must assign target columns " +
+                s"(got $qual.$c)")
+            c -> ex
+          case bad => parseErr(s"malformed MERGE assignment: '${bad.trim}'")
+        }))
+      case InsAllClause() => notMatched = Some(WholeRow)
+      case InsColsClause(cols, vals) =>
+        notMatched = Some(InsertCols(
+          Some(cols.split(",").map(_.trim).toSeq), splitTopComma(vals)))
+      case InsValsClause(vals) =>
+        notMatched = Some(InsertCols(None, splitTopComma(vals)))
+      case bad => parseErr(s"unsupported MERGE WHEN clause: '${bad.take(60)}'")
+    }
+    if (matched.isEmpty && notMatched.isEmpty)
+      parseErr("MERGE requires at least one WHEN clause")
+    val name = unq(name0)
+    val (updated, inserted) = (matched, notMatched) match {
+      case (Some(WholeRow), Some(WholeRow)) =>
+        e.mergeInto(name, src, keys)
+      case _ =>
+        // any column-wise (or absent) clause → the column-wise verb;
+        // whole-row sides expand to per-column source assignments
+        val allCols = e.table(name).columns.toSeq
+        val updateSet = matched.map {
+          case WholeRow => allCols.map(c => c -> s"$sa.$c")
+          case UpdateCols(assigns) => assigns
+          case _: InsertCols => parseErr("INSERT form in WHEN MATCHED")
+        }
+        val insertSpec = notMatched.map {
+          case WholeRow => (allCols, allCols.map(c => s"$sa.$c"))
+          case InsertCols(cols, vals) =>
+            (cols.getOrElse {
+              if (vals.size != allCols.size)
+                parseErr("MERGE INSERT VALUES arity differs from the " +
+                  s"target's ${allCols.size} columns")
+              allCols
+            }, vals)
+          case _: UpdateCols => parseErr("UPDATE form in WHEN NOT MATCHED")
+        }
+        e.mergeIntoColumns(name, src, keys, ta, sa, updateSet, insertSpec)
+    }
     import e.spark.implicits._
     Some(Seq((updated, inserted)).toDF("updated_rows", "inserted_rows"))
   }

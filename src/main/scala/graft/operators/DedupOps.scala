@@ -79,10 +79,26 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private[graft] def persistShingleIndex(s: SparkSession, d: String): String =
     indexDirMemo.getOrElseUpdate((s, d), {
-      val p = s"${sys.props("java.io.tmpdir")}/graft_shingle_index_" +
+      // The path carries the JVM pid: two concurrent JVMs benching the
+      // same tier must never share an index dir, or one's
+      // mode=overwrite deletes parquet files under the other's active
+      // scan. Within a JVM the publish is write-to-temp-then-rename,
+      // so a partially-written index is never visible at the final
+      // path. The artifact is a STATIC SNAPSHOT of `documents` as of
+      // the build — dataset-dir tables are immutable inputs here; for
+      // mutated MANAGED corpora, Engine.refreshShingleIndex is the
+      // invalidation path.
+      val base = s"${sys.props("java.io.tmpdir")}/graft_shingle_index_" +
+        s"${ProcessHandle.current.pid}_" +
         d.replaceAll("[^a-zA-Z0-9]", "_")
-      sharedShingles(s, d).write.mode("overwrite").parquet(p)
-      p
+      val tmp = base + "_tmp"
+      sharedShingles(s, d).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(base))
+      base
     })
   private[graft] def coldShingleIndex(s: SparkSession, d: String): DataFrame =
     s.read.parquet(persistShingleIndex(s, d))

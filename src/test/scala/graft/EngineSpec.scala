@@ -116,6 +116,47 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("column-wise merge: unassigned columns keep target values, " +
+      "inserts fill defaults, constraints roll back") {
+    val t = s"merge_cols_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING, score INT, status STRING")
+    engine.setDefault(t, "status", "'active'")
+    engine.insertValues(t,
+      Seq(Row(1, "alice", 10, "x"), Row(2, "bob", 20, "y")))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2, 99), Row(3, 42)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.IntegerType))))
+    val (u, i) = engine.mergeIntoColumns(t, src, Seq("id"), "t", "s",
+      updateSet = Some(Seq("score" -> "s.score")),
+      insertSpec = Some((Seq("id", "score"), Seq("s.id", "s.score"))))
+    assert(u == 1 && i == 1)
+    val got = engine.table(t).collect().map(r =>
+      r.getInt(0) -> ((r.getString(1), r.get(2), r.getString(3)))).toMap
+    // bob keeps name and status; the insert fills name NULL and the
+    // registered status default
+    assert(got == Map(
+      1 -> (("alice", 10, "x")),
+      2 -> (("bob", 99, "y")),
+      3 -> ((null, 42, "active"))))
+    // a NOT NULL constraint violated by the delta rolls the MERGE back
+    engine.setNotNull(t, "score")
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(Row(java.lang.Integer.valueOf(9),
+        null.asInstanceOf[java.lang.Integer])),
+      src.schema)
+    val err = intercept[IllegalArgumentException](
+      engine.mergeIntoColumns(t, bad, Seq("id"), "t", "s",
+        updateSet = None,
+        insertSpec = Some((Seq("id", "score"), Seq("s.id", "s.score")))))
+    assert(err.getMessage.contains("NOT NULL"))
+    assert(engine.table(t).count() == 3)
+    engine.dropTable(t)
+  }
+
   test("time travel across the full DML verb matrix (INSERT/DELETE/MERGE)") {
     val t = freshTable("ttm_test")
     engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b"), Row(3, "c"))) // v: 3 rows
@@ -193,6 +234,43 @@ class EngineSpec extends SparkSpec {
       s"index table reads ${idx.inputFiles.take(1).mkString} — not storage")
     assert(engine.indexes.collect().exists(_.getString(0) == "shidx"))
     engine.unregisterTable("shidx_docs"); engine.unregisterTable("shidx")
+  }
+
+  test("shingle index refresh: incremental append matches a from-scratch " +
+      "build, including a df-cap sweep") {
+    val t = s"shref_docs_${System.nanoTime()}"
+    engine.createTable(t, "doc_id INT, text STRING")
+    // 'common words here' appears in 2 docs at build (under the maxDf=2
+    // cap), and crosses the cap only when the batch adds a third copy
+    engine.insertValues(t, Seq(
+      Row(1, "common words here alpha beta gamma delta"),
+      Row(2, "common words here epsilon zeta eta theta"),
+      Row(3, "wholly unrelated text about iota kappa lambda")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shref").toString
+    engine.buildShingleIndex("shref", t, s"$dir/index", maxDf = 2)
+    val before = engine.table("shref").count()
+    // daily batch: one doc re-using the shared phrase, one fresh doc
+    engine.insertValues(t, Seq(
+      Row(4, "common words here mu nu xi omicron"),
+      Row(5, "fresh pi rho sigma tau upsilon phi")))
+    val added = engine.refreshShingleIndex("shref", t, s"$dir/index",
+      maxDf = 2)
+    assert(added == 2)
+    // the refreshed artifact must be row-identical to building from
+    // scratch over the grown corpus — same new-doc rows, and the
+    // now-hot 'common words here' shingle swept from docs 1 and 2 too
+    engine.buildShingleIndex("shref_full", t, s"$dir/index_full", maxDf = 2)
+    val got = engine.table("shref").collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1))).sorted.toSeq
+    val want = engine.table("shref_full").collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1))).sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty && before > 0)
+    // second refresh with no new docs is a no-op
+    assert(engine.refreshShingleIndex("shref", t, s"$dir/index",
+      maxDf = 2) == 0)
+    engine.dropTable(t)
+    engine.unregisterTable("shref"); engine.unregisterTable("shref_full")
   }
 
   test("merge: NULL keys always insert and are never duplicates") {

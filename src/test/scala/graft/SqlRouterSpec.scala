@@ -270,6 +270,100 @@ class SqlRouterSpec extends SparkSpec {
     engine.dropTable(t); engine.dropTable(srcT)
   }
 
+  test("column-form MERGE: unassigned columns keep target values") {
+    val t = s"router_merge_cols_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING, score INT")
+    engine.sql(s"INSERT INTO $t VALUES (1, 'alice', 10), (2, 'bob', 20)")
+    val srcT = s"${t}_src"
+    engine.createTable(srcT, "id INT, score INT")
+    engine.sql(s"INSERT INTO $srcT VALUES (2, 99), (3, 42)")
+    val r = engine.sql(
+      s"MERGE INTO $t AS t USING $srcT AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET score = s.score + 1 " +
+        "WHEN NOT MATCHED THEN INSERT (id, score) VALUES (s.id, s.score)")
+      .head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1)
+    val got = engine.table(t).collect().map(x =>
+      x.getInt(0) -> ((x.getString(1), x.get(2)))).toMap
+    // bob keeps his name (unassigned), score becomes 99+1; the inserted
+    // row has no name assignment → NULL
+    assert(got == Map(1 -> (("alice", 10)), 2 -> (("bob", 100)),
+      3 -> ((null, 42))))
+    engine.dropTable(t); engine.dropTable(srcT)
+  }
+
+  test("single-clause MERGE: matched-only and insert-only forms") {
+    val t = s"router_merge_one_${System.nanoTime()}"
+    engine.createTable(t, "id INT, v INT")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    val srcT = s"${t}_src"
+    engine.createTable(srcT, "id INT, v INT")
+    engine.sql(s"INSERT INTO $srcT VALUES (2, 99), (3, 42)")
+    // matched-only: the unmatched source row (3) is dropped
+    val r1 = engine.sql(
+      s"MERGE INTO $t AS t USING $srcT AS s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v").head()
+    assert(r1.getLong(0) == 1 && r1.getLong(1) == 0)
+    assert(engine.table(t).count() == 2)
+    assert(engine.table(t).filter(col("id") === 2).head().getInt(1) == 99)
+    // insert-only: the matched source row (2) leaves the target alone;
+    // positional INSERT VALUES (no column list) also exercises that form
+    val r2 = engine.sql(
+      s"MERGE INTO $t AS t USING $srcT AS s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT VALUES (s.id, s.v * 2)").head()
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 1)
+    assert(engine.table(t).filter(col("id") === 3).head().getInt(1) == 84)
+    engine.dropTable(t); engine.dropTable(srcT)
+  }
+
+  test("MERGE ON residue and non-conjunctive forms raise parse errors") {
+    val t = s"router_merge_on_${System.nanoTime()}"
+    engine.createTable(t, "id INT, ts INT, v INT")
+    engine.sql(s"INSERT INTO $t VALUES (1, 5, 10)")
+    val srcT = s"${t}_src"
+    engine.createTable(srcT, "id INT, ts INT, v INT")
+    engine.sql(s"INSERT INTO $srcT VALUES (1, 9, 11)")
+    // a range predicate alongside the key equality must raise — never
+    // silently merge on the equality alone
+    val e1 = intercept[IllegalArgumentException](engine.sql(
+      s"MERGE INTO $t AS t USING $srcT AS s ON t.id = s.id AND t.ts < s.ts " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(e1.getMessage.contains("unsupported predicate"))
+    // OR-connected equalities are not a key conjunction
+    val e2 = intercept[IllegalArgumentException](engine.sql(
+      s"MERGE INTO $t AS t USING $srcT AS s ON t.id = s.id OR t.v = s.v " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(e2.getMessage.contains("unsupported predicate"))
+    // a qualifier that is neither alias must raise
+    val e3 = intercept[IllegalArgumentException](engine.sql(
+      s"MERGE INTO $t AS t USING $srcT AS s ON t.id = x.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(e3.getMessage.contains("aliases"))
+    // state unchanged by the failures
+    assert(engine.table(t).head().getInt(2) == 10)
+    engine.dropTable(t); engine.dropTable(srcT)
+  }
+
+  test("MERGE USING subquery with an interior join parses (balanced parens)") {
+    val t = s"router_merge_sub_${System.nanoTime()}"
+    engine.createTable(t, "id INT, v INT")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    // the interior `) b ON` sequence would truncate a lazy-regex capture
+    val r = engine.sql(
+      s"""MERGE INTO $t AS t USING (
+         |  SELECT a.id, a.v + b.v AS v
+         |  FROM (VALUES (2, 1), (3, 2)) AS a(id, v)
+         |  JOIN (VALUES (2, 100), (3, 200)) b(id, v) ON a.id = b.id
+         |) AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1)
+    val got = engine.table(t).collect()
+      .map(x => x.getInt(0) -> x.getInt(1)).toMap
+    assert(got == Map(1 -> 10, 2 -> 101, 3 -> 202))
+    engine.dropTable(t)
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     // 90% of left rows share one key — the shape AQE skew-split targets,
