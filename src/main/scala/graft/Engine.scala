@@ -142,6 +142,24 @@ class Engine private[graft] (val spark: SparkSession) {
 
   def registerTable(name: String, df: DataFrame): Unit = put(name, df)
 
+  /** Register a parquet table under a bucketed co-located LAYOUT: the
+    * data is rewritten once into the session warehouse, hash-bucketed
+    * and sorted on `key`, and the engine table reads the bucketed
+    * catalog table. Two tables registered with the same key semantics
+    * and bucket count (lineitem on l_orderkey, orders on o_orderkey)
+    * join WITHOUT a shuffle exchange — the layout is the storage-side
+    * answer to the fact-join exchange that no join strategy can avoid
+    * on unbucketed files. One write, every subsequent join free; the
+    * production cadence re-buckets per ingest snapshot. See
+    * [[graft.operators.BucketedOps]] for the query-layer variants. */
+  def registerBucketedTable(name: String, path: String, key: String,
+      buckets: Int = graft.operators.BucketedOps.BucketCount): Unit = {
+    val catalogName = s"bk_eng_${ProcessHandle.current.pid}_$name"
+    graft.operators.BucketedOps.writeBucketed(
+      spark.read.parquet(path), catalogName, key, buckets)
+    put(name, spark.table(catalogName))
+  }
+
   def unregisterTable(name: String): Unit = {
     registry.remove(name)
     versions.remove(name)
@@ -998,6 +1016,13 @@ class Engine private[graft] (val spark: SparkSession) {
     }
     added
   }
+
+  /** Curation report verb: per-(source, rule) C4-gate kill rates over
+    * a managed documents-shaped table (columns `text`, `source`) — the
+    * operational readout of the q151 gate. One corpus pass, one
+    * |sources|·4-group aggregation ([[graft.operators.TextOps.c4Report]]). */
+  def curationReport(docsTable: String): DataFrame =
+    graft.operators.TextOps.c4Report(table(docsTable))
 
   /** Probe an [[buildAnnIndex]] index: rank cells against the query on
     * the driver (centroids are metadata-scale, ≈√N rows), then scan

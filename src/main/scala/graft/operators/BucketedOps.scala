@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Bucketed co-located fact layout — the storage decision a 100 TB
+  * deployment makes for its hottest join: lineitem and orders are
+  * written ONCE as Spark bucketed tables, hash-bucketed and sorted on
+  * the order key with the same bucket count, so every subsequent
+  * lineitem⋈orders join (and any aggregation keyed on the order key)
+  * plans WITHOUT a shuffle exchange — the scan itself reports the
+  * required hash partitioning. This trades one layout write for an
+  * exchange-free plan on every query that follows; at a daily-refresh
+  * cadence the write amortizes across the whole day's workload. The
+  * reference's analog is row-group-aligned partitioning
+  * (task_partitioner.cpp:59-96) — co-location by key takes that one
+  * step further, aligning the PARTITIONING of two tables instead of
+  * the split boundaries of one.
+  *
+  * The q154–q156 variants below are the q12/q68/q69 plans re-read from
+  * this layout: identical semantics (same oracle SQL), minus the
+  * l_orderkey exchange that dominated their sf10 cost. The
+  * shuffle_hash hints of the unbucketed variants are dropped — the
+  * bucketed scan's sort order feeds a zero-exchange sort-merge join
+  * directly.
+  */
+object BucketedOps {
+
+  /** Buckets per table. Matches the bench session's core count; a
+    * production cluster sizes this to (table size / target file size)
+    * and both tables of a co-located pair MUST agree on it. */
+  val BucketCount = 32
+
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  /** Bucketed (lineitem, orders) catalog-table names for a dataset dir,
+    * created on first use per (session, dir). Table names carry the JVM
+    * pid — two concurrent processes sharing ./spark-warehouse must
+    * never overwrite each other's layout mid-scan (same rule as the
+    * persisted shingle index). Orphan layouts from dead JVMs are reaped
+    * lazily here, and a shutdown hook drops this JVM's own. */
+  def factPair(s: SparkSession, d: String): (String, String) =
+    memo.getOrElseUpdate((s, d), {
+      reapDeadLayouts()
+      val suf = s"${ProcessHandle.current.pid}_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val (tli, to) = (s"bk_li_$suf", s"bk_o_$suf")
+      writeBucketed(t(s, d, "lineitem"), tli, "l_orderkey")
+      writeBucketed(t(s, d, "orders"), to, "o_orderkey")
+      sys.addShutdownHook {
+        try {
+          s.sql(s"DROP TABLE IF EXISTS $tli")
+          s.sql(s"DROP TABLE IF EXISTS $to")
+        } catch { case _: Throwable => () } // session may already be down
+      }
+      (tli, to)
+    })
+
+  /** One file per bucket: repartitioning on the bucket key with
+    * `BucketCount` partitions uses the SAME murmur3 `pmod` assignment
+    * as the bucket-id computation, so each write task holds exactly
+    * one bucket's rows — without it, every task writes a file into
+    * every bucket (tasks × buckets files). */
+  private[graft] def writeBucketed(df: DataFrame, name: String,
+      key: String, buckets: Int = BucketCount): Unit =
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(name)
+
+  /** Delete warehouse dirs of `bk_*` layouts whose owning JVM is dead
+    * (kill -9 skips shutdown hooks; without this, each killed bench
+    * run would leak a full fact-table copy). */
+  private def reapDeadLayouts(): Unit = {
+    val wh = new java.io.File("spark-warehouse")
+    Option(wh.listFiles).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("bk_"))
+      .foreach { f =>
+        val alive = f.getName.split("_").lift(2)
+          .flatMap(p => scala.util.Try(p.toLong).toOption)
+          .exists(p => ProcessHandle.of(p)
+            .map[java.lang.Boolean](_.isAlive).orElse(false))
+        if (!alive) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles).getOrElse(Array.empty[java.io.File])
+              .foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+  }
+
+  /** Warm hook for Bench: materialize the layout outside query timing
+    * (the write is the amortized once-per-snapshot cost, reported as
+    * its own stage entry like the shingle stage). */
+  private[graft] def warmLayout(s: SparkSession, d: String): Unit = {
+    factPair(s, d); ()
+  }
+
+  /** q12 on the bucketed layout. The per-order pre-aggregation groups
+    * on the bucket key, so even the PARTIAL aggregate consumes the
+    * scan's partitioning — the only shuffle left in the whole plan is
+    * the final 5-row segment rollup. */
+  val joinAggBucketed: NamedQuery = NamedQuery("q154_join_agg_bucketed",
+    Some("""SELECT c_mktsegment,
+           |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |count(DISTINCT o_orderkey) AS n_orders
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_mktsegment""".stripMargin),
+    (s, d) => {
+      val (tli, to) = factPair(s, d)
+      val li = s.table(tli); val o = s.table(to)
+      val c = t(s, d, "customer")
+      val perOrder = li.groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev"))
+      perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(NamedQuery.maybeBroadcast(c),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    })
+
+  /** q68 (TPC-H Q3 shape) on the bucketed layout: the customer join
+    * broadcasts and PRESERVES orders' bucket partitioning, the fact
+    * join consumes it, and the group keys include the bucket key — a
+    * zero-shuffle-exchange plan end to end (top-10 runs as
+    * TakeOrdered, no range exchange). */
+  val tpchQ3Bucketed: NamedQuery = NamedQuery("q155_tpch_q3_bucketed",
+    Some("""SELECT l_orderkey,
+           |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           |CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+           |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+    (s, d) => {
+      val (tli, to) = factPair(s, d)
+      val c = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = s.table(to)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = s.table(tli)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      val oc = o.join(NamedQuery.maybeBroadcast(c,
+          t(s, d, "customer"), 100L << 20),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      li.join(oc, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("odate"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    })
+
+  /** q69 (TPC-H Q5 shape) on the bucketed layout: the broadcast
+    * supplier prune preserves lineitem's bucket partitioning into the
+    * fact join; only the 5-row nation rollup exchanges. */
+  val tpchQ5Bucketed: NamedQuery = NamedQuery("q156_tpch_q5_bucketed",
+    Some("""SELECT n_name,
+           |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM region
+           |JOIN nation ON n_regionkey = r_regionkey
+           |JOIN customer ON c_nationkey = n_nationkey
+           |JOIN orders ON o_custkey = c_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |  AND s_nationkey = c_nationkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+           |GROUP BY n_name""".stripMargin),
+    (s, d) => {
+      val (tli, to) = factPair(s, d)
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val asiaN = t(s, d, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val suBase = t(s, d, "supplier")
+      val suA = suBase
+        .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
+      val cBase = t(s, d, "customer")
+      val cA = cBase
+        .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      val o = s.table(to)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val li = s.table(tli)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val bcast = 100L << 20
+      li.join(NamedQuery.maybeBroadcast(suA, suBase, bcast),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(NamedQuery.maybeBroadcast(cA, cBase, bcast),
+          col("o_custkey") === col("c_custkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+    })
+
+  def defs: Seq[NamedQuery] =
+    Seq(joinAggBucketed, tpchQ3Bucketed, tpchQ5Bucketed)
+}

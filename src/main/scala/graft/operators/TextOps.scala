@@ -383,7 +383,57 @@ object TextOps {
         (rBrace && rLorem && rMin && rTerm).as("keep"))
     })
 
+  /** The q151 rule set applied to any documents frame, unpivoted to
+    * one row per (doc, rule) — shared by the q157 report and the
+    * engine's `curationReport` verb over managed tables. */
+  private[graft] def c4Report(docs: DataFrame): DataFrame = {
+    val rBrace = !col("text").contains("{")
+    val rLorem = !lower(col("text")).contains("lorem ipsum")
+    val rMin = size(split(col("text"), " ")) >= 5
+    val rTerm = substring(trim(col("text")), -1, 1).isin(".", "!", "?", "\"")
+    val rules = array(
+      struct(lit("r_brace").as("rule"), rBrace.as("pass")),
+      struct(lit("r_lorem").as("rule"), rLorem.as("pass")),
+      struct(lit("r_minwords").as("rule"), rMin.as("pass")),
+      struct(lit("r_terminal").as("rule"), rTerm.as("pass")))
+    docs.select(col("source"), explode(rules).as("r"))
+      .groupBy(col("source"), col("r.rule").as("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(!col("r.pass")).as("n_killed"))
+      .withColumn("kill_rate",
+        round(col("n_killed") * 1.0 / col("n_docs"), 4))
+      .orderBy("source", "rule")
+  }
+
+  /** Curation report — the table an operator actually reads after a
+    * C4-gate run: per (source, rule) document counts, kill counts, and
+    * kill rates. The gate itself is a narrow map; the unpivot is a
+    * 4-element in-row explode (no join), and the single shuffle is the
+    * (source × rule)-cardinality aggregation — |sources|·4 groups, map-
+    * side combined, so the report costs one pass over the corpus at
+    * any scale. A rule whose kill rate spikes for one source is the
+    * canonical "a feed went bad" alarm in a daily crawl. */
+  val curationReport: NamedQuery = NamedQuery("q157_curation_report",
+    Some("""WITH g AS (SELECT source,
+           |    NOT contains(text, '{') AS r_brace,
+           |    NOT contains(lower(text), 'lorem ipsum') AS r_lorem,
+           |    len(string_split(text, ' ')) >= 5 AS r_minwords,
+           |    right(trim(text), 1) IN ('.', '!', '?', '"') AS r_terminal
+           |  FROM documents),
+           |u AS (
+           |  SELECT source, 'r_brace' AS rule, r_brace AS pass FROM g
+           |  UNION ALL SELECT source, 'r_lorem', r_lorem FROM g
+           |  UNION ALL SELECT source, 'r_minwords', r_minwords FROM g
+           |  UNION ALL SELECT source, 'r_terminal', r_terminal FROM g)
+           |SELECT source, rule, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) FILTER (WHERE NOT pass) AS BIGINT) AS n_killed,
+           |  round(count(*) FILTER (WHERE NOT pass) * 1.0 / count(*), 4)
+           |    AS kill_rate
+           |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, d) => c4Report(t(s, d, "documents")))
+
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
-      piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate)
+      piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate,
+      curationReport)
 }

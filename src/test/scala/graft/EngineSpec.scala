@@ -93,6 +93,23 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("curationReport: per-source per-rule kill rates over a managed table") {
+    val t = s"cur_docs_${System.nanoTime()}"
+    engine.createTable(t, "doc_id INT, text STRING, source STRING")
+    engine.insertValues(t, Seq(
+      Row(1, "a fine sentence with many words.", "s1"),
+      Row(2, "{code}", "s1"),
+      Row(3, "lorem ipsum dolor sit amet forever.", "s2")))
+    val r = engine.curationReport(t).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getLong(3)).toMap
+    assert(r.size == 8) // 2 sources × 4 rules
+    assert(r(("s1", "r_brace")) == 1)    // the {code} doc
+    assert(r(("s1", "r_minwords")) == 1) // same doc, under 5 words
+    assert(r(("s2", "r_lorem")) == 1)
+    assert(r(("s2", "r_brace")) == 0)
+    engine.dropTable(t)
+  }
+
   test("merge (upsert): updates matched keys, inserts the rest") {
     val t = freshTable("merge_test")
     engine.insertValues(t, Seq(Row(1, "alice"), Row(2, "bob"), Row(3, "eve")))

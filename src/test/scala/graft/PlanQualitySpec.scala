@@ -261,6 +261,49 @@ class PlanQualitySpec extends SparkSpec {
       "q149 serialized into one partition")
   }
 
+  test("bucketed fact join and order-key aggregation run with ZERO " +
+      "shuffle exchanges") {
+    // the layout law behind q154–q156: both fact tables are bucketed on
+    // the order key, so the join AND any aggregation keyed on it consume
+    // the scan's partitioning — no exchange anywhere. Broadcast is
+    // disabled so the law pins bucket co-location, not a small-SF
+    // broadcast plan.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (tli, to) = operators.BucketedOps.factPair(spark, sf)
+      val joined = spark.table(tli)
+        .join(spark.table(to),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity").as("qty"))
+      joined.collect()
+      val exchanges = castToImpl(joined).queryExecution.executedPlan
+        .collect {
+          case e: ShuffleExchangeExec => Seq(e)
+          case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+            case e: ShuffleExchangeExec => e
+          }
+        }.flatten
+      assert(exchanges.isEmpty,
+        s"bucketed fact join shuffled: ${exchanges.size} exchanges")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("bucketed q154/q155/q156 match their unbucketed formulations") {
+    for ((b, u) <- Seq(
+        "q154_join_agg_bucketed" -> "q12_join_agg",
+        "q155_tpch_q3_bucketed" -> "q68_tpch_q3",
+        "q156_tpch_q5_bucketed" -> "q69_tpch_q5")) {
+      val bd = SparkEntry.queries(b)(spark, sf)
+      val ud = SparkEntry.queries(u)(spark, sf)
+      assert(bd.exceptAll(ud).isEmpty && ud.exceptAll(bd).isEmpty,
+        s"$b diverges from $u")
+    }
+  }
+
   test("q1_agg runs with exactly one shuffle") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect()
