@@ -16,9 +16,16 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val benchSet = SparkEntry.benchQueries
       .filter(q => wanted.forall(_.contains(q)))
+    // Shuffle partitions default to the core count (right for sf0.1–sf10)
+    // but must SCALE WITH DATA, not cores: at sf100 a 32-partition
+    // shuffle packs ~10× the per-task data of sf10 and spills. A cluster
+    // sizes this as data/target-partition-size; the env knob lets tier
+    // runs do the same on one box.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -15,6 +15,13 @@ import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.plans.PlanClassifier
 
+/** A registered materialized aggregate: partials of `measures` grouped
+  * by `dims` over managed table `base`, persisted at `path` (see
+  * [[Engine.createMaterializedAggregate]] /
+  * [[graft.plans.MatViewRewrite]]). */
+case class MatViewDef(name: String, base: String, dims: Seq[String],
+    measures: Seq[String], path: String)
+
 /** The engine facade — the Spark-native analog of the reference's
   * client + driver + worker topology collapsed into one in-process API.
   *
@@ -325,15 +332,20 @@ class Engine private[graft] (val spark: SparkSession) {
         if (q2.toUpperCase.contains("ASOF"))
           q2 = DuckSyntax.rewriteAsofJoin(q2)
         val df0 = spark.sql(q2)
-        // enum declaration-order semantics (ORDER BY / MIN / MAX /
-        // comparisons) apply on the ANALYZED plan — rewriting after the
-        // main optimizer would miss filters it already collapsed into
-        // literal relations
+        // engine plan rewrites run on the ANALYZED plan — after the main
+        // optimizer they would miss filters it already collapsed into
+        // literal relations: (1) covered aggregates re-target fresh
+        // materialized aggregates; (2) enum declaration-order semantics
+        // (ORDER BY / MIN / MAX / comparisons)
+        val analyzed0 = castToImpl(df0).queryExecution.analyzed
+        var plan = analyzed0
+        if (freshMatViews.nonEmpty)
+          plan = graft.plans.MatViewRewrite.rewrite(plan, this)
+        if (!(enumCols.isEmpty && typeOrigins.isEmpty))
+          plan = graft.plans.EnumOrderRewrite.rewrite(plan, this)
         val df =
-          if (enumCols.isEmpty && typeOrigins.isEmpty) df0
-          else org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-            graft.plans.EnumOrderRewrite.rewrite(
-              castToImpl(df0).queryExecution.analyzed, this))
+          if (plan eq analyzed0) df0
+          else org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
         val qe = castToImpl(df).queryExecution
         pending.put(qe.analyzed.semanticHash().toLong, (q, qe))
         df
@@ -492,6 +504,7 @@ class Engine private[graft] (val spark: SparkSession) {
     notNullCols.filterInPlace { case ((t, _), _) => t != name }
     enumCols.filterInPlace { case ((t, _), _) => t != name }
     typeOrigins.filterInPlace { case ((t, _), _) => t != name }
+    matViews.remove(name)
     unregisterTable(name)
   }
 
@@ -1023,6 +1036,64 @@ class Engine private[graft] (val spark: SparkSession) {
     * |sources|·4-group aggregation ([[graft.operators.TextOps.c4Report]]). */
   def curationReport(docsTable: String): DataFrame =
     graft.operators.TextOps.c4Report(table(docsTable))
+
+  // ---- materialized aggregates ----------------------------------------
+  // (name → (definition, base registry entry at build time)); the entry
+  // identity is the staleness stamp — any DML/ALTER swaps the base's
+  // entry, which silently disables the rewrite until refresh.
+  private val matViews = TrieMap.empty[String, (MatViewDef, TableEntry)]
+
+  /** Materialize the distributive partials (per measure m: sum_m, min_m,
+    * max_m, cnt_m; plus n_rows) of `base` grouped by `dims`, store to
+    * parquet at `path`, and register the cold read-back as managed table
+    * `name`. SQL aggregates over `base` covered by (dims, measures) are
+    * then rewritten to re-aggregate this artifact
+    * ([[graft.plans.MatViewRewrite]]) — at 100 TB the fact scan+shuffle
+    * collapses to a dims-cardinality parquet scan. The MV is built from
+    * the registry plan directly (no temp-view alias), so its own build
+    * and refresh can never match the rewrite pattern. */
+  def createMaterializedAggregate(name: String, base: String,
+      dims: Seq[String], measures: Seq[String], path: String): Unit =
+    withTableLock(name) {
+      val entry = registry.getOrElse(base, missing(base))
+      val have = entry.df.columns.map(_.toLowerCase).toSet
+      (dims ++ measures).find(c => !have.contains(c.toLowerCase)).foreach(c =>
+        throw new IllegalArgumentException(
+          s"Binder Error: column $c not found in table $base"))
+      val overlap = dims.map(_.toLowerCase).toSet
+        .intersect(measures.map(_.toLowerCase).toSet)
+      if (overlap.nonEmpty)
+        throw new IllegalArgumentException("Binder Error: a column " +
+          s"cannot be both dimension and measure: ${overlap.mkString(", ")}")
+      val aggs = measures.flatMap(mcol => Seq(
+        sum(col(mcol)).as(s"sum_$mcol"), min(col(mcol)).as(s"min_$mcol"),
+        max(col(mcol)).as(s"max_$mcol"),
+        count(col(mcol)).as(s"cnt_$mcol"))) :+ count(lit(1)).as("n_rows")
+      entry.df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(path)
+      put(name, spark.read.parquet(path))
+      matViews.put(name, (MatViewDef(name, base, dims, measures, path),
+        entry))
+    }
+
+  /** Rebuild an MV against the CURRENT base state and re-arm the
+    * rewrite (the daily-ingest cadence: DML lands, MVs refresh). */
+  def refreshMaterializedAggregate(name: String): Unit = {
+    val (d, _) = matViews.getOrElse(name, throw new IllegalArgumentException(
+      s"Catalog Error: materialized aggregate $name does not exist"))
+    createMaterializedAggregate(name, d.base, d.dims, d.measures, d.path)
+  }
+
+  /** MVs whose base is untouched since their build — the only ones the
+    * rewrite may use. Correctness never depends on freshness. */
+  private[graft] def freshMatViews: Seq[MatViewDef] =
+    matViews.values.collect {
+      case (d, stamp) if registry.get(d.base).exists(_ eq stamp) => d
+    }.toSeq
+
+  private[graft] def analyzedPlanOf(name: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    castToImpl(table(name)).queryExecution.analyzed
 
   /** Probe an [[buildAnnIndex]] index: rank cells against the query on
     * the driver (centroids are metadata-scale, ≈√N rows), then scan

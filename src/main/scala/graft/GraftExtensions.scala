@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolves through the session's current Engine (per-engine catalogs).
     ext.injectPostHocResolutionRule(session =>
       graft.plans.EnumOrderRewrite(() => Engine.forSession(session)))
+    // covered aggregates over a managed base table re-target its fresh
+    // materialized aggregate (partial re-aggregation)
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.MatViewRewrite(() => Engine.forSession(session)))
   }
 }
 

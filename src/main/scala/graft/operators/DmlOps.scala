@@ -31,5 +31,47 @@ object DmlOps {
       engine.table(name)
     })
 
-  def defs: Seq[NamedQuery] = Seq(dmlRoundtrip)
+  /** Materialized-aggregate rewrite end-to-end: register lineitem as a
+    * managed table, materialize (returnflag, linestatus)-grouped
+    * partials for four measures, and run a covered SQL aggregate — the
+    * engine rewrites it to re-aggregate the MV
+    * ([[graft.plans.MatViewRewrite]]; PlanQualitySpec pins the plan:
+    * the rewritten query scans the MV artifact, not the base). The
+    * oracle computes the same aggregate from the raw table, so the
+    * hash-check proves the partial re-aggregation (sum-of-sums,
+    * min-of-mins, avg = Σsum/Σcnt, count(*) = Σn_rows) is exact. */
+  val matviewAgg: NamedQuery = NamedQuery("q159_matview_agg",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |round(sum(l_quantity), 2) AS sum_qty,
+           |round(avg(l_extendedprice), 4) AS avg_price,
+           |round(min(l_discount), 2) AS min_disc,
+           |round(max(l_tax), 2) AS max_tax,
+           |count(*) AS n
+           |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    (s, d) => {
+      val engine = Engine(s)
+      val base = "graft_mv_lineitem"
+      val mv = "graft_mv_li_agg"
+      engine.dropTable(mv, ifExists = true)
+      engine.dropTable(base, ifExists = true)
+      engine.createTableAs(base, Tables.t(s, d, "lineitem"))
+      engine.createMaterializedAggregate(mv, base,
+        dims = Seq("l_returnflag", "l_linestatus"),
+        measures = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax"),
+        path = s"${sys.props("java.io.tmpdir")}/graft_mv_" +
+          s"${ProcessHandle.current.pid}_li_agg")
+      engine.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |round(sum(l_quantity), 2) AS sum_qty,
+          |round(avg(l_extendedprice), 4) AS avg_price,
+          |round(min(l_discount), 2) AS min_disc,
+          |round(max(l_tax), 2) AS max_tax,
+          |count(*) AS n
+          |FROM graft_mv_lineitem WHERE l_returnflag IN ('A', 'R')
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    })
+
+  def defs: Seq[NamedQuery] = Seq(dmlRoundtrip, matviewAgg)
 }

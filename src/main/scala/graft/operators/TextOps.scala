@@ -432,8 +432,95 @@ object TextOps {
            |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     (s, d) => c4Report(t(s, d, "documents")))
 
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score each document by the mean negative log-probability
+    * of its word bigrams under a bigram LM trained on the corpus
+    * itself, then split the corpus into head/middle/tail terciles —
+    * the standard perplexity-bucketing step of a crawl-curation
+    * pipeline (CCNet keeps "head", inspects "middle", drops "tail").
+    *
+    * Trained-on-scored corpus means every scored bigram exists in the
+    * count table, so the model needs no smoothing and the score is
+    * exact — the distributable formulation:
+    *  - bigram counts: explode + groupBy (one token-scale shuffle,
+    *    map-side combined);
+    *  - conditionals: P(w2|w1) = c(w1 w2) / Σ_w c(w1 w), computed on
+    *    the vocabulary-scale count frame (unigram frame derived from
+    *    the bigram frame — no second corpus pass);
+    *  - scoring: ONE corpus-scale equi-join from doc bigrams to the
+    *    per-bigram log-prob (8-byte-hashable string key), then a
+    *    per-doc aggregate;
+    *  - tercile boundaries: the distinct-ROUNDED-score frame is
+    *    RANGE-bounded (score ∈ [0, ~20] nats × 1e4 steps), not
+    *    corpus-bounded, so the one-task cumulative window over it is
+    *    scale-safe at any corpus size, same argument as q56's bucket
+    *    frame.
+    * Boundary rule is percentile_disc spelled out structurally (min
+    * score with cum ≥ N·p) — identical construction on the oracle
+    * side, so no cross-engine quantile-semantics dependence. */
+  val lmQuality: NamedQuery = NamedQuery("q158_lm_quality",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |          FROM documents),
+           |bg AS (SELECT doc_id,
+           |         unnest(list_transform(range(1, len(ws)),
+           |           i -> ws[i] || ' ' || ws[i+1])) AS b
+           |       FROM w WHERE len(ws) >= 2),
+           |bc AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+           |uc AS (SELECT string_split(b, ' ')[1] AS w1, sum(c2) AS c1
+           |       FROM bc GROUP BY 1),
+           |lp AS (SELECT b, ln(c2 * 1.0 / c1) AS lp FROM bc
+           |       JOIN uc ON string_split(bc.b, ' ')[1] = uc.w1),
+           |sc AS (SELECT doc_id, round(-avg(lp), 4) AS score
+           |       FROM bg JOIN lp USING (b) GROUP BY doc_id),
+           |d AS (SELECT score, count(*) AS c FROM sc GROUP BY score),
+           |cum AS (SELECT score,
+           |          sum(c) OVER (ORDER BY score) AS cum,
+           |          sum(c) OVER () AS n FROM d),
+           |b AS (SELECT min(score) FILTER (WHERE cum >= n / 3.0) AS b1,
+           |             min(score) FILTER (WHERE cum >= n * 2 / 3.0) AS b2
+           |      FROM cum)
+           |SELECT doc_id, score,
+           |  CASE WHEN score <= b1 THEN 'head'
+           |       WHEN score <= b2 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM sc, b""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bg = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), " +
+            "i -> concat(ws[i], ' ', ws[i + 1]))")).as("b"))
+      val bc = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+      val uc = bc.groupBy(split(col("b"), " ").getItem(0).as("w1"))
+        .agg(sum("c2").as("c1"))
+      val lp = bc
+        .join(uc, split(bc("b"), " ").getItem(0) === uc("w1"))
+        .select(col("b"), log(col("c2") * lit(1.0) / col("c1")).as("lp"))
+      val sc = bg.join(lp, "b").groupBy("doc_id")
+        .agg(round(-avg("lp"), 4).as("score"))
+      // distinct-rounded-score frame: range-bounded, one-task window OK
+      val wCum = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = sc.groupBy("score").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+      val bounds = cum.agg(
+        min(when(col("cum") >= col("n") / 3.0, col("score"))).as("b1"),
+        min(when(col("cum") >= col("n") * 2 / 3.0, col("score"))).as("b2"))
+      sc.crossJoin(broadcast(bounds))
+        .select(col("doc_id"), col("score"),
+          when(col("score") <= col("b1"), "head")
+            .when(col("score") <= col("b2"), "middle")
+            .otherwise("tail").as("bucket"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
       piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate,
-      curationReport)
+      curationReport, lmQuality)
 }

@@ -574,6 +574,83 @@ class EngineSpec extends SparkSpec {
     Seq("mode_medium", "mode_large", "mode_small").foreach(engine.unregisterTable)
   }
 
+  test("materialized aggregate: covered SQL re-aggregates the MV and " +
+      "matches the direct computation") {
+    val engine = Engine(spark)
+    val t = s"mv_base_${System.nanoTime()}"
+    val mv = s"mv_agg_${System.nanoTime()}"
+    engine.registerTable(t, graft.Tables.t(spark, sf, "lineitem"))
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_test_mv_${System.nanoTime()}"
+    engine.createMaterializedAggregate(mv, t,
+      dims = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq("l_quantity", "l_extendedprice"), path = path)
+    // full dims + every rewritable call
+    val q1 = s"""SELECT l_returnflag, l_linestatus,
+                |round(sum(l_quantity), 2) AS s,
+                |round(avg(l_extendedprice), 4) AS a,
+                |round(min(l_quantity), 2) AS mn,
+                |round(max(l_quantity), 2) AS mx,
+                |count(*) AS n, count(l_extendedprice) AS nv
+                |FROM $t GROUP BY l_returnflag, l_linestatus""".stripMargin
+    // subset grouping + dim filter
+    val q2 = s"""SELECT l_returnflag, round(sum(l_quantity), 2) AS s,
+                |count(*) AS n FROM $t WHERE l_linestatus = 'F'
+                |GROUP BY l_returnflag""".stripMargin
+    // NOT covered: filter on a non-dim column — must not rewrite
+    val q3 = s"""SELECT l_returnflag, count(*) AS n FROM $t
+                |WHERE l_quantity > 25 GROUP BY l_returnflag""".stripMargin
+    Seq(q1, q2, q3).foreach { q =>
+      val viaEngine = engine.sql(q).collect().toSet
+      val direct = spark.sql(q).collect().toSet // no extensions → no rewrite
+      assert(viaEngine == direct, s"mismatch for: $q")
+    }
+    // the covered query re-aggregates the MV partials (path-level scan
+    // assertion lives in PlanQualitySpec's q159 law)
+    val planStr = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(engine.sql(q1)).queryExecution.optimizedPlan.toString()
+    assert(planStr.contains("sum_l_quantity"),
+      s"covered aggregate not rewritten to the MV:\n$planStr")
+    // ...and the non-covered query must NOT touch the MV partials
+    val plan3 = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(engine.sql(q3)).queryExecution.optimizedPlan.toString()
+    assert(!plan3.contains("sum_l_quantity"))
+    engine.dropTable(mv); engine.dropTable(t)
+  }
+
+  test("materialized aggregate: DML on the base disables the rewrite " +
+      "until refresh") {
+    val engine = Engine(spark)
+    val t = s"mv_stale_${System.nanoTime()}"
+    val mv = s"mv_stale_agg_${System.nanoTime()}"
+    engine.createTableAs(t, graft.Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+      .filter(col("l_returnflag") === "A"))
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_test_mv_${System.nanoTime()}"
+    engine.createMaterializedAggregate(mv, t, dims = Seq("l_returnflag"),
+      measures = Seq("l_quantity"), path = path)
+    val q = s"SELECT l_returnflag, count(*) AS n FROM $t GROUP BY 1"
+    val before = engine.sql(q).collect().map(r => r.getLong(1)).head
+    engine.insertInto(t, engine.table(t).limit(5))
+    // stale MV must NOT serve the query — the count reflects the insert
+    val after = engine.sql(q).collect().map(r => r.getLong(1)).head
+    assert(after == before + 5,
+      s"stale MV served a rewritten aggregate: $before → $after")
+    val planStale = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(engine.sql(q)).queryExecution.optimizedPlan.toString()
+    assert(!planStale.contains("sum(n_rows"))
+    // refresh re-arms the rewrite with the new state
+    engine.refreshMaterializedAggregate(mv)
+    val refreshed = engine.sql(q).collect().map(r => r.getLong(1)).head
+    assert(refreshed == after)
+    val planFresh = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(engine.sql(q)).queryExecution.optimizedPlan.toString()
+    assert(planFresh.contains("sum(n_rows"),
+      s"refresh did not re-arm the rewrite:\n$planFresh")
+    engine.dropTable(mv); engine.dropTable(t)
+  }
+
   test("ASOF JOIN SQL spelling (DuckDB syntax) matches the composed as-of") {
     val engine = Engine(spark)
     engine.registerTable("ev_asof", graft.Tables.t(spark, sf, "events"))

@@ -304,6 +304,29 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q159 covered aggregate scans ONLY the MV artifact (never the " +
+      "base fact files)") {
+    val df = SparkEntry.queries("q159_matview_agg")(spark, sf)
+    val scanned = scans(df).flatMap(
+      _.relation.location.rootPaths.map(_.toString))
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(_.contains("graft_mv_")),
+      s"rewritten aggregate reads non-MV files: $scanned")
+    // row-identity against the unrewritten formulation (plain spark.sql
+    // has no engine extension, so it aggregates the base table)
+    val direct = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(avg(l_extendedprice), 4) AS avg_price,
+        |round(min(l_discount), 2) AS min_disc,
+        |round(max(l_tax), 2) AS max_tax,
+        |count(*) AS n
+        |FROM graft_mv_lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    assert(df.exceptAll(direct).isEmpty && direct.exceptAll(df).isEmpty,
+      "MV re-aggregation diverges from the direct aggregate")
+  }
+
   test("q1_agg runs with exactly one shuffle") {
     val df = SparkEntry.queries("q1_agg")(spark, sf)
     df.collect()
