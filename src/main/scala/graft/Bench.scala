@@ -16,13 +16,26 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val benchSet = SparkEntry.benchQueries
       .filter(q => wanted.forall(_.contains(q)))
-    // Shuffle partitions default to the core count (right for sf0.1–sf10)
-    // but must SCALE WITH DATA, not cores: at sf100 a 32-partition
-    // shuffle packs ~10× the per-task data of sf10 and spills. A cluster
-    // sizes this as data/target-partition-size; the env knob lets tier
-    // runs do the same on one box.
-    val shufflePartitions =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // Shuffle partitions must SCALE WITH DATA, not cores: at sf100 a
+    // 32-partition shuffle packs ~10× the per-task data of sf10 and
+    // spills (q41 sf100 diagnosis — 89.6 → 47.0 s best repeat at 256).
+    // Sized the way a cluster sizes it: tier bytes ÷ 128 MB target
+    // partition, floored at the core count (sf0.1–sf10 land exactly on
+    // the old core-count value, so small-tier artifacts are unchanged).
+    // SPARK_GRAFT_SHUFFLE overrides for experiments.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", {
+      val dir = java.nio.file.Paths.get(sfDir)
+      val tierBytes =
+        if (!java.nio.file.Files.isDirectory(dir)) 0L
+        else {
+          val s = java.nio.file.Files.walk(dir)
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally s.close()
+        }
+      math.max(cpus.toInt, math.min(2048L,
+        tierBytes / (128L << 20) + 1).toInt).toString
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)

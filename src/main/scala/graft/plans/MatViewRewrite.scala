@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -158,15 +158,24 @@ object MatViewRewrite {
         Some(Cast(fresh(Min(resolve(s"min_${m(a)}"))), ae.dataType))
       case Max(a: Attribute) if isMeasure(a) =>
         Some(Cast(fresh(Max(resolve(s"max_${m(a)}"))), ae.dataType))
+      // counts coalesce to 0: a GLOBAL aggregate whose dim filter
+      // matches no MV rows sums over an empty frame (NULL), but the
+      // direct count over the base is 0 — non-empty groupings are
+      // unaffected (their empty groups emit no rows on either side)
       case Count(Seq(l: Literal)) if l.value != null =>
-        Some(Cast(fresh(Sum(resolve("n_rows"))), LongType))
+        Some(Coalesce(Seq(
+          Cast(fresh(Sum(resolve("n_rows"))), LongType), Literal(0L))))
       case Count(Seq(a: Attribute)) if isMeasure(a) =>
-        Some(Cast(fresh(Sum(resolve(s"cnt_${m(a)}"))), LongType))
+        Some(Coalesce(Seq(
+          Cast(fresh(Sum(resolve(s"cnt_${m(a)}"))), LongType),
+          Literal(0L))))
       case Average(a: Attribute, _) if isMeasure(a) &&
           a.dataType == DoubleType =>
         val s = Cast(fresh(Sum(resolve(s"sum_${m(a)}"))), DoubleType)
-        val c = Cast(fresh(Sum(resolve(s"cnt_${m(a)}"))), DoubleType)
-        // guard the all-NULL-group edge (cnt 0) — ANSI division
+        val c = Coalesce(Seq(
+          Cast(fresh(Sum(resolve(s"cnt_${m(a)}"))), DoubleType),
+          Literal(0.0)))
+        // guard the all-NULL-group and empty-global edges (cnt 0)
         Some(If(EqualTo(c, Literal(0.0)), Literal(null, DoubleType),
           Divide(s, c)))
       case _ => None

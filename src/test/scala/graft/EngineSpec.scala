@@ -651,6 +651,54 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(mv); engine.dropTable(t)
   }
 
+  test("materialized aggregate property law: random covered and " +
+      "uncovered shapes match the unrewritten computation") {
+    val engine = Engine(spark)
+    val t = s"mv_prop_${System.nanoTime()}"
+    val mv = s"mv_prop_agg_${System.nanoTime()}"
+    engine.registerTable(t, graft.Tables.t(spark, sf, "lineitem"))
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_test_mv_${System.nanoTime()}"
+    val dims = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount")
+    engine.createMaterializedAggregate(mv, t, dims, measures, path)
+    val rnd = new scala.util.Random(8158)
+    val tpl = Seq[String => String](
+      mc => s"round(sum($mc), 2)", mc => s"round(min($mc), 2)",
+      mc => s"round(max($mc), 2)", mc => s"count($mc)",
+      mc => s"round(avg($mc), 4)", _ => "count(*)")
+    (1 to 30).foreach { i =>
+      // random grouping (possibly empty → global aggregate), random
+      // agg calls, and a filter drawn from: none / dim-IN / a dim
+      // value matching NOTHING (the empty-global count edge) / a
+      // NON-dim predicate (must not rewrite — still must match)
+      val gdims = rnd.shuffle(dims).take(rnd.nextInt(dims.size + 1))
+      val calls = (1 to 1 + rnd.nextInt(3)).map { j =>
+        s"${tpl(rnd.nextInt(tpl.size))(measures(rnd.nextInt(measures.size)))} AS c$j"
+      }
+      val filter = rnd.nextInt(4) match {
+        case 0 => ""
+        case 1 => " WHERE l_returnflag IN ('A', 'N')"
+        case 2 => " WHERE l_returnflag = 'Z'"
+        case _ => " WHERE l_tax > 0.03"
+      }
+      val group =
+        if (gdims.isEmpty) "" else s" GROUP BY ${gdims.mkString(", ")}"
+      val q = s"SELECT ${(gdims ++ calls).mkString(", ")} FROM $t" +
+        filter + group
+      val viaEngine = engine.sql(q).collect().toSet
+      val direct = spark.sql(q).collect().toSet // no extensions → no rewrite
+      assert(viaEngine == direct, s"law violated (i=$i): $q")
+    }
+    // deterministic pin of the empty-global edge: a no-match dim filter
+    // with no GROUP BY must count 0, not NULL (sum-over-empty)
+    val edge = s"SELECT count(*) AS n, count(l_quantity) AS nv, " +
+      s"round(avg(l_discount), 4) AS a FROM $t WHERE l_returnflag = 'Z'"
+    assert(engine.sql(edge).collect().toSeq ==
+      spark.sql(edge).collect().toSeq)
+    engine.dropTable(mv); engine.dropTable(t)
+  }
+
   test("ASOF JOIN SQL spelling (DuckDB syntax) matches the composed as-of") {
     val engine = Engine(spark)
     engine.registerTable("ev_asof", graft.Tables.t(spark, sf, "events"))
