@@ -58,7 +58,8 @@ class Engine private[graft] (val spark: SparkSession) {
     * must stay metadata-only. The count materializes on first classifier
     * or introspection use, and DML verbs that already counted pass the
     * number forward. */
-  private final class TableEntry(val df: DataFrame, known: Long = -1L) {
+  private final class TableEntry(val df: DataFrame, known: Long = -1L,
+      val appendOf: Option[(TableEntry, DataFrame)] = None) {
     @volatile private var cached = known
     /** The count if it has materialized; -1 otherwise (lets verbs that
       * rewrite the table carry a known count forward without forcing
@@ -180,16 +181,24 @@ class Engine private[graft] (val spark: SparkSession) {
   // the critical section is metadata-only, never data movement.
   private val putLock = new Object
 
-  private def put(name: String, df: DataFrame, knownRows: Long = -1L): Unit =
+  /** `appendDelta`, when set, declares the new state as
+    * `previous ∪ delta` — the lineage link incremental MV refresh walks
+    * ([[refreshMaterializedAggregate]]). Verbs that rewrite rows
+    * (DELETE/MERGE/ALTER) leave it unset, which breaks the chain and
+    * forces those refreshes back to a full rebuild. */
+  private def put(name: String, df: DataFrame, knownRows: Long = -1L,
+      appendDelta: Option[DataFrame] = None): Unit =
     putLock.synchronized {
       // snapshot the outgoing version (lazy plans — a version is a plan
       // object over the copy-on-write lineage, no data is retained);
       // bounded history, oldest dropped first
-      registry.get(name).foreach { prev =>
+      val prevEntry = registry.get(name)
+      prevEntry.foreach { prev =>
         val vs = versions.getOrElse(name, Vector.empty) :+ prev.df
         versions.put(name, vs.takeRight(Engine.MaxVersions))
       }
-      registry.put(name, new TableEntry(df, knownRows))
+      registry.put(name, new TableEntry(df, knownRows,
+        appendOf = appendDelta.flatMap(d => prevEntry.map((_, d)))))
       df.createOrReplaceTempView(name)
     }
 
@@ -664,7 +673,8 @@ class Engine private[graft] (val spark: SparkSession) {
     * data stays distributed (unionByName of DataFrames). */
   def insertInto(name: String, df: DataFrame): Unit = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
-    put(name, e.df.unionByName(coerceAndValidate(name, e, df)))
+    val delta = coerceAndValidate(name, e, df)
+    put(name, e.df.unionByName(delta), appendDelta = Some(delta))
   }
 
   /** Shared INSERT/MERGE ingress path: positional column alignment, the
@@ -1076,12 +1086,91 @@ class Engine private[graft] (val spark: SparkSession) {
         entry))
     }
 
-  /** Rebuild an MV against the CURRENT base state and re-arm the
-    * rewrite (the daily-ingest cadence: DML lands, MVs refresh). */
-  def refreshMaterializedAggregate(name: String): Unit = {
-    val (d, _) = matViews.getOrElse(name, throw new IllegalArgumentException(
-      s"Catalog Error: materialized aggregate $name does not exist"))
-    createMaterializedAggregate(name, d.base, d.dims, d.measures, d.path)
+  /** Storage path for SQL-created MVs (`CREATE MATERIALIZED VIEW`) —
+    * per-JVM so concurrent benches never collide, same discipline as
+    * the persisted shingle index. */
+  private[graft] def defaultMvPath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_mv_" +
+      s"${ProcessHandle.current.pid}_$name"
+
+  /** Drop an MV by name; raises unless `ifExists` when the name is not
+    * a registered materialized aggregate (a plain table stays guarded
+    * behind DROP TABLE). */
+  def dropMaterializedAggregate(name: String,
+      ifExists: Boolean = false): Unit = {
+    if (!matViews.contains(name)) {
+      if (ifExists) return
+      throw new IllegalArgumentException(
+        s"Catalog Error: materialized aggregate $name does not exist")
+    }
+    dropTable(name)
+  }
+
+  /** Bring an MV up to the CURRENT base state and re-arm the rewrite
+    * (the daily-ingest cadence: DML lands, MVs refresh). INCREMENTAL
+    * when every base mutation since the MV's stamp was a pure INSERT
+    * (the [[put]] append-lineage chain reaches the stamp): the deltas'
+    * partials merge into the stored artifact — sums/counts add,
+    * mins/maxes combine — so the refresh scans the DELTA plus the
+    * dims-cardinality artifact, never the corpus. At 100 TB with a
+    * daily append that is the difference between a corpus rescan and a
+    * seconds-long merge. Any row-rewriting verb (DELETE/MERGE/ALTER)
+    * breaks the chain and the refresh falls back to a full rebuild
+    * (min/max are not differentiable under deletion).
+    * @return the path taken: "noop" | "incremental" | "rebuild" */
+  def refreshMaterializedAggregate(name: String): String = {
+    val (d, stamp) = matViews.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"Catalog Error: materialized aggregate $name does not exist"))
+    val current = registry.getOrElse(d.base, missing(d.base))
+    if (current eq stamp) return "noop"
+    @annotation.tailrec
+    def deltasBackTo(e: TableEntry, acc: List[DataFrame])
+        : Option[List[DataFrame]] =
+      if (e eq stamp) Some(acc)
+      else e.appendOf match {
+        case Some((parent, delta)) => deltasBackTo(parent, delta :: acc)
+        case None => None
+      }
+    deltasBackTo(current, Nil) match {
+      case Some(deltas) => withTableLock(name) {
+        val deltaDf = deltas.reduce(_ unionByName _)
+        val aggs = d.measures.flatMap(m => Seq(
+          sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
+          max(col(m)).as(s"max_$m"),
+          count(col(m)).as(s"cnt_$m"))) :+ count(lit(1)).as("n_rows")
+        val deltaPart = deltaDf.groupBy(d.dims.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+        val old = spark.read.parquet(d.path)
+        val merge = d.measures.flatMap(m => Seq(
+          sum(col(s"sum_$m")).as(s"sum_$m"),
+          min(col(s"min_$m")).as(s"min_$m"),
+          max(col(s"max_$m")).as(s"max_$m"),
+          sum(col(s"cnt_$m")).as(s"cnt_$m"))) :+
+          sum(col("n_rows")).as("n_rows")
+        // cast back to the artifact's exact schema: re-summing a sum
+        // widens decimals, and the rewrite must keep producing the same
+        // result types as the direct plan
+        val merged = old.unionByName(deltaPart)
+          .groupBy(d.dims.map(col): _*).agg(merge.head, merge.tail: _*)
+          .select(old.schema.fields.toIndexedSeq
+            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        val tmp = d.path + "_refresh_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(d.path), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(d.path))
+        put(name, spark.read.parquet(d.path))
+        matViews.put(name, (d, current))
+        "incremental"
+      }
+      case None =>
+        createMaterializedAggregate(name, d.base, d.dims, d.measures,
+          d.path)
+        "rebuild"
+    }
   }
 
   /** MVs whose base is untouched since their build — the only ones the

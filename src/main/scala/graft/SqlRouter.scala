@@ -32,7 +32,8 @@ private[graft] object SqlRouter {
     "InsertIntoStatement", "DeleteFromTable", "MergeIntoTable",
     "CreateTable", "CreateTableAsSelect", "ReplaceTable", "DropTable",
     "AddColumns", "DropColumns", "RenameColumn", "AlterColumn",
-    "AlterColumns", "RenameTable", "CreateIndex", "DropIndex")
+    "AlterColumns", "RenameTable", "CreateIndex", "DropIndex",
+    "CreateMaterializedViewAsSelect")
 
   /** Some(true) → Spark parses this as a routed command family;
     * Some(false) → Spark parses it as something else (pure query, or a
@@ -94,6 +95,16 @@ private[graft] object SqlRouter {
   // with partial semantics.
   private val MergeHead =
     """(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+(.+?)\s*;?\s*""".r
+  // materialized views: CREATE parses in Spark 4 (routed family above);
+  // REFRESH/DROP are engine-only spellings that fail Spark's parser and
+  // reach the regex routes. The CREATE's SELECT payload is parsed by
+  // Spark and validated structurally in routeCreateMatView.
+  private val CreateMatViewSql =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(SELECT\s+.+?)\s*;?\s*""".r
+  private val RefreshMatViewSql =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  private val DropMatViewSql =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
 
   /** True iff `route` would intercept this statement — WITHOUT executing
     * anything (explain/plan paths must stay side-effect-free: Spark runs
@@ -109,7 +120,8 @@ private[graft] object SqlRouter {
       AlterSetNotNull, AlterDropNotNull, AlterDropDefault, AlterSetDefault,
       CreateType, DropType, AlterAdd, AlterDrop, AlterRenameCol,
       AlterRenameTable, CreateIndex, DropIndex, InsertColsSql, InsertSql,
-      DeleteSql, DeleteAllSql, MergeHead)
+      DeleteSql, DeleteAllSql, MergeHead, CreateMatViewSql,
+      RefreshMatViewSql, DropMatViewSql)
     patterns.exists(_.pattern.matcher(q).matches())
   }
 
@@ -137,6 +149,13 @@ private[graft] object SqlRouter {
       Some(emptyOk(e))
     case CreateTableAs(name, query) =>
       e.createTableAs(unq(name), e.spark.sql(query)); Some(emptyOk(e))
+    case CreateMatViewSql(ifNot, name, select) =>
+      routeCreateMatView(e, unq(name), select, ifNot != null)
+    case RefreshMatViewSql(name) =>
+      e.refreshMaterializedAggregate(unq(name)); Some(emptyOk(e))
+    case DropMatViewSql(ifEx, name) =>
+      e.dropMaterializedAggregate(unq(name), ifExists = ifEx != null)
+      Some(emptyOk(e))
     case DropTable(ifEx, name) =>
       e.dropTable(unq(name), ifExists = ifEx != null); Some(emptyOk(e))
     case AlterAdd(name, ifNot, col, typ, default) =>
@@ -210,6 +229,84 @@ private[graft] object SqlRouter {
       import e.spark.implicits._
       Some(Seq(n).toDF("deleted_rows"))
     case _ => None
+  }
+
+  // ---- CREATE MATERIALIZED VIEW structural parser -----------------------
+
+  /** Validate and execute a materialized-view definition. The SELECT is
+    * parsed by Spark; the plan must be a grouped aggregate DIRECTLY over
+    * one table: bare dimension columns (names or ordinals) in GROUP BY,
+    * and plain single-column sum/min/max/avg/count calls (or count(*))
+    * in the output — the shapes [[graft.plans.MatViewRewrite]] can serve
+    * from stored partials. WHERE/joins/expressions raise a Parser Error
+    * instead of materializing something the rewrite could never use. */
+  private def routeCreateMatView(e: Engine, name: String, select: String,
+      ifNotExists: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedOrdinal, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    if (e.tableExists(name)) {
+      if (ifNotExists) return Some(emptyOk(e))
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Table with name "$name" already exists!""")
+    }
+    val plan = e.spark.sessionState.sqlParser.parsePlan(select)
+    def strip(ex: Expression): Expression = ex match {
+      case a: Alias => a.child
+      case ua: UnresolvedAlias => ua.child
+      case other => other
+    }
+    plan match {
+      case Aggregate(groupings, aggExprs, rel: UnresolvedRelation, _) =>
+        val outputs = aggExprs.map(strip)
+        val dims = groupings.map(strip).map {
+          case ua: UnresolvedAttribute => ua.nameParts.last
+          case UnresolvedOrdinal(i) if i >= 1 && i <= outputs.size =>
+            outputs(i - 1) match {
+              case ua: UnresolvedAttribute => ua.nameParts.last
+              case other => parseErr("materialized view GROUP BY " +
+                s"ordinal $i must reference a plain column, got: ${other.sql}")
+            }
+          case other => parseErr("materialized view GROUP BY must list " +
+            s"plain columns: ${other.sql}")
+        }.distinct
+        val dimSet = dims.map(_.toLowerCase).toSet
+        val measures = outputs.flatMap {
+          case ua: UnresolvedAttribute =>
+            if (!dimSet.contains(ua.nameParts.last.toLowerCase))
+              parseErr(s"column ${ua.nameParts.last} must appear in the " +
+                "materialized view's GROUP BY or inside an aggregate")
+            None
+          case f: UnresolvedFunction =>
+            val fn = f.nameParts.last.toLowerCase
+            if (!Set("sum", "min", "max", "avg", "count").contains(fn))
+              parseErr(s"materialized view aggregate $fn is not " +
+                "re-aggregable from stored partials (supported: " +
+                "sum/min/max/avg/count)")
+            if (f.isDistinct || f.filter.isDefined)
+              parseErr("DISTINCT/FILTER aggregates cannot be served " +
+                "from materialized partials")
+            f.arguments match {
+              case Seq(ua: UnresolvedAttribute) =>
+                if (dimSet.contains(ua.nameParts.last.toLowerCase))
+                  parseErr("Binder Error: a column cannot be both " +
+                    s"dimension and measure: ${ua.nameParts.last}")
+                Some(ua.nameParts.last)
+              case Seq(_: Literal) if fn == "count" => None // count(*)
+              case Seq(_: UnresolvedStar) if fn == "count" => None
+              case _ => parseErr("materialized view aggregates must be " +
+                s"plain single-column calls, got: ${f.sql}")
+            }
+          case other => parseErr("materialized view output must be " +
+            s"dimension columns or aggregate calls, got: ${other.sql}")
+        }.distinct
+        e.createMaterializedAggregate(name, unq(rel.multipartIdentifier
+          .mkString(".")), dims, measures, e.defaultMvPath(name))
+        Some(emptyOk(e))
+      case _ => parseErr("materialized view definition must be a " +
+        "grouped aggregate directly over a single table (no " +
+        "WHERE/joins/subqueries — they would defeat the rewrite)")
+    }
   }
 
   // ---- MERGE statement structural parser --------------------------------

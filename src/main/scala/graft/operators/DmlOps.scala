@@ -56,12 +56,14 @@ object DmlOps {
       engine.dropTable(mv, ifExists = true)
       engine.dropTable(base, ifExists = true)
       engine.createTableAs(base, Tables.t(s, d, "lineitem"))
-      engine.createMaterializedAggregate(mv, base,
-        dims = Seq("l_returnflag", "l_linestatus"),
-        measures = Seq("l_quantity", "l_extendedprice", "l_discount",
-          "l_tax"),
-        path = s"${sys.props("java.io.tmpdir")}/graft_mv_" +
-          s"${ProcessHandle.current.pid}_li_agg")
+      // the SQL spelling (routed to createMaterializedAggregate), so
+      // the oracle gate exercises the CREATE MATERIALIZED VIEW path
+      engine.sql(
+        s"""CREATE MATERIALIZED VIEW $mv AS SELECT
+           |l_returnflag, l_linestatus,
+           |sum(l_quantity) AS s1, sum(l_extendedprice) AS s2,
+           |sum(l_discount) AS s3, sum(l_tax) AS s4, count(*) AS n
+           |FROM $base GROUP BY l_returnflag, l_linestatus""".stripMargin)
       engine.sql(
         """SELECT l_returnflag, l_linestatus,
           |round(sum(l_quantity), 2) AS sum_qty,

@@ -651,6 +651,55 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(mv); engine.dropTable(t)
   }
 
+  test("materialized aggregate incremental refresh: append-only deltas " +
+      "merge into the artifact; row rewrites fall back to rebuild") {
+    val engine = Engine(spark)
+    val t = s"mv_incr_${System.nanoTime()}"
+    val mv = s"mv_incr_agg_${System.nanoTime()}"
+    val mvRef = s"${mv}_ref"
+    // binary-exact doubles: partial-sum merge order cannot introduce ulp
+    // drift, so artifact equality below is exact
+    engine.createTable(t, "grp STRING, x DOUBLE, y INT")
+    engine.sql(s"INSERT INTO $t VALUES ('a', 1.25, 3), ('a', 2.5, NULL), " +
+      "('b', 4.0, 1)")
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_test_mv_${System.nanoTime()}"
+    engine.createMaterializedAggregate(mv, t, dims = Seq("grp"),
+      measures = Seq("x", "y"), path = path)
+    assert(engine.refreshMaterializedAggregate(mv) == "noop")
+    // two separate inserts (chain length 2), one introducing a NEW group
+    // and a NULL measure
+    engine.sql(s"INSERT INTO $t VALUES ('c', 0.75, NULL), ('a', -2.0, 8)")
+    engine.sql(s"INSERT INTO $t VALUES ('b', 3.25, 6)")
+    assert(engine.refreshMaterializedAggregate(mv) == "incremental")
+    // merged artifact is identical to a from-scratch build over the
+    // current base — schema (post-cast) and rows
+    engine.createMaterializedAggregate(mvRef, t, dims = Seq("grp"),
+      measures = Seq("x", "y"),
+      path = s"${path}_ref")
+    assert(engine.table(mv).schema == engine.table(mvRef).schema)
+    assert(engine.table(mv).collect().toSet ==
+      engine.table(mvRef).collect().toSet)
+    // the refreshed MV serves covered queries, matching the direct plan
+    val q = s"SELECT grp, sum(x) AS s, round(avg(x), 6) AS a, " +
+      s"min(x) AS mn, max(x) AS mx, count(*) AS n, count(y) AS nv " +
+      s"FROM $t GROUP BY grp"
+    assert(engine.sql(q).collect().toSet == spark.sql(q).collect().toSet)
+    val planStr = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(engine.sql(q)).queryExecution.optimizedPlan.toString()
+    assert(planStr.contains("sum_x"), s"not served by the MV:\n$planStr")
+    // DELETE rewrites rows → the append chain breaks → full rebuild,
+    // still correct
+    engine.sql(s"DELETE FROM $t WHERE grp = 'a'")
+    assert(engine.refreshMaterializedAggregate(mv) == "rebuild")
+    assert(engine.sql(q).collect().toSet == spark.sql(q).collect().toSet)
+    // ...and an insert AFTER the rebuild is incremental again
+    engine.sql(s"INSERT INTO $t VALUES ('d', 9.5, 2)")
+    assert(engine.refreshMaterializedAggregate(mv) == "incremental")
+    assert(engine.sql(q).collect().toSet == spark.sql(q).collect().toSet)
+    engine.dropTable(mvRef); engine.dropTable(mv); engine.dropTable(t)
+  }
+
   test("materialized aggregate property law: random covered and " +
       "uncovered shapes match the unrewritten computation") {
     val engine = Engine(spark)

@@ -364,6 +364,69 @@ class SqlRouterSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("materialized view SQL lifecycle: CREATE / covered rewrite / " +
+      "REFRESH / DROP") {
+    val t = s"router_mv_${System.nanoTime()}"
+    val mv = s"router_mv_agg_${System.nanoTime()}"
+    engine.createTable(t, "grp STRING, sub INT, x DOUBLE, y DOUBLE")
+    engine.sql(s"INSERT INTO $t VALUES ('a', 1, 1.5, 10.0), " +
+      "('a', 2, 2.5, 20.0), ('b', 1, 4.0, 40.0)")
+    engine.sql(s"CREATE MATERIALIZED VIEW $mv AS SELECT grp, sub, " +
+      s"sum(x) AS sx, avg(y) AS ay, count(*) AS n FROM $t " +
+      "GROUP BY grp, sub")
+    // IF NOT EXISTS no-op; bare re-create raises
+    engine.sql(s"CREATE MATERIALIZED VIEW IF NOT EXISTS $mv AS " +
+      s"SELECT grp, sum(x) AS sx FROM $t GROUP BY grp")
+    intercept[IllegalArgumentException](engine.sql(
+      s"CREATE MATERIALIZED VIEW $mv AS SELECT grp, sum(x) AS sx " +
+        s"FROM $t GROUP BY grp"))
+    // covered query rewrites to the MV partials and matches direct
+    val q = s"SELECT grp, round(sum(x), 2) AS sx, round(avg(y), 4) " +
+      s"AS ay, count(*) AS n FROM $t GROUP BY grp"
+    assert(engine.sql(q).collect().toSet == spark.sql(q).collect().toSet)
+    val planStr = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(engine.sql(q)).queryExecution.optimizedPlan.toString()
+    assert(planStr.contains("sum_x"), s"not rewritten:\n$planStr")
+    // DML → stale (served from base), REFRESH re-arms
+    engine.sql(s"INSERT INTO $t VALUES ('b', 2, 6.0, 60.0)")
+    assert(engine.sql(q).collect().toSet == spark.sql(q).collect().toSet)
+    engine.sql(s"REFRESH MATERIALIZED VIEW $mv")
+    assert(engine.sql(q).collect().toSet == spark.sql(q).collect().toSet)
+    val planFresh = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(engine.sql(q)).queryExecution.optimizedPlan.toString()
+    assert(planFresh.contains("sum_x"), s"refresh did not re-arm")
+    // GROUP BY ordinal spelling binds to the output column
+    val mv2 = s"${mv}_ord"
+    engine.sql(s"CREATE MATERIALIZED VIEW $mv2 AS SELECT grp, " +
+      s"sum(x) AS sx FROM $t GROUP BY 1")
+    assert(engine.tableExists(mv2))
+    engine.sql(s"DROP MATERIALIZED VIEW $mv2")
+    // definitions the rewrite could never serve raise parse errors
+    Seq(
+      s"CREATE MATERIALIZED VIEW bad1 AS SELECT grp, sum(x) AS sx " +
+        s"FROM $t WHERE sub = 1 GROUP BY grp",
+      s"CREATE MATERIALIZED VIEW bad2 AS SELECT grp, sum(x * y) AS s " +
+        s"FROM $t GROUP BY grp",
+      s"CREATE MATERIALIZED VIEW bad3 AS SELECT grp, " +
+        s"count(DISTINCT sub) AS n FROM $t GROUP BY grp",
+      s"CREATE MATERIALIZED VIEW bad4 AS SELECT grp, y FROM $t " +
+        s"GROUP BY grp"
+    ).foreach { bad =>
+      val ex = intercept[IllegalArgumentException](engine.sql(bad))
+      assert(ex.getMessage.contains("Error"), bad)
+    }
+    // DROP: plain raises on missing, IF EXISTS is a no-op; a plain
+    // table is NOT droppable via the MV verb
+    intercept[IllegalArgumentException](
+      engine.sql(s"DROP MATERIALIZED VIEW $t"))
+    engine.sql(s"DROP MATERIALIZED VIEW $mv")
+    assert(!engine.tableExists(mv))
+    engine.sql(s"DROP MATERIALIZED VIEW IF EXISTS $mv")
+    intercept[IllegalArgumentException](
+      engine.sql(s"DROP MATERIALIZED VIEW $mv"))
+    engine.dropTable(t)
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     // 90% of left rows share one key — the shape AQE skew-split targets,
