@@ -69,6 +69,25 @@ object MvProbe {
       engine.sql(q).write.mode("overwrite").format("noop").save()
       spark.catalog.clearCache()
     }
+
+    // daily-ingest cadence: append a ~0.1% delta, then compare the two
+    // refresh paths — incremental (delta partials merged into the
+    // artifact) vs a from-scratch rebuild over the grown base
+    val deltaRows = math.max(1000L, engine.table(base).count() / 1000)
+    engine.insertInto(base, engine.table(base).limit(deltaRows.toInt))
+    val incrS = time {
+      val mode = engine.refreshMaterializedAggregate(mv)
+      require(mode == "incremental", s"expected incremental, got $mode")
+    }
+    println(s"[mvprobe] incremental_refresh (+$deltaRows rows): " +
+      s"${r3(incrS)} s")
+    val rebuildS = time(engine.createMaterializedAggregate(s"${mv}_rb",
+      base, dims = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax"),
+      path = s"${sys.props("java.io.tmpdir")}/graft_mvprobe_rb_" +
+        s"${ProcessHandle.current.pid}"))
+    println(s"[mvprobe] full_rebuild (same base state): ${r3(rebuildS)} s")
     spark.stop()
   }
 }
