@@ -75,5 +75,55 @@ object DmlOps {
           |GROUP BY l_returnflag, l_linestatus""".stripMargin)
     })
 
-  def defs: Seq[NamedQuery] = Seq(dmlRoundtrip, matviewAgg)
+  /** Incremental MV refresh end-to-end: materialize the partials, append
+    * a delta to the base (so the MV goes stale), REFRESH — which must
+    * take the INCREMENTAL path (delta partials merged into the stored
+    * artifact, corpus never rescanned) — and run a covered aggregate
+    * that the refreshed MV serves. The oracle computes the same
+    * aggregate over base ∪ delta in DuckDB, so the hash-check proves
+    * the delta merge (sum+sum, min-of-mins, Σcnt, Σn_rows) is exact. */
+  val matviewRefresh: NamedQuery = NamedQuery("q160_matview_refresh",
+    Some("""SELECT l_returnflag, l_linestatus,
+           |round(sum(l_quantity), 2) AS sum_qty,
+           |round(avg(l_extendedprice), 4) AS avg_price,
+           |round(min(l_discount), 2) AS min_disc,
+           |round(max(l_tax), 2) AS max_tax,
+           |count(*) AS n
+           |FROM (SELECT * FROM lineitem UNION ALL
+           |      SELECT * FROM lineitem WHERE l_orderkey <= 100) u
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    (s, d) => {
+      val engine = Engine(s)
+      val base = "graft_mvr_lineitem"
+      val mv = "graft_mvr_li_agg"
+      engine.dropTable(mv, ifExists = true)
+      engine.dropTable(base, ifExists = true)
+      val li = Tables.t(s, d, "lineitem")
+      engine.createTableAs(base, li)
+      engine.sql(
+        s"""CREATE MATERIALIZED VIEW $mv AS SELECT
+           |l_returnflag, l_linestatus,
+           |sum(l_quantity) AS s1, sum(l_extendedprice) AS s2,
+           |sum(l_discount) AS s3, sum(l_tax) AS s4, count(*) AS n
+           |FROM $base GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      engine.insertInto(base, li.filter(col("l_orderkey") <= 100))
+      val mode = engine.refreshMaterializedAggregate(mv)
+      require(mode == "incremental",
+        s"expected the incremental refresh path, got $mode")
+      val out = engine.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |round(sum(l_quantity), 2) AS sum_qty,
+           |round(avg(l_extendedprice), 4) AS avg_price,
+           |round(min(l_discount), 2) AS min_disc,
+           |round(max(l_tax), 2) AS max_tax,
+           |count(*) AS n
+           |FROM $base GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      val plan = org.apache.spark.sql.classic.ClassicConversions
+        .castToImpl(out).queryExecution.optimizedPlan.toString()
+      require(plan.contains("sum_l_quantity"),
+        "covered aggregate not served by the refreshed MV")
+      out
+    })
+
+  def defs: Seq[NamedQuery] = Seq(dmlRoundtrip, matviewAgg, matviewRefresh)
 }
