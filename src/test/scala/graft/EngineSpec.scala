@@ -700,6 +700,64 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(mvRef); engine.dropTable(mv); engine.dropTable(t)
   }
 
+  test("incremental refresh property law: random insert/delete/refresh " +
+      "sequences keep the artifact identical to a from-scratch build") {
+    val engine = Engine(spark)
+    val t = s"mv_iprop_${System.nanoTime()}"
+    val mv = s"mv_iprop_agg_${System.nanoTime()}"
+    val path =
+      s"${sys.props("java.io.tmpdir")}/graft_test_mv_${System.nanoTime()}"
+    engine.createTable(t, "g STRING, h INT, x DOUBLE, y INT")
+    val rnd = new scala.util.Random(8160)
+    // exact quarters: double addition over them is associative-exact,
+    // so artifact equality below is bitwise
+    def values(n: Int): String = (1 to n).map { _ =>
+      val g = "abcd".charAt(rnd.nextInt(4))
+      val h = rnd.nextInt(5)
+      val x = (rnd.nextInt(1000) - 500) / 4.0
+      val y = if (rnd.nextInt(4) == 0) "NULL" else rnd.nextInt(100).toString
+      s"('$g', $h, $x, $y)"
+    }.mkString(", ")
+    engine.sql(s"INSERT INTO $t VALUES ${values(8)}")
+    engine.createMaterializedAggregate(mv, t, dims = Seq("g", "h"),
+      measures = Seq("x", "y"), path = path)
+    var mutated = false // any DML since the last refresh/build
+    var chainBroken = false // a row-rewrite since the last refresh/build
+    def checkRefresh(): Unit = {
+      val mode = engine.refreshMaterializedAggregate(mv)
+      val expected =
+        if (!mutated) "noop"
+        else if (chainBroken) "rebuild"
+        else "incremental"
+      assert(mode == expected, s"refresh took $mode, expected $expected")
+      mutated = false; chainBroken = false
+      val ref = s"${mv}_ref"
+      engine.createMaterializedAggregate(ref, t, dims = Seq("g", "h"),
+        measures = Seq("x", "y"), path = s"${path}_ref")
+      assert(engine.table(mv).schema == engine.table(ref).schema,
+        s"schema drift after $mode refresh")
+      assert(engine.table(mv).collect().toSet ==
+        engine.table(ref).collect().toSet, s"rows drift after $mode refresh")
+      engine.dropTable(ref)
+    }
+    (1 to 14).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          engine.sql(s"INSERT INTO $t VALUES ${values(1 + rnd.nextInt(4))}")
+          mutated = true
+        case 2 =>
+          // may match zero rows — the copy-on-write rewrite still breaks
+          // the append chain, and the law pins that conservatism
+          engine.sql(s"DELETE FROM $t WHERE h = ${rnd.nextInt(5)} " +
+            s"AND g = '${"abcd".charAt(rnd.nextInt(4))}'")
+          mutated = true; chainBroken = true
+        case 3 => checkRefresh()
+      }
+    }
+    checkRefresh()
+    engine.dropTable(mv); engine.dropTable(t)
+  }
+
   test("materialized aggregate property law: random covered and " +
       "uncovered shapes match the unrewritten computation") {
     val engine = Engine(spark)
