@@ -171,6 +171,7 @@ class Engine private[graft] (val spark: SparkSession) {
   def unregisterTable(name: String): Unit = {
     registry.remove(name)
     versions.remove(name)
+    versionSeq.remove(name)
     spark.catalog.dropTempView(name)
   }
 
@@ -199,6 +200,7 @@ class Engine private[graft] (val spark: SparkSession) {
       }
       registry.put(name, new TableEntry(df, knownRows,
         appendOf = appendDelta.flatMap(d => prevEntry.map((_, d)))))
+      versionSeq.put(name, versionSeq.getOrElse(name, -1L) + 1L)
       df.createOrReplaceTempView(name)
     }
 
@@ -206,6 +208,65 @@ class Engine private[graft] (val spark: SparkSession) {
     * copy-on-write DML path — what Delta/Iceberg snapshots give a
     * lakehouse table, scoped to the bounded in-session history). */
   private val versions = TrieMap.empty[String, Vector[DataFrame]]
+
+  /** Monotone per-table version number: 0 at registration, +1 per
+    * mutation (the absolute numbering `VERSION AS OF` addresses —
+    * what a lakehouse snapshot id is). Follows the same lifecycle as
+    * [[versions]]: DROP/rename restarts history. */
+  private val versionSeq = TrieMap.empty[String, Long]
+
+  /** The table's current absolute version number. */
+  def currentVersion(name: String): Long = {
+    registry.getOrElse(name, missing(name))
+    versionSeq.getOrElse(name, 0L)
+  }
+
+  /** Absolute-version time travel — the `FROM t VERSION AS OF v` verb,
+    * layered on [[tableAt]]'s relative back-steps. Raises on a future
+    * version or one beyond the bounded retention. */
+  def tableAtVersion(name: String, v: Long): DataFrame = {
+    val cur = currentVersion(name)
+    if (v < 0 || v > cur)
+      throw new IllegalArgumentException(
+        s"Catalog Error: table $name is at version $cur, " +
+          s"asked for version $v")
+    tableAt(name, (cur - v).toInt)
+  }
+
+  /** `SELECT … FROM t VERSION AS OF v` over managed tables: Spark's
+    * parser produces [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]]
+    * nodes (temp views cannot answer them), so the engine substitutes
+    * the retained snapshot's plan before analysis. Unmanaged relations
+    * fall through to Spark untouched; TIMESTAMP AS OF on a managed
+    * table raises (in-session snapshots are version-numbered). */
+  private def timeTravelSql(q2: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    val parsed = spark.sessionState.sqlParser.parsePlan(q2)
+    var touched = false
+    val rewritten = parsed.transformDownWithSubqueries {
+      case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
+          if registry.contains(r.multipartIdentifier.mkString(".")) =>
+        val name = r.multipartIdentifier.mkString(".")
+        if (ts.nonEmpty)
+          throw new IllegalArgumentException("Parser Error: TIMESTAMP " +
+            s"AS OF is not supported on managed table $name — " +
+            "in-session snapshots are version-numbered; use " +
+            "VERSION AS OF <n>")
+        val v = ver.getOrElse(throw new IllegalArgumentException(
+          s"Parser Error: missing version for time travel on $name"))
+        val vNum =
+          try v.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException("Parser Error: VERSION " +
+              s"AS OF expects an integer version, got '$v'")
+          }
+        touched = true
+        castToImpl(tableAtVersion(name, vNum)).queryExecution.analyzed
+    }
+    if (touched)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten)
+    else spark.sql(q2)
+  }
 
   /** Number of retained PRIOR versions (current is not counted). */
   def versionCount(name: String): Int = {
@@ -340,7 +401,9 @@ class Engine private[graft] (val spark: SparkSession) {
           q2 = DuckSyntax.rewriteIntervals(q2)
         if (q2.toUpperCase.contains("ASOF"))
           q2 = DuckSyntax.rewriteAsofJoin(q2)
-        val df0 = spark.sql(q2)
+        val df0 =
+          if (q2.toUpperCase.contains(" AS OF ")) timeTravelSql(q2)
+          else spark.sql(q2)
         // engine plan rewrites run on the ANALYZED plan — after the main
         // optimizer they would miss filters it already collapsed into
         // literal relations: (1) covered aggregates re-target fresh

@@ -93,6 +93,36 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("time travel SQL: VERSION AS OF addresses absolute snapshots") {
+    val t = freshTable("tt_sql")
+    assert(engine.currentVersion(t) == 0)
+    engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b"))) // → v1
+    engine.deleteFrom(t, col("id") === 1) // → v2
+    assert(engine.currentVersion(t) == 2)
+    def n(v: Int): Long = engine.sql(
+      s"SELECT count(*) AS n FROM $t VERSION AS OF $v")
+      .collect().head.getLong(0)
+    assert(n(0) == 0 && n(1) == 2 && n(2) == 1)
+    // two snapshots of the SAME table joined in one statement: the
+    // rows the delete removed
+    val gone = engine.sql(
+      s"""SELECT a.id FROM $t VERSION AS OF 1 a
+         |LEFT ANTI JOIN $t VERSION AS OF 2 b ON a.id = b.id""".stripMargin)
+      .collect().map(_.getInt(0)).toSeq
+    assert(gone == Seq(1))
+    // plain reads still see the current state
+    assert(engine.sql(s"SELECT count(*) AS n FROM $t")
+      .collect().head.getLong(0) == 1)
+    // future / non-integer versions and TIMESTAMP AS OF raise
+    intercept[IllegalArgumentException](
+      engine.sql(s"SELECT * FROM $t VERSION AS OF 9"))
+    intercept[IllegalArgumentException](
+      engine.sql(s"SELECT * FROM $t VERSION AS OF 'abc'"))
+    intercept[IllegalArgumentException](
+      engine.sql(s"SELECT * FROM $t TIMESTAMP AS OF '2026-01-01'"))
+    engine.dropTable(t)
+  }
+
   test("curationReport: per-source per-rule kill rates over a managed table") {
     val t = s"cur_docs_${System.nanoTime()}"
     engine.createTable(t, "doc_id INT, text STRING, source STRING")
