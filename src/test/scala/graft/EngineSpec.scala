@@ -727,6 +727,12 @@ class EngineSpec extends SparkSpec {
     engine.sql(s"INSERT INTO $t VALUES ('d', 9.5, 2)")
     assert(engine.refreshMaterializedAggregate(mv) == "incremental")
     assert(engine.sql(q).collect().toSet == spark.sql(q).collect().toSet)
+    // MERGE rewrites rows too — it must also break the chain
+    import spark.implicits._
+    engine.mergeInto(t, Seq(("b", 100.0, 1)).toDF("grp", "x", "y"),
+      keys = Seq("grp"))
+    assert(engine.refreshMaterializedAggregate(mv) == "rebuild")
+    assert(engine.sql(q).collect().toSet == spark.sql(q).collect().toSet)
     engine.dropTable(mvRef); engine.dropTable(mv); engine.dropTable(t)
   }
 
