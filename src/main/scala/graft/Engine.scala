@@ -233,6 +233,17 @@ class Engine private[graft] (val spark: SparkSession) {
     tableAt(name, (cur - v).toInt)
   }
 
+  /** Version catalog for a managed table: one row per addressable
+    * snapshot within the bounded retention (what a lakehouse `DESCRIBE
+    * HISTORY` lists). Metadata-only — never scans the table. */
+  def tableHistory(name: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(name)
+    (0 to versionCount(name)).map(back =>
+      (cur - back, back, back == 0))
+      .toDF("version", "versions_back", "is_current")
+  }
+
   /** `SELECT … FROM t VERSION AS OF v` over managed tables: Spark's
     * parser produces [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]]
     * nodes (temp views cannot answer them), so the engine substitutes

@@ -113,6 +113,10 @@ class EngineSpec extends SparkSpec {
     // plain reads still see the current state
     assert(engine.sql(s"SELECT count(*) AS n FROM $t")
       .collect().head.getLong(0) == 1)
+    // the version catalog lists every addressable snapshot
+    assert(engine.tableHistory(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet ==
+      Set((2L, 0, true), (1L, 1, false), (0L, 2, false)))
     // future / non-integer versions and TIMESTAMP AS OF raise
     intercept[IllegalArgumentException](
       engine.sql(s"SELECT * FROM $t VERSION AS OF 9"))
