@@ -195,7 +195,7 @@ class Engine private[graft] (val spark: SparkSession) {
       // bounded history, oldest dropped first
       val prevEntry = registry.get(name)
       prevEntry.foreach { prev =>
-        val vs = versions.getOrElse(name, Vector.empty) :+ prev.df
+        val vs = versions.getOrElse(name, Vector.empty) :+ prev
         versions.put(name, vs.takeRight(Engine.MaxVersions))
       }
       registry.put(name, new TableEntry(df, knownRows,
@@ -206,8 +206,10 @@ class Engine private[graft] (val spark: SparkSession) {
 
   /** Retained prior versions per table (time travel over the
     * copy-on-write DML path — what Delta/Iceberg snapshots give a
-    * lakehouse table, scoped to the bounded in-session history). */
-  private val versions = TrieMap.empty[String, Vector[DataFrame]]
+    * lakehouse table, scoped to the bounded in-session history).
+    * Entries (not bare plans) are retained so the append lineage each
+    * snapshot carries stays addressable — [[tableChanges]] walks it. */
+  private val versions = TrieMap.empty[String, Vector[TableEntry]]
 
   /** Monotone per-table version number: 0 at registration, +1 per
     * mutation (the absolute numbering `VERSION AS OF` addresses —
@@ -242,6 +244,70 @@ class Engine private[graft] (val spark: SparkSession) {
     (0 to versionCount(name)).map(back =>
       (cur - back, back, back == 0))
       .toDF("version", "versions_back", "is_current")
+  }
+
+  /** Entry (plan + lineage) at an absolute version within retention. */
+  private def entryAtVersion(name: String, v: Long): TableEntry = {
+    val cur = currentVersion(name)
+    if (v == cur) registry.getOrElse(name, missing(name))
+    else {
+      val vs = versions.getOrElse(name, Vector.empty)
+      val back = (cur - v).toInt
+      if (back < 0 || back > vs.size)
+        throw new IllegalArgumentException(
+          s"Catalog Error: table $name is at version $cur with " +
+            s"${vs.size} retained versions, asked for version $v")
+      vs(vs.size - back)
+    }
+  }
+
+  /** Change-data feed between two retained snapshots (what
+    * `table_changes` reads on a lakehouse table): the table's columns
+    * plus `_change_type` ('insert' | 'delete') and `_commit_version`
+    * (the version the change landed in). Each version step is resolved
+    * independently:
+    *
+    *  - a step whose snapshot declared itself `previous ∪ delta` (the
+    *    INSERT append lineage) contributes its delta directly — the
+    *    production cadence reads O(delta), the corpus is never scanned;
+    *  - a row-rewriting step (DELETE/MERGE/ALTER leave lineage unset)
+    *    is reconstructed by a multiset diff of the two adjacent
+    *    snapshots (`exceptAll` both ways) — exact per-commit
+    *    attribution at the cost of scanning that pair.
+    *
+    * An UPDATE-shaped MERGE therefore surfaces as delete+insert of the
+    * changed rows, the CDC convention when no row identity column is
+    * declared. Schema drift inside the range (ALTER ADD/DROP COLUMN)
+    * is aligned by name; columns absent at a given version read NULL. */
+  def tableChanges(name: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val cur = currentVersion(name)
+    val toV = if (toVersion < 0) cur else toVersion
+    if (fromVersion < 0 || fromVersion > toV || toV > cur)
+      throw new IllegalArgumentException(
+        s"Catalog Error: invalid change range [$fromVersion, $toV] " +
+          s"for table $name at version $cur")
+    // resolves retention too: entryAtVersion raises past the window
+    val steps = (fromVersion until toV).map { v =>
+      val prev = entryAtVersion(name, v)
+      val next = entryAtVersion(name, v + 1)
+      val tagged = next.appendOf match {
+        case Some((parent, delta)) if parent eq prev =>
+          delta.withColumn("_change_type", lit("insert"))
+        case _ =>
+          val ins = next.df.exceptAll(prev.df)
+            .withColumn("_change_type", lit("insert"))
+          val del = prev.df.exceptAll(next.df)
+            .withColumn("_change_type", lit("delete"))
+          ins.unionByName(del)
+      }
+      tagged.withColumn("_commit_version", lit(v + 1))
+    }
+    if (steps.isEmpty) {
+      val e = registry.getOrElse(name, missing(name))
+      e.df.limit(0).withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+    } else steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** `SELECT … FROM t VERSION AS OF v` over managed tables: Spark's
@@ -296,7 +362,7 @@ class Engine private[graft] (val spark: SparkSession) {
         throw new IllegalArgumentException(
           s"Catalog Error: table $name has ${vs.size} retained " +
             s"versions, asked for $versionsBack back")
-      vs(vs.size - versionsBack)
+      vs(vs.size - versionsBack).df
     }
   }
 
