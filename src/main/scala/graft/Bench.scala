@@ -63,11 +63,32 @@ object Bench {
     // (GC + contention); the median is robust to a contended repeat in
     // either direction (best-of-N understates under systematic load)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "5").toInt
+    // Load sentinel: a fixed tiny query timed at basket start/middle/end.
+    // Two rounds running the driver artifact was contention-soaked and
+    // every regression triage burned a round-trip; calibration drift >2×
+    // within one run flags the artifact itself as contended instead of
+    // leaving host-load forensics to be re-derived after the fact.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("q05_agg_global")(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calStart = calibrate()
+    var calMid = calStart
     // corpus-level shared stages (e.g. the shingle index q41/q42 both
-    // read): timed once as their own entries; re-warmed (untimed) after
-    // each cache-clear so per-query numbers measure the pass itself
-    val stageTimes = scala.collection.mutable.Map.empty[String, Double]
-    val results = benchSet.map { name =>
+    // read): timed as their own entries; re-warmed (untimed) after each
+    // cache-clear so per-query numbers measure the pass itself.
+    // `stageFirst` records the FIRST invocation — for memoized stages
+    // (BucketedOps.factPair writes once, then no-ops) that is the only
+    // real cost, and min-over-repeats would log a ~1e-5 s no-op.
+    // `stageMin` keeps min-over-repeats for re-warmed stages (shingle
+    // index), where the first pass carries cold-JVM cost.
+    val stageFirst = scala.collection.mutable.Map.empty[String, Double]
+    val stageMin = scala.collection.mutable.Map.empty[String, Double]
+    val results = benchSet.zipWithIndex.map { case (name, qIdx) =>
+      if (qIdx == benchSet.size / 2) calMid = calibrate()
       val shared = SparkEntry.benchSharedStages.get(name)
       val times = (1 to repeats).map { _ =>
         shared.foreach { case (stage, warm) =>
@@ -77,7 +98,8 @@ object Bench {
             System.err.println(s"[bench] $stage failed: ${e.getMessage}")
           }
           val dt = (System.nanoTime() - s0) / 1e9
-          stageTimes.updateWith(stage)(p => Some(p.fold(dt)(math.min(_, dt))))
+          stageFirst.getOrElseUpdate(stage, dt)
+          stageMin.updateWith(stage)(p => Some(p.fold(dt)(math.min(_, dt))))
         }
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
@@ -102,13 +124,22 @@ object Bench {
       "\"" + k + "\":[" + r3(ts.head) + "," + r3(ts(ts.size / 2)) + "," +
         r3(ts.last) + "]"
     }.mkString("{", ",", "}")
-    val stages = stageTimes.toSeq.sortBy(_._1)
+    val calEnd = calibrate()
+    val cals = Seq(calStart, calMid, calEnd)
+    val contended = cals.max / math.max(cals.min, 1e-9) > 2.0
+    val calibration =
+      s"""{"start":${r3(calStart)},"mid":${r3(calMid)},"end":${r3(calEnd)},""" +
+        s""""contended":$contended}"""
+    val stages = stageFirst.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val stagesMin = stageMin.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map { case (_, ts) => ts(ts.size / 2) }.sum +
-      stageTimes.values.sum
+      stageFirst.values.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""spread":$spreads,"stages":$stages,"sf":"$sfDir"}"""
+        s""""spread":$spreads,"stages":$stages,"stages_min":$stagesMin,""" +
+        s""""calibration":$calibration,"sf":"$sfDir"}"""
     // the machine-readable artifact: sbt prefixes stdout with [info], so
     // the file is the trustworthy channel; stdout stays for humans
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),

@@ -1,15 +1,29 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
-  * The `events` table carries a nanosecond-precision timestamp, which the
-  * vectorized parquet reader rejects by default; we read it as raw nanos
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a microsecond
-  * `TimestampType` column with integer arithmetic (`DIV`, not `/`, because
-  * nanos-since-epoch exceeds the 2^53 exact-double range).
+  * The `events` table's `ts` column arrives in whatever physical encoding
+  * the upstream writer chose — int64 nanoseconds, parquet `timestamp[us]`
+  * without timezone (reads as `TIMESTAMP_NTZ`), or an instant-semantics
+  * timestamp — so the loader is SCHEMA-ADAPTIVE: it branches on the actual
+  * on-disk `DataType` and normalizes every encoding to one canonical shape
+  * (`ts`: µs `TimestampType`; `ts_ns`: int64 nanos side-channel carrying
+  * full precision, per the §1.2 type matrix). The reference handles the
+  * same precision×tz matrix by hand when converting Arrow batches
+  * (ref: /root/reference/src/arrow_utils.cpp:561-583); here the matrix
+  * lives in one function shared by the batch loader AND all streaming
+  * readers, so a new encoding can never silently diverge between them.
+  *
+  * Nanos note: int64-nanos sources are read raw
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and converted with integer
+  * arithmetic (`DIV`, not `/`, because nanos-since-epoch exceeds the 2^53
+  * exact-double range). NTZ note: the engine pins
+  * `spark.sql.session.timeZone=UTC` everywhere, so `CAST(ntz AS
+  * TIMESTAMP)` is an exact relabeling, not a wall-clock shift.
   *
   * Scale note: these are plain `spark.read.parquet` scans — at 100 TB the
   * same call distributes across executors with row-group-aligned splits
@@ -21,18 +35,60 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize a raw events frame (batch or streaming, any physical `ts`
+    * encoding) to the canonical shape: `ts` µs `TimestampType`, `ts_ns`
+    * int64 nanos. Unknown encodings fail loudly at analysis rather than
+    * producing silently-shifted timestamps. */
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType => // int64 nanos, read via nanosAsLong
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      case TimestampNTZType => // parquet timestamp[us]/[ms], no tz
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case TimestampType => // instant-semantics timestamp
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case other: DataType =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported physical type $other " +
+            "(expected int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+
+  /** On-disk schema of the events files under `dir` (footer-only read;
+    * cheap). Streaming sources require an explicit schema — deriving it
+    * from the files themselves is what keeps the stream readers in the
+    * same encoding matrix as the batch loader. */
+  def eventsDiskSchema(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      recursive: Boolean = false): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", recursive.toString)
+      .parquet(dir).schema
+  }
+
+  /** Schema-adaptive streaming reader over the events feed at `dir`:
+    * the single entry point every streaming module uses, returning the
+    * canonical (`ts` µs timestamp, `ts_ns` nanos) shape regardless of
+    * the feed's physical encoding. */
+  def eventsStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet",
+      recursive: Boolean = false): DataFrame = {
+    val disk = eventsDiskSchema(spark, dir, glob, recursive)
+    normalizeEvents(
+      spark.readStream
+        .schema(disk)
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", recursive.toString)
+        .parquet(dir))
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // keep the raw nanos as `ts_ns` (the §1.2 TIMESTAMP_NS side-channel:
-      // full ns precision survives as LONG even though TimestampType is µs);
-      // bench tiers store µs timestamps directly — derive ts_ns from those
-      val raw = spark.read.parquet(s"$dir/events.parquet")
-      if (raw.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        raw.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
-      else raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      normalizeEvents(spark.read.parquet(s"$dir/events.parquet"))
     case other =>
       spark.read.parquet(s"$dir/$other.parquet")
   }

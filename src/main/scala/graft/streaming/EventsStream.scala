@@ -16,14 +16,6 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (read via nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming exactly-once dedup: drop duplicate event_ids as they
     * arrive (the at-least-once-delivery dedup every ingestion pipeline
     * needs), then aggregate per type. Converges to the batch DISTINCT
@@ -35,12 +27,7 @@ object EventsStream {
     * watermark delay of the original is dropped. */
   def dedupCounts(spark: SparkSession, dir: String,
       queryName: String = "graft_events_dedup"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val stream = graft.Tables.eventsStream(spark, dir)
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
@@ -66,11 +53,7 @@ object EventsStream {
     * fixed histogram — the query runs forever at any rate. */
   def medianSketch(spark: SparkSession, dir: String,
       queryName: String = "graft_events_sketch"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = graft.Tables.eventsStream(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.functions.LogHistogramQuantile
@@ -96,11 +79,7 @@ object EventsStream {
     * count), and per-group state is the fixed register array. */
   def distinctUsers(spark: SparkSession, dir: String,
       queryName: String = "graft_events_distinct"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = graft.Tables.eventsStream(spark, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n"))
@@ -118,14 +97,10 @@ object EventsStream {
     * is drained and returns the materialized result. */
   def hourlyCounts(spark: SparkSession, dir: String,
       queryName: String = "graft_events_stream"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file streaming sources need a directory: stream the sf dir with a
-    // filename glob selecting the events table
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // filename glob selecting the events table (schema-adaptive — see
+    // Tables.eventsStream)
+    val stream = graft.Tables.eventsStream(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))

@@ -25,25 +25,13 @@ import org.apache.spark.sql.types._
   */
 object ExportStream {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (read via nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Drain `dir`'s events feed into `outDir` partitioned by event_type,
     * checkpointing at `checkpointDir`; blocks until drained. Re-running
     * with the same checkpoint is a no-op (exactly-once). */
   def exportPartitioned(spark: SparkSession, dir: String, outDir: String,
       checkpointDir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // schema-adaptive shared reader (Tables.eventsStream)
+    val stream = graft.Tables.eventsStream(spark, dir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val q = stream.writeStream
       .format("parquet")

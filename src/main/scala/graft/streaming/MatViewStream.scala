@@ -35,14 +35,6 @@ import org.apache.spark.sql.types._
   */
 object MatViewStream {
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (read via nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Maintain event_type-grouped partials of `value` over the parquet
     * feed at `dir`, swapping the artifact at `artifactPath` once per
     * micro-batch; blocks until the feed is drained (AvailableNow).
@@ -50,12 +42,9 @@ object MatViewStream {
   def maintainPartials(spark: SparkSession, dir: String,
       artifactPath: String, checkpointDir: String,
       glob: String = "*.parquet"): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", glob)
-      .option("recursiveFileLookup", "true")
-      .parquet(dir)
+    // schema-adaptive shared reader (Tables.eventsStream)
+    val stream = graft.Tables.eventsStream(spark, dir, glob,
+      recursive = true)
     val partials = stream.groupBy(col("event_type"))
       .agg(
         sum(col("value")).as("sum_value"),

@@ -23,26 +23,16 @@ object SessionStream {
 
   private val gapUs: Long = 1800L * 1000000L
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (read via nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Drains the events table as a stream; emits final per-user session
     * counts. For the bounded local source we emit at drain-end; against
     * a live stream the same function emits on state timeout. */
   def sessionCounts(spark: SparkSession, dir: String,
       queryName: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    // schema-adaptive shared reader (Tables.eventsStream) — `ts` is a µs
+    // TimestampType whatever the feed's physical encoding was
+    val events = graft.Tables.eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[Event]
 
     def update(userId: Long, events: Iterator[Event],
