@@ -263,24 +263,40 @@ class Engine private[graft] (val spark: SparkSession) {
 
   /** Change-data feed between two retained snapshots (what
     * `table_changes` reads on a lakehouse table): the table's columns
-    * plus `_change_type` ('insert' | 'delete') and `_commit_version`
-    * (the version the change landed in). Each version step is resolved
-    * independently:
+    * plus `_change_type` and `_commit_version` (the version the change
+    * landed in).
+    *
+    * CONVENTION — `fromVersion` is the EXCLUSIVE base snapshot: the
+    * feed carries the commits `fromVersion+1 .. toVersion`, i.e. "the
+    * changes that took the table FROM version `fromVersion` TO
+    * `toVersion`". Note this differs from Delta's `table_changes`,
+    * whose starting version is inclusive — a caller porting Delta
+    * semantics passes `deltaStart - 1` here.
+    *
+    * Each version step is resolved independently:
     *
     *  - a step whose snapshot declared itself `previous ∪ delta` (the
     *    INSERT append lineage) contributes its delta directly — the
     *    production cadence reads O(delta), the corpus is never scanned;
     *  - a row-rewriting step (DELETE/MERGE/ALTER leave lineage unset)
-    *    is reconstructed by a multiset diff of the two adjacent
-    *    snapshots (`exceptAll` both ways) — exact per-commit
-    *    attribution at the cost of scanning that pair.
+    *    is reconstructed from the two adjacent snapshots. With no
+    *    `idColumn` that is a multiset diff (`exceptAll` both ways,
+    *    full-row hash) emitting 'insert'/'delete' pairs; with
+    *    `idColumn` declared it is ONE equi-join on the identity key
+    *    emitting 'insert' / 'delete' /
+    *    'update_preimage' / 'update_postimage' (the Delta CDF tags) —
+    *    only rows whose content actually changed are emitted, so an
+    *    UPDATE-shaped MERGE yields O(delta) change rows off a single
+    *    key-partitioned shuffle instead of two full-row hash diffs.
     *
-    * An UPDATE-shaped MERGE therefore surfaces as delete+insert of the
-    * changed rows, the CDC convention when no row identity column is
-    * declared. Schema drift inside the range (ALTER ADD/DROP COLUMN)
-    * is aligned by name; columns absent at a given version read NULL. */
+    * Schema drift inside the range (ALTER ADD/DROP/RENAME COLUMN) is
+    * aligned by name over the union of the two step schemas: columns
+    * absent at a given version read NULL, shared columns take the
+    * newer version's type. A RENAME therefore reads as a full
+    * rewrite (old column deleted, new column inserted) — the honest
+    * answer when no column lineage is recorded. */
   def tableChanges(name: String, fromVersion: Long,
-      toVersion: Long = -1L): DataFrame = {
+      toVersion: Long = -1L, idColumn: Option[String] = None): DataFrame = {
     val cur = currentVersion(name)
     val toV = if (toVersion < 0) cur else toVersion
     if (fromVersion < 0 || fromVersion > toV || toV > cur)
@@ -295,11 +311,56 @@ class Engine private[graft] (val spark: SparkSession) {
         case Some((parent, delta)) if parent eq prev =>
           delta.withColumn("_change_type", lit("insert"))
         case _ =>
-          val ins = next.df.exceptAll(prev.df)
-            .withColumn("_change_type", lit("insert"))
-          val del = prev.df.exceptAll(next.df)
-            .withColumn("_change_type", lit("delete"))
-          ins.unionByName(del)
+          // by-name union of the step's two schemas (newer type wins)
+          val merged = next.df.schema.fields.toSeq ++
+            prev.df.schema.fields.filterNot(f =>
+              next.df.columns.contains(f.name))
+          def align(df: DataFrame): DataFrame =
+            df.select(merged.map { f =>
+              if (df.columns.contains(f.name))
+                col(f.name).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            }: _*)
+          val p = align(prev.df)
+          val n = align(next.df)
+          idColumn match {
+            case Some(id) =>
+              if (!merged.exists(_.name == id))
+                throw new IllegalArgumentException(
+                  s"Catalog Error: identity column $id not in table " +
+                    s"$name's schema at versions $v/${v + 1}")
+              // one full-outer equi-join on the identity key classifies
+              // every row in a single key-shuffle; unchanged rows are
+              // dropped, so the emitted feed is O(changed rows)
+              val pm = p.withColumn("_p_present", lit(true)).alias("p")
+              val nm = n.withColumn("_n_present", lit(true)).alias("n")
+              val joined = nm.join(pm,
+                col(s"n.$id") <=> col(s"p.$id"), "full_outer")
+              def side(pre: String, tag: String) = struct(
+                merged.map(f =>
+                  col(s"$pre.${f.name}").as(f.name)) :+
+                  lit(tag).as("_change_type"): _*)
+              val differs = merged.filterNot(_.name == id)
+                .map(f => !(col(s"n.${f.name}") <=> col(s"p.${f.name}")))
+                .reduceOption(_ || _).getOrElse(lit(false))
+              val both = col("_n_present").isNotNull &&
+                col("_p_present").isNotNull
+              val changes = array(
+                when(col("_p_present").isNull, side("n", "insert")),
+                when(col("_n_present").isNull, side("p", "delete")),
+                when(both && differs, side("p", "update_preimage")),
+                when(both && differs, side("n", "update_postimage")))
+              joined
+                .select(explode(filter(changes,
+                  c => c.isNotNull)).as("_c"))
+                .select("_c.*")
+            case None =>
+              val ins = n.exceptAll(p)
+                .withColumn("_change_type", lit("insert"))
+              val del = p.exceptAll(n)
+                .withColumn("_change_type", lit("delete"))
+              ins.unionByName(del)
+          }
       }
       tagged.withColumn("_commit_version", lit(v + 1))
     }

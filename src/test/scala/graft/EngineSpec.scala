@@ -846,6 +846,101 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(mv); engine.dropTable(t)
   }
 
+  // ---- tableChanges (CDC feed over retained snapshots) ----------------
+
+  test("tableChanges: insert-only range rides the append lineage") {
+    val t = s"cdc_app_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING")
+    engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b"))) // v1
+    engine.insertValues(t, Seq(Row(3, "c")))              // v2
+    val feed = engine.tableChanges(t, 0)
+    val got = feed.collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("_change_type"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(got == Set((1, "insert", 1L), (2, "insert", 1L),
+      (3, "insert", 2L)))
+    // the O(delta) law: an append step's feed must come from the
+    // recorded delta, not a snapshot diff — no Except in the plan
+    assert(!engine.tableChanges(t, 1).queryExecution.optimizedPlan
+      .toString.contains("Except"))
+    engine.dropTable(t)
+  }
+
+  test("tableChanges: DELETE step emits delete rows; empty range is empty") {
+    val t = s"cdc_del_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING")
+    engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b"), Row(3, "c")))
+    engine.deleteFrom(t, col("id") === 2) // v2, row-rewriting
+    val feed = engine.tableChanges(t, 1, 2)
+    val got = feed.collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("_change_type")))
+      .toSet
+    assert(got == Set((2, "delete")))
+    assert(engine.tableChanges(t, 2, 2).count() == 0) // from == to
+    engine.dropTable(t)
+  }
+
+  test("tableChanges: invalid and out-of-retention ranges raise") {
+    val t = s"cdc_err_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING")
+    engine.insertValues(t, Seq(Row(1, "a")))
+    intercept[IllegalArgumentException](engine.tableChanges(t, 2, 1))
+    intercept[IllegalArgumentException](engine.tableChanges(t, -1))
+    intercept[IllegalArgumentException](engine.tableChanges(t, 0, 99))
+    engine.dropTable(t)
+  }
+
+  test("tableChanges: range spanning ALTER ADD/DROP COLUMN aligns by name") {
+    val t = s"cdc_alter_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING")
+    engine.insertValues(t, Seq(Row(1, "a")))        // v1 append
+    engine.addColumn(t, "score", "INT")             // v2 schema drift
+    engine.insertValues(t, Seq(Row(2, "b", 7)))     // v3 append
+    engine.dropColumn(t, "name")                    // v4 schema drift
+    // the multi-step union spans both drifts: columns absent at a given
+    // version read NULL instead of the range throwing AnalysisException
+    val feed = engine.tableChanges(t, 0)
+    assert(feed.columns.toSet ==
+      Set("id", "name", "score", "_change_type", "_commit_version"))
+    val byVersion = feed.collect()
+      .groupBy(_.getAs[Long]("_commit_version"))
+    assert(byVersion(1L).map(_.getAs[String]("_change_type")).toSeq ==
+      Seq("insert"))
+    // the ADD COLUMN step rewrites no row content: old rows gain a NULL
+    // column, which the aligned diff reads as delete+insert of row 1
+    assert(byVersion(3L).exists(r => r.getAs[Int]("id") == 2 &&
+      r.getAs[String]("_change_type") == "insert"))
+    assert(byVersion.keySet.contains(4L)) // DROP step resolves too
+    engine.dropTable(t)
+  }
+
+  test("tableChanges with idColumn: UPDATE-shaped MERGE emits O(delta) " +
+      "pre/postimage rows off one key join") {
+    val t = s"cdc_id_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING")
+    engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b"), Row(3, "c")))
+    // UPDATE-shaped MERGE: touch row 2 only, insert row 4
+    import scala.jdk.CollectionConverters._
+    engine.mergeInto(t,
+      spark.createDataFrame(
+        Seq(Row(2, "B"), Row(4, "d")).asJava, spark.table(t).schema),
+      Seq("id"))
+    val feed = engine.tableChanges(t, 1, 2, idColumn = Some("id"))
+    val got = feed.collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"),
+        r.getAs[String]("_change_type"))).toSet
+    // only the changed rows surface — the untouched 1/3 never appear
+    assert(got == Set(
+      (2, "b", "update_preimage"), (2, "B", "update_postimage"),
+      (4, "d", "insert")))
+    // plan law: the id-join path must not full-row-hash diff (Except);
+    // its one join shuffles on the identity key alone
+    assert(!feed.queryExecution.optimizedPlan.toString.contains("Except"))
+    intercept[IllegalArgumentException](
+      engine.tableChanges(t, 1, 2, idColumn = Some("nope")))
+    engine.dropTable(t)
+  }
+
   test("ASOF JOIN SQL spelling (DuckDB syntax) matches the composed as-of") {
     val engine = Engine(spark)
     engine.registerTable("ev_asof", graft.Tables.t(spark, sf, "events"))

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** The inventory-un-shrinkable gate: EVERY `SparkEntry.queries` key runs
+  * against BOTH physical events encodings — int64-nanos (the legacy
+  * writer) and parquet `timestamp[us]` without timezone (the current
+  * writer, read as TIMESTAMP_NTZ) — and must produce identical results
+  * on both. Round 8 lost 10 oracle rows and shipped one silently-wrong
+  * streaming answer because the suite only ever saw whichever encoding
+  * `/root/testdata` happened to hold; this spec pins the full matrix
+  * (the §1.2 timestamp matrix the reference handles at
+  * /root/reference/src/arrow_utils.cpp:561-583), so a reader that
+  * breaks — or silently shifts — on either encoding fails loudly here,
+  * and a basket that shrinks below the full key count fails the size
+  * law. */
+class EventsEncodingSpec extends SparkSpec {
+
+  /** Write `df` as a SINGLE parquet file at `dest` (the testdata layout:
+    * one file named events.parquet, which the streaming readers' filename
+    * glob depends on). */
+  private def writeSingleFile(df: DataFrame, dest: Path): Unit = {
+    val tmp = Files.createTempDirectory("graft_enc_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val s = Files.list(tmp)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally s.close()
+    }
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Two fixture dirs sharing every non-events table (symlinks into the
+    * sf0.001 testdata) and differing only in the events file's physical
+    * ts encoding. */
+  private lazy val (nsDir, usDir): (String, String) = {
+    val base = Files.createTempDirectory("graft_encodings")
+    val ns = Files.createDirectories(base.resolve("ns"))
+    val us = Files.createDirectories(base.resolve("us"))
+    for (t <- Tables.names if t != "events"; d <- Seq(ns, us))
+      Files.createSymbolicLink(
+        d.resolve(s"$t.parquet"), Paths.get(s"$sf/$t.parquet"))
+    val ev = Tables.t(spark, sf, "events") // canonical (ts µs, ts_ns)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props").map(col)
+    writeSingleFile(ev.withColumn("ts", col("ts_ns")).select(cols: _*),
+      ns.resolve("events.parquet"))
+    writeSingleFile(
+      ev.withColumn("ts", col("ts").cast("timestamp_ntz")).select(cols: _*),
+      us.resolve("events.parquet"))
+    (ns.toString, us.toString)
+  }
+
+  test("fixture sanity: the two dirs really hold different encodings") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    assert(spark.read.parquet(s"$nsDir/events.parquet")
+      .schema("ts").dataType == LongType)
+    assert(spark.read.parquet(s"$usDir/events.parquet")
+      .schema("ts").dataType == TimestampNTZType)
+  }
+
+  test("inventory size law: the basket can never shrink") {
+    // 156 keys as of round 9 — raise this floor when queries are added,
+    // never lower it: a key that stops resolving or throws at analysis
+    // must fail this suite, not silently fall out of the driver basket.
+    assert(SparkEntry.queries.size >= 156,
+      s"queries inventory shrank to ${SparkEntry.queries.size} keys")
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  for (q <- SparkEntry.queries.keys.toSeq.sorted) {
+    test(s"$q runs identically on ns-int64 and µs-NTZ events encodings") {
+      val a = canon(SparkEntry.queries(q)(spark, nsDir))
+      val b = canon(SparkEntry.queries(q)(spark, usDir))
+      assert(a.nonEmpty, s"$q returned no rows")
+      assert(a == b,
+        s"$q differs between events encodings: ns-int64 gave ${a.size} " +
+          s"rows, µs-NTZ gave ${b.size}; first diff: " +
+          a.zipAll(b, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }.getOrElse(("", "")))
+    }
+  }
+}
