@@ -75,6 +75,7 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    calibrate() // untimed: the sentinel must not measure its own codegen
     val calStart = calibrate()
     var calMid = calStart
     // corpus-level shared stages (e.g. the shingle index q41/q42 both
