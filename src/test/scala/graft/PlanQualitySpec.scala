@@ -292,6 +292,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q156 orders scan prunes year partitions at listing time") {
+    // the r9 layout law: orders is partitionBy(o_year) + bucketed, and
+    // the date-range queries carry the implied o_year bounds — the scan
+    // must read ONLY the in-range year directories (sf0.001 orders span
+    // 1992-1998; q156's range keeps 1996-1998)
+    val df = SparkEntry.queries("q156_tpch_q5_bucketed")(spark, sf)
+    df.collect()
+    // AQE materializes joins behind QueryStageExec LEAF nodes — a plain
+    // collect never reaches their subtrees, so recurse through them
+    def deepScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => deepScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deepScans(q.plan)
+    }.flatten
+    val orderScans =
+      deepScans(castToImpl(df).queryExecution.executedPlan)
+        .filter(_.requiredSchema.fieldNames.contains("o_custkey"))
+    assert(orderScans.nonEmpty, "no orders scan found")
+    val parts = orderScans.head.relation.location
+      .listFiles(orderScans.head.partitionFilters, Nil)
+      .flatMap(_.values match {
+        case r if r.numFields > 0 => Some(r.getInt(0))
+        case _ => None
+      }).toSet
+    assert(parts.nonEmpty && parts.forall(y => y >= 1996 && y <= 1998),
+      s"orders scan read out-of-range year partitions: $parts")
+  }
+
   test("bucketed q154/q155/q156 match their unbucketed formulations") {
     for ((b, u) <- Seq(
         "q154_join_agg_bucketed" -> "q12_join_agg",
