@@ -71,6 +71,16 @@ class EventsEncodingSpec extends SparkSpec {
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
+  test("oracle coverage law: only the four engine-defined-hash queries " +
+      "may lack DuckDB oracle SQL") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // each of these carries a green companion audit row (q119-q122)
+    assert(noOracle == Set("q42_dedup_minhash_lsh", "q43_dedup_simhash",
+      "q46_ann_lsh", "q75_ann_ivf"),
+      s"oracle-less queries drifted: $noOracle — new queries must ship " +
+        "with oracleSql or a documented audit twin")
+  }
+
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
