@@ -371,6 +371,58 @@ class Engine private[graft] (val spark: SparkSession) {
     } else steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** `SELECT … FROM table_changes('t', start[, end[, idColumn]])` — the
+    * lakehouse CDC spelling (Delta's TVF of the same name). The SQL form
+    * follows Delta's INCLUSIVE-start convention: `start` is the first
+    * commit whose changes appear, so it maps to
+    * `tableChanges(t, start - 1, end)` over the exclusive-base API.
+    * Spark's parser yields an UnresolvedTableValuedFunction no catalog
+    * answers; the engine splices the resolved feed's plan in before
+    * analysis, so the TVF composes with WHERE/joins/aggregates like any
+    * relation. */
+  private def tableChangesSql(q2: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def argStr(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): String = e match {
+      case Literal(v, _) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"Parser Error: table_changes expects a literal $what, got $other")
+    }
+    def argLong(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Long =
+      try argStr(e, what).toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"Parser Error: table_changes expects an integer $what")
+      }
+    val parsed = spark.sessionState.sqlParser.parsePlan(q2)
+    var touched = false
+    val rewritten = parsed.transformDownWithSubqueries {
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("table_changes") =>
+        val args = tvf.functionArgs
+        if (args.size < 2 || args.size > 4)
+          throw new IllegalArgumentException("Parser Error: " +
+            "table_changes(table, startVersion[, endVersion[, idColumn]])")
+        val name = argStr(args(0), "table name")
+        if (!registry.contains(name))
+          throw new IllegalArgumentException(
+            s"Catalog Error: table $name does not exist")
+        val start = argLong(args(1), "startVersion")
+        val end = if (args.size >= 3) argLong(args(2), "endVersion") else -1L
+        val idCol = if (args.size == 4) Some(argStr(args(3), "idColumn"))
+          else None
+        touched = true
+        castToImpl(tableChanges(name, start - 1, end, idCol))
+          .queryExecution.analyzed
+    }
+    if (touched)
+      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten)
+    else spark.sql(q2)
+  }
+
   /** `SELECT … FROM t VERSION AS OF v` over managed tables: Spark's
     * parser produces [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]]
     * nodes (temp views cannot answer them), so the engine substitutes
@@ -541,6 +593,8 @@ class Engine private[graft] (val spark: SparkSession) {
           q2 = DuckSyntax.rewriteAsofJoin(q2)
         val df0 =
           if (q2.toUpperCase.contains(" AS OF ")) timeTravelSql(q2)
+          else if (q2.toUpperCase.contains("TABLE_CHANGES"))
+            tableChangesSql(q2)
           else spark.sql(q2)
         // engine plan rewrites run on the ANALYZED plan — after the main
         // optimizer they would miss filters it already collapsed into

@@ -941,6 +941,36 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("table_changes SQL TVF (Delta-convention inclusive start) " +
+      "composes with WHERE and maps to the API feed") {
+    val t = s"cdc_sql_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING")
+    engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b"))) // v1
+    engine.deleteFrom(t, col("id") === 1)                 // v2
+    // Delta convention: start is INCLUSIVE → start=1 covers v1..current
+    val all = engine.sql(s"SELECT * FROM table_changes('$t', 1)")
+      .collect().map(r => (r.getAs[Int]("id"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+      .toSet
+    assert(all == Set((1, "insert", 1L), (2, "insert", 1L),
+      (1, "delete", 2L)))
+    // composes like a relation: WHERE + aggregate over the feed
+    val n = engine.sql(s"SELECT count(*) AS n FROM " +
+      s"table_changes('$t', 1, 2) WHERE _change_type = 'delete'")
+      .head().getLong(0)
+    assert(n == 1L)
+    // idColumn variant routes through the key-join path
+    val upd = engine.sql(
+      s"SELECT * FROM table_changes('$t', 2, 2, 'id')")
+      .collect().map(_.getAs[String]("_change_type")).toSet
+    assert(upd == Set("delete"))
+    intercept[IllegalArgumentException](
+      engine.sql("SELECT * FROM table_changes('no_such_table', 1)"))
+    intercept[IllegalArgumentException](
+      engine.sql(s"SELECT * FROM table_changes('$t')"))
+    engine.dropTable(t)
+  }
+
   test("ASOF JOIN SQL spelling (DuckDB syntax) matches the composed as-of") {
     val engine = Engine(spark)
     engine.registerTable("ev_asof", graft.Tables.t(spark, sf, "events"))
