@@ -71,6 +71,39 @@ class EventsEncodingSpec extends SparkSpec {
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
+  test("instant-TIMESTAMP encoding (third matrix branch) normalizes to " +
+      "the same canonical events frame") {
+    // Spark writes TimestampType as instant-semantics parquet
+    // (isAdjustedToUTC=true), which reads back as TimestampType — the
+    // one branch the ns/µs fixtures don't reach
+    val base = Files.createTempDirectory("graft_enc_instant")
+    val canonical = Tables.t(spark, sf, "events")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props").map(col)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    writeSingleFile(canonical.select(cols: _*),
+      base.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$base/events.parquet")
+    assert(raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val again = Tables.normalizeEvents(raw)
+    val a = canonical.select("event_id", "ts", "ts_ns").collect()
+      .map(_.toString).sorted.toSeq
+    val b = again.select("event_id", "ts", "ts_ns").collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b, "instant-TIMESTAMP round-trip diverged")
+  }
+
+  test("unsupported events ts encoding fails loudly, not silently") {
+    val bad = Tables.t(spark, sf, "events")
+      .withColumn("ts", col("ts").cast("string"))
+      .drop("ts_ns")
+    val e = intercept[IllegalArgumentException](
+      Tables.normalizeEvents(bad))
+    assert(e.getMessage.contains("unsupported physical type"))
+  }
+
   test("oracle coverage law: only the four engine-defined-hash queries " +
       "may lack DuckDB oracle SQL") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
