@@ -675,15 +675,27 @@ class Engine private[graft] (val spark: SparkSession) {
         "num_tasks", "plan")
   }
 
-  /** Compaction: rewrite a managed table into `numFiles` balanced
-    * partitions. Long-lived COW tables accumulate narrow lineage and
-    * future writes fragment into small files — the 100 TB maintenance
-    * verb (what OPTIMIZE does on a lakehouse table). */
-  def compact(name: String, numFiles: Int = 0): Unit = {
+  /** Compaction: PHYSICALLY rewrite a managed table into `numFiles`
+    * balanced parquet files and re-root the live snapshot at the
+    * rewritten data — the 100 TB maintenance verb (lakehouse OPTIMIZE).
+    * Beyond file sizing, this is the copy-on-write chain's safety
+    * valve: every DML verb layers plan nodes over the previous
+    * snapshot, so a long-lived table's analysis cost grows one
+    * union/filter/join layer per commit; compaction collapses the live
+    * plan to a plain scan. Retained history still addresses the
+    * pre-compaction plans (the artifact path carries the version so a
+    * later compaction can never clobber data an older retained
+    * snapshot reads). Like any row-rewriting verb it breaks the append
+    * lineage chain — an MV incremental refresh falls back to one
+    * rebuild, then resumes incrementally. */
+  def compact(name: String, numFiles: Int = 0): Unit = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     val target =
       if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
-    put(name, e.df.repartition(target), e.rowsIfKnown)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
+      s"${ProcessHandle.current.pid}_${name}_v${currentVersion(name)}"
+    e.df.repartition(target).write.mode("overwrite").parquet(path)
+    put(name, spark.read.parquet(path), e.rowsIfKnown)
   }
 
   // ---- dynamic worker registration ------------------------------------

@@ -941,6 +941,29 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("compact materializes the COW chain: plan depth resets, values " +
+      "and history survive") {
+    val t = s"cmp_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING")
+    (1 to 8).foreach(i => engine.insertValues(t, Seq(Row(i, s"r$i"))))
+    val before = spark.table(t).queryExecution.analyzed
+    assert(before.collect { case u: org.apache.spark.sql.catalyst
+        .plans.logical.Union => u }.nonEmpty,
+      "pre-compaction plan should carry the append chain")
+    val preRows = spark.table(t).collect().map(_.toString).toSet
+    engine.compact(t, 2)
+    val after = spark.table(t).queryExecution.analyzed
+    // the live plan is now a plain scan: no Union layer survives
+    assert(after.collect { case u: org.apache.spark.sql.catalyst
+        .plans.logical.Union => u }.isEmpty,
+      s"compaction did not collapse the plan:\n$after")
+    assert(spark.table(t).collect().map(_.toString).toSet == preRows)
+    assert(spark.table(t).rdd.getNumPartitions == 2)
+    // retained history still addresses the pre-compaction snapshot
+    assert(engine.tableAt(t, 1).count() == 8)
+    engine.dropTable(t)
+  }
+
   test("table_changes SQL TVF (Delta-convention inclusive start) " +
       "composes with WHERE and maps to the API feed") {
     val t = s"cdc_sql_${System.nanoTime()}"
