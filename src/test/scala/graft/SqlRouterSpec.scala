@@ -427,6 +427,22 @@ class SqlRouterSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("OPTIMIZE SQL routes to compaction: plan collapses, data intact") {
+    import org.apache.spark.sql.Row
+    val t = s"opt_sql_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, name STRING)")
+    (1 to 5).foreach(i =>
+      engine.sql(s"INSERT INTO $t VALUES ($i, 'r$i')"))
+    engine.sql(s"OPTIMIZE $t INTO 2 FILES")
+    assert(spark.table(t).queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "OPTIMIZE did not collapse the append chain")
+    assert(spark.table(t).rdd.getNumPartitions == 2)
+    assert(spark.table(t).collect().map(_.getInt(0)).toSet == (1 to 5).toSet)
+    intercept[IllegalArgumentException](engine.sql("OPTIMIZE no_such_tbl"))
+    engine.dropTable(t)
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     // 90% of left rows share one key — the shape AQE skew-split targets,
