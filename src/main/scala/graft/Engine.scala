@@ -695,6 +695,18 @@ class Engine private[graft] (val spark: SparkSession) {
     val path = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
       s"${ProcessHandle.current.pid}_${name}_v${currentVersion(name)}"
     e.df.repartition(target).write.mode("overwrite").parquet(path)
+    // in-session artifacts: meaningful only while this JVM's snapshot
+    // chain lives — best-effort delete at exit so tmpdir doesn't leak
+    // one fact-table copy per compaction
+    sys.addShutdownHook {
+      try {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      } catch { case _: Throwable => () }
+    }
     put(name, spark.read.parquet(path), e.rowsIfKnown)
   }
 
