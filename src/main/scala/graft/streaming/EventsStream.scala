@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events table: the streaming analog of
   * q30_events_hourly. The reference has no streaming surface (SURVEY.md

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types._
 
 /** Exactly-once streaming export — the continuous version of the batch
   * shard sinks (q137/q141/q148): drain an event feed into a

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types._
 
 /** Continuous materialized-aggregate maintenance — the streaming
   * counterpart of [[graft.Engine.createMaterializedAggregate]] /
