@@ -280,10 +280,11 @@ class Engine private[graft] (val spark: SparkSession) {
     *    production cadence reads O(delta), the corpus is never scanned;
     *  - a row-rewriting step (DELETE/MERGE/ALTER leave lineage unset)
     *    is reconstructed from the two adjacent snapshots. With no
-    *    `idColumn` that is a multiset diff (`exceptAll` both ways,
+    *    `idColumns` that is a multiset diff (`exceptAll` both ways,
     *    full-row hash) emitting 'insert'/'delete' pairs; with
-    *    `idColumn` declared it is ONE equi-join on the identity key
-    *    emitting 'insert' / 'delete' /
+    *    `idColumns` declared (single or composite key — e.g. lineitem's
+    *    (l_orderkey, l_linenumber)) it is ONE equi-join on the identity
+    *    key emitting 'insert' / 'delete' /
     *    'update_preimage' / 'update_postimage' (the Delta CDF tags) —
     *    only rows whose content actually changed are emitted, so an
     *    UPDATE-shaped MERGE yields O(delta) change rows off a single
@@ -296,7 +297,7 @@ class Engine private[graft] (val spark: SparkSession) {
     * rewrite (old column deleted, new column inserted) — the honest
     * answer when no column lineage is recorded. */
   def tableChanges(name: String, fromVersion: Long,
-      toVersion: Long = -1L, idColumn: Option[String] = None): DataFrame = {
+      toVersion: Long = -1L, idColumns: Seq[String] = Nil): DataFrame = {
     val cur = currentVersion(name)
     val toV = if (toVersion < 0) cur else toVersion
     if (fromVersion < 0 || fromVersion > toV || toV > cur)
@@ -323,24 +324,28 @@ class Engine private[graft] (val spark: SparkSession) {
             }: _*)
           val p = align(prev.df)
           val n = align(next.df)
-          idColumn match {
-            case Some(id) =>
-              if (!merged.exists(_.name == id))
-                throw new IllegalArgumentException(
-                  s"Catalog Error: identity column $id not in table " +
-                    s"$name's schema at versions $v/${v + 1}")
-              // one full-outer equi-join on the identity key classifies
-              // every row in a single key-shuffle; unchanged rows are
-              // dropped, so the emitted feed is O(changed rows)
+          idColumns match {
+            case ids if ids.nonEmpty =>
+              ids.filterNot(id => merged.exists(_.name == id)) match {
+                case Nil => ()
+                case bad => throw new IllegalArgumentException(
+                  s"Catalog Error: identity column(s) ${bad.mkString(", ")}" +
+                    s" not in table $name's schema at versions $v/${v + 1}")
+              }
+              // one full-outer equi-join on the (possibly composite)
+              // identity key classifies every row in a single
+              // key-shuffle; unchanged rows are dropped, so the emitted
+              // feed is O(changed rows)
               val pm = p.withColumn("_p_present", lit(true)).alias("p")
               val nm = n.withColumn("_n_present", lit(true)).alias("n")
               val joined = nm.join(pm,
-                col(s"n.$id") <=> col(s"p.$id"), "full_outer")
+                ids.map(id => col(s"n.$id") <=> col(s"p.$id"))
+                  .reduce(_ && _), "full_outer")
               def side(pre: String, tag: String) = struct(
                 merged.map(f =>
                   col(s"$pre.${f.name}").as(f.name)) :+
                   lit(tag).as("_change_type"): _*)
-              val differs = merged.filterNot(_.name == id)
+              val differs = merged.filterNot(f => ids.contains(f.name))
                 .map(f => !(col(s"n.${f.name}") <=> col(s"p.${f.name}")))
                 .reduceOption(_ || _).getOrElse(lit(false))
               val both = col("_n_present").isNotNull &&
@@ -354,7 +359,7 @@ class Engine private[graft] (val spark: SparkSession) {
                 .select(explode(filter(changes,
                   c => c.isNotNull)).as("_c"))
                 .select("_c.*")
-            case None =>
+            case _ =>
               val ins = n.exceptAll(p)
                 .withColumn("_change_type", lit("insert"))
               val del = p.exceptAll(n)
@@ -371,8 +376,9 @@ class Engine private[graft] (val spark: SparkSession) {
     } else steps.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** `SELECT … FROM table_changes('t', start[, end[, idColumn]])` — the
-    * lakehouse CDC spelling (Delta's TVF of the same name). The SQL form
+  /** `SELECT … FROM table_changes('t', start[, end[, idColumns]])` — the
+    * lakehouse CDC spelling (Delta's TVF of the same name); `idColumns`
+    * is a comma-separated identity key, composite allowed. The SQL form
     * follows Delta's INCLUSIVE-start convention: `start` is the first
     * commit whose changes appear, so it maps to
     * `tableChanges(t, start - 1, end)` over the exclusive-base API.
@@ -405,15 +411,18 @@ class Engine private[graft] (val spark: SparkSession) {
         val args = tvf.functionArgs
         if (args.size < 2 || args.size > 4)
           throw new IllegalArgumentException("Parser Error: " +
-            "table_changes(table, startVersion[, endVersion[, idColumn]])")
+            "table_changes(table, startVersion[, endVersion[, idColumns]])")
         val name = argStr(args(0), "table name")
         if (!registry.contains(name))
           throw new IllegalArgumentException(
             s"Catalog Error: table $name does not exist")
         val start = argLong(args(1), "startVersion")
         val end = if (args.size >= 3) argLong(args(2), "endVersion") else -1L
-        val idCol = if (args.size == 4) Some(argStr(args(3), "idColumn"))
-          else None
+        val idCol =
+          if (args.size == 4)
+            argStr(args(3), "idColumns").split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          else Nil
         touched = true
         castToImpl(tableChanges(name, start - 1, end, idCol))
           .queryExecution.analyzed

@@ -62,7 +62,7 @@ object CdcProbe {
     val (n2, t2) = time(noop(e.tableChanges("cdc_orders", v2 - 1, v2)))
     println(f"[cdcprobe] fullrow_diff     $t2%7.2f s  ($n2 change rows)")
     val (n3, t3) = time(noop(
-      e.tableChanges("cdc_orders", v2 - 1, v2, Some("o_orderkey"))))
+      e.tableChanges("cdc_orders", v2 - 1, v2, Seq("o_orderkey"))))
     println(f"[cdcprobe] idcolumn_diff    $t3%7.2f s  ($n3 change rows)")
     e.dropTable("cdc_orders")
     spark.stop()

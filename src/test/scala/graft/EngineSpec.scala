@@ -914,7 +914,7 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
-  test("tableChanges with idColumn: UPDATE-shaped MERGE emits O(delta) " +
+  test("tableChanges with idColumns: UPDATE-shaped MERGE emits O(delta) " +
       "pre/postimage rows off one key join") {
     val t = s"cdc_id_${System.nanoTime()}"
     engine.createTable(t, "id INT, name STRING")
@@ -925,7 +925,7 @@ class EngineSpec extends SparkSpec {
       spark.createDataFrame(
         Seq(Row(2, "B"), Row(4, "d")).asJava, spark.table(t).schema),
       Seq("id"))
-    val feed = engine.tableChanges(t, 1, 2, idColumn = Some("id"))
+    val feed = engine.tableChanges(t, 1, 2, idColumns = Seq("id"))
     val got = feed.collect()
       .map(r => (r.getAs[Int]("id"), r.getAs[String]("name"),
         r.getAs[String]("_change_type"))).toSet
@@ -937,7 +937,7 @@ class EngineSpec extends SparkSpec {
     // its one join shuffles on the identity key alone
     assert(!feed.queryExecution.optimizedPlan.toString.contains("Except"))
     intercept[IllegalArgumentException](
-      engine.tableChanges(t, 1, 2, idColumn = Some("nope")))
+      engine.tableChanges(t, 1, 2, idColumns = Seq("id", "nope")))
     engine.dropTable(t)
   }
 
@@ -961,6 +961,31 @@ class EngineSpec extends SparkSpec {
     assert(spark.table(t).rdd.getNumPartitions == 2)
     // retained history still addresses the pre-compaction snapshot
     assert(engine.tableAt(t, 1).count() == 8)
+    engine.dropTable(t)
+  }
+
+  test("tableChanges with a COMPOSITE identity key (lineitem-class " +
+      "tables) classifies on the full key") {
+    import scala.jdk.CollectionConverters._
+    val t = s"cdc_comp_${System.nanoTime()}"
+    engine.createTable(t, "k1 INT, k2 INT, v STRING")
+    engine.insertValues(t, Seq(Row(1, 1, "a"), Row(1, 2, "b"), Row(2, 1, "c")))
+    // update (1,2) only — rows sharing k1 must NOT collide
+    engine.mergeInto(t,
+      spark.createDataFrame(Seq(Row(1, 2, "B")).asJava, spark.table(t).schema),
+      Seq("k1", "k2"))
+    val v = engine.currentVersion(t)
+    val got = engine.tableChanges(t, v - 1, v,
+      idColumns = Seq("k1", "k2")).collect()
+      .map(r => (r.getAs[Int]("k1"), r.getAs[Int]("k2"),
+        r.getAs[String]("v"), r.getAs[String]("_change_type"))).toSet
+    assert(got == Set((1, 2, "b", "update_preimage"),
+      (1, 2, "B", "update_postimage")))
+    // single-column identity on a composite-key table would misclassify:
+    // the guard is the caller declaring the right key, not magic — but a
+    // missing column still raises
+    intercept[IllegalArgumentException](
+      engine.tableChanges(t, v - 1, v, idColumns = Seq("k1", "nope")))
     engine.dropTable(t)
   }
 
