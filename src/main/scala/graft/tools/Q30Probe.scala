@@ -63,6 +63,26 @@ object Q30Probe {
       .groupBy("event_type", "h")
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v")),
       "v2_raw_no_normalize")
+
+    // q57 (events sessions) decomposition: scan → user-shuffle+sort →
+    // lag window → rollup, so its ratio label carries a stage account
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    def evU = ev.select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+      col("ts"))
+    med(evU.drop("ts"), "q57_p1_scan2cols")
+    med(evU.repartition(col("user_id")).sortWithinPartitions("user_id", "ts")
+      .drop("ts"), "q57_p2_shuffle_sort")
+    med(evU.withColumn("brk",
+        when(col("es") - org.apache.spark.sql.functions.lag("es", 1)
+          .over(w) > 1800, 1).otherwise(0)).drop("ts"),
+      "q57_p3_lag_window")
+    med(evU.withColumn("brk",
+        when(col("es") - org.apache.spark.sql.functions.lag("es", 1)
+          .over(w) > 1800, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg((sum("brk") + 1).cast("long").as("n_sessions")),
+      "q57_p4_full")
     spark.stop()
   }
 }
