@@ -964,6 +964,44 @@ class EngineSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("CDC replay law: folding the feed over ANY base snapshot " +
+      "reconstructs the target snapshot exactly") {
+    import scala.jdk.CollectionConverters._
+    val t = s"cdc_law_${System.nanoTime()}"
+    engine.createTable(t, "id INT, name STRING")
+    def schema = spark.table(t).schema
+    // a deterministic mixed DML history: appends, a delete, an
+    // update-shaped merge, another append
+    engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b"), Row(3, "c"))) // v1
+    engine.deleteFrom(t, col("id") === 2)                              // v2
+    engine.mergeInto(t, spark.createDataFrame(
+      Seq(Row(3, "C"), Row(4, "d")).asJava, schema), Seq("id"))        // v3
+    engine.insertValues(t, Seq(Row(5, "e"), Row(5, "e")))              // v4
+    val cur = engine.currentVersion(t)
+    def multiset(rows: Seq[String]): Map[String, Int] =
+      rows.groupBy(identity).view.mapValues(_.size).toMap
+    def snap(v: Long): Map[String, Int] = multiset(
+      engine.tableAtVersion(t, v).collect()
+        .map(r => s"${r.get(0)}|${r.get(1)}").toSeq)
+    for (from <- 0L to cur; to <- from to cur) {
+      val feed = engine.tableChanges(t, from, to).collect()
+      var state = snap(from)
+      feed.sortBy(_.getAs[Long]("_commit_version")).foreach { r =>
+        val key = s"${r.get(0)}|${r.get(1)}"
+        r.getAs[String]("_change_type") match {
+          case "insert" => state = state.updated(key,
+            state.getOrElse(key, 0) + 1)
+          case "delete" =>
+            val n = state.getOrElse(key, 0) - 1
+            state = if (n <= 0) state - key else state.updated(key, n)
+        }
+      }
+      assert(state == snap(to),
+        s"replay [$from -> $to] diverged: got $state, want ${snap(to)}")
+    }
+    engine.dropTable(t)
+  }
+
   test("tableChanges with a COMPOSITE identity key (lineitem-class " +
       "tables) classifies on the full key") {
     import scala.jdk.CollectionConverters._
