@@ -335,9 +335,20 @@ class Engine private[graft] (val spark: SparkSession) {
               // one full-outer equi-join on the (possibly composite)
               // identity key classifies every row in a single
               // key-shuffle; unchanged rows are dropped, so the emitted
-              // feed is O(changed rows)
-              val pm = p.withColumn("_p_present", lit(true)).alias("p")
-              val nm = n.withColumn("_n_present", lit(true)).alias("n")
+              // feed is O(changed rows).
+              // PRECONDITION: the identity key is unique per snapshot —
+              // duplicates would make the join fan out and the feed
+              // would be corrupt. Guarded lazily: a per-key count rides
+              // the same key partitioning the join needs and
+              // raise_error()s at execution instead of emitting a wrong
+              // feed (callers with genuinely duplicate keys omit
+              // idColumns for multiset exceptAll semantics).
+              val keyW = org.apache.spark.sql.expressions.Window
+                .partitionBy(ids.map(col): _*)
+              val pm = p.withColumn("_kdup", count(lit(1)).over(keyW) > 1)
+                .withColumn("_p_present", lit(true)).alias("p")
+              val nm = n.withColumn("_kdup", count(lit(1)).over(keyW) > 1)
+                .withColumn("_n_present", lit(true)).alias("n")
               val joined = nm.join(pm,
                 ids.map(id => col(s"n.$id") <=> col(s"p.$id"))
                   .reduce(_ && _), "full_outer")
@@ -355,9 +366,20 @@ class Engine private[graft] (val spark: SparkSession) {
                 when(col("_n_present").isNull, side("p", "delete")),
                 when(both && differs, side("p", "update_preimage")),
                 when(both && differs, side("n", "update_postimage")))
+              val dup = coalesce(col("p._kdup"), lit(false)) ||
+                coalesce(col("n._kdup"), lit(false))
+              val dupMsg = "Constraint Error: identity key (" +
+                ids.mkString(", ") + s") is not unique in table $name " +
+                s"at versions $v/${v + 1}; the table_changes " +
+                "identity-key path requires a unique key — omit " +
+                "idColumns for multiset semantics"
+              // the guard lives in the element filter so EVERY joined
+              // row of a duplicated key trips it — including fan-out
+              // pairs that would otherwise be dropped as "unchanged"
               joined
-                .select(explode(filter(changes,
-                  c => c.isNotNull)).as("_c"))
+                .select(explode(filter(changes, c =>
+                  when(dup, raise_error(lit(dupMsg)).isNull)
+                    .otherwise(c.isNotNull))).as("_c"))
                 .select("_c.*")
             case _ =>
               val ins = n.exceptAll(p)
@@ -424,8 +446,20 @@ class Engine private[graft] (val spark: SparkSession) {
               .filter(_.nonEmpty).toSeq
           else Nil
         touched = true
-        castToImpl(tableChanges(name, start - 1, end, idCol))
-          .queryExecution.analyzed
+        // Delta's INCLUSIVE start=0 reaches the creation commit: emit
+        // the version-0 snapshot as 'insert' rows at _commit_version 0
+        // (the exclusive-base API has no base older than version 0).
+        // entryAtVersion raises a targeted error if version 0 has
+        // fallen out of the retention window.
+        val feed =
+          if (start == 0L) {
+            val creation = entryAtVersion(name, 0L).df
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(0L))
+            creation.unionByName(tableChanges(name, 0L, end, idCol),
+              allowMissingColumns = true)
+          } else tableChanges(name, start - 1, end, idCol)
+        castToImpl(feed).queryExecution.analyzed
     }
     if (touched)
       org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten)
@@ -592,19 +626,7 @@ class Engine private[graft] (val spark: SparkSession) {
         history.add((q, durNs / 1000L))
         df
       case None =>
-        // DuckDB literal spellings Spark's parser rejects: hex-escape BLOB
-        // casts, ::UUID, >38-digit integer literals; multi-unit INTERVAL
-        // literals only when the engine actually owns interval columns
-        var q2 = DuckSyntax.rewriteCasts(q)
-        if (typeOrigins.values.exists(_ == "INTERVAL"))
-          q2 = DuckSyntax.rewriteIntervals(q2)
-        if (q2.toUpperCase.contains("ASOF"))
-          q2 = DuckSyntax.rewriteAsofJoin(q2)
-        val df0 =
-          if (q2.toUpperCase.contains(" AS OF ")) timeTravelSql(q2)
-          else if (q2.toUpperCase.contains("TABLE_CHANGES"))
-            tableChangesSql(q2)
-          else spark.sql(q2)
+        val df0 = parseStatement(q)
         // engine plan rewrites run on the ANALYZED plan — after the main
         // optimizer they would miss filters it already collapsed into
         // literal relations: (1) covered aggregates re-target fresh
@@ -623,6 +645,24 @@ class Engine private[graft] (val spark: SparkSession) {
         pending.put(qe.analyzed.semanticHash().toLong, (q, qe))
         df
     }
+  }
+
+  /** Parse a non-routed statement to a (lazy) DataFrame, applying the
+    * engine's literal-spelling rewrites and relation substitutions
+    * (time travel, `table_changes`) — shared by [[sql]] and [[explain]]
+    * so classification sees exactly the surface execution sees.
+    * DuckDB literal spellings Spark's parser rejects: hex-escape BLOB
+    * casts, ::UUID, >38-digit integer literals; multi-unit INTERVAL
+    * literals only when the engine actually owns interval columns. */
+  private def parseStatement(q: String): DataFrame = {
+    var q2 = DuckSyntax.rewriteCasts(q)
+    if (typeOrigins.values.exists(_ == "INTERVAL"))
+      q2 = DuckSyntax.rewriteIntervals(q2)
+    if (q2.toUpperCase.contains("ASOF"))
+      q2 = DuckSyntax.rewriteAsofJoin(q2)
+    if (q2.toUpperCase.contains(" AS OF ")) timeTravelSql(q2)
+    else if (q2.toUpperCase.contains("TABLE_CHANGES")) tableChangesSql(q2)
+    else spark.sql(q2)
   }
 
   /** ≈ duckherder_get_query_execution_stats() — identical 7-col schema. */
@@ -672,7 +712,7 @@ class Engine private[graft] (val spark: SparkSession) {
         .toDF("sql", "execution_mode", "merge_strategy",
           "num_tasks", "plan")
     }
-    val qe = castToImpl(spark.sql(q)).queryExecution
+    val qe = castToImpl(parseStatement(q)).queryExecution
     val rows = scanRows(qe)
     val workers = workerCount
     val mode = PlanClassifier.executionMode(qe, rows, workers)
@@ -704,19 +744,72 @@ class Engine private[graft] (val spark: SparkSession) {
     val path = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
       s"${ProcessHandle.current.pid}_${name}_v${currentVersion(name)}"
     e.df.repartition(target).write.mode("overwrite").parquet(path)
-    // in-session artifacts: meaningful only while this JVM's snapshot
-    // chain lives — best-effort delete at exit so tmpdir doesn't leak
-    // one fact-table copy per compaction
-    sys.addShutdownHook {
-      try {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).getOrElse(Array.empty).foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(path))
-      } catch { case _: Throwable => () }
-    }
+    // in-session artifacts: one STATIC exit hook over a growing path set
+    // (not one hook per compaction), plus eager reclaim below so a
+    // long-lived session doesn't hold one fact-table copy per compaction
+    Engine.trackTmpArtifact(path)
     put(name, spark.read.parquet(path), e.rowsIfKnown)
+    compactPaths.put(name,
+      compactPaths.getOrElse(name, Vector.empty) :+ path)
+    reclaimCompactArtifacts(name)
+  }
+
+  // per-table compaction artifact paths, newest last
+  private val compactPaths = TrieMap.empty[String, Vector[String]]
+
+  /** Every parquet root path any REACHABLE plan in this engine still
+    * reads: registry entries, retained time-travel versions, MV stamps,
+    * and the append-lineage chains hanging off all of those (their
+    * parents and delta plans — an MV refresh replays deltas, and a
+    * delta built by `INSERT … SELECT` over a managed table can scan a
+    * compaction artifact). The reclaim pass deletes an old artifact
+    * only when it appears in none of these. */
+  private def referencedRootPaths(): Set[String] = {
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    val seen = new java.util.IdentityHashMap[TableEntry, Unit]()
+    val dfs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def addEntry(en: TableEntry): Unit =
+      if (!seen.containsKey(en)) {
+        seen.put(en, ())
+        dfs += en.df
+        en.appendOf.foreach { case (parent, delta) =>
+          dfs += delta; addEntry(parent)
+        }
+      }
+    registry.values.foreach(addEntry)
+    versions.values.foreach(_.foreach(addEntry))
+    matViews.values.foreach { case (_, stamp) => addEntry(stamp) }
+    dfs.iterator.flatMap { df =>
+      castToImpl(df).queryExecution.analyzed.collectWithSubqueries {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).toSeq
+          case _ => Nil
+        }
+      }.flatten
+    }.toSet
+  }
+
+  /** Delete compaction artifacts no retained snapshot (or MV lineage)
+    * reads anymore. `keepLast=false` (table dropped → history gone)
+    * makes even the newest artifact a candidate; reachability is still
+    * plan-checked, so an artifact another table's plan somehow reads
+    * survives. */
+  private def reclaimCompactArtifacts(name: String,
+      keepLast: Boolean = true): Unit = {
+    val paths = compactPaths.getOrElse(name, Vector.empty)
+    val candidates = if (keepLast) paths.dropRight(1) else paths
+    if (candidates.isEmpty) return
+    // exact normalized comparison: `_v1` is a substring of `_v13`, so
+    // anything looser than path equality would pin old artifacts forever
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val live = referencedRootPaths().map(norm)
+    val (kept, dead) = candidates.partition(p => live.contains(norm(p)))
+    dead.foreach(Engine.untrackAndDeleteTmpArtifact)
+    val rest = if (keepLast) kept ++ paths.takeRight(1) else kept
+    if (rest.isEmpty) compactPaths.remove(name)
+    else compactPaths.put(name, rest)
   }
 
   // ---- dynamic worker registration ------------------------------------
@@ -803,6 +896,9 @@ class Engine private[graft] (val spark: SparkSession) {
     typeOrigins.filterInPlace { case ((t, _), _) => t != name }
     matViews.remove(name)
     unregisterTable(name)
+    // drop restarts history: no retained snapshot can reach this
+    // table's compaction artifacts anymore — reclaim them all
+    reclaimCompactArtifacts(name, keepLast = false)
   }
 
   // ALTER TABLE matrix (ref: catalog_utils.cpp:23-84 regenerates these as
@@ -1565,6 +1661,33 @@ object Engine {
     * versions are lazy plan objects, so the cap bounds plan-graph growth,
     * not data. */
   val MaxVersions = 10
+
+  // ---- tmpdir artifact lifecycle ------------------------------------
+  // ONE JVM-wide shutdown hook over a growing set of paths (compaction
+  // copies, etc.); engines also reclaim eagerly once nothing reads a
+  // path, removing it from the set so the exit sweep stays small.
+  private val tmpArtifacts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rmTree)
+    f.delete(); ()
+  }
+  private lazy val exitSweepInstalled: Boolean = {
+    sys.addShutdownHook {
+      tmpArtifacts.forEach { p =>
+        try rmTree(new java.io.File(p)) catch { case _: Throwable => () }
+      }
+    }
+    true
+  }
+  private[graft] def trackTmpArtifact(path: String): Unit = {
+    exitSweepInstalled
+    tmpArtifacts.add(path); ()
+  }
+  private[graft] def untrackAndDeleteTmpArtifact(path: String): Unit = {
+    tmpArtifacts.remove(path)
+    try rmTree(new java.io.File(path)) catch { case _: Throwable => () }
+  }
 
   /** Latest Engine per SparkSession — lets the session-level
     * [[graft.plans.EnumOrderRewrite]] extension rule find the catalogs of

@@ -125,7 +125,7 @@ private[graft] object SqlRouter {
       CreateType, DropType, AlterAdd, AlterDrop, AlterRenameCol,
       AlterRenameTable, CreateIndex, DropIndex, InsertColsSql, InsertSql,
       DeleteSql, DeleteAllSql, MergeHead, CreateMatViewSql,
-      RefreshMatViewSql, DropMatViewSql)
+      RefreshMatViewSql, DropMatViewSql, OptimizeSql)
     patterns.exists(_.pattern.matcher(q).matches())
   }
 

@@ -1054,7 +1054,76 @@ class EngineSpec extends SparkSpec {
       engine.sql("SELECT * FROM table_changes('no_such_table', 1)"))
     intercept[IllegalArgumentException](
       engine.sql(s"SELECT * FROM table_changes('$t')"))
+    // Delta's inclusive start=0 reaches the CREATION commit: a
+    // CTAS-style table's initial rows surface as _commit_version 0
+    // inserts (the round-9 gap: start=0 used to throw)
+    val t0 = s"cdc_sql0_${System.nanoTime()}"
+    import spark.implicits._
+    engine.createTableAs(t0, Seq((10, "x"), (11, "y")).toDF("id", "name"))
+    engine.insertValues(t0, Seq(Row(12, "z"))) // v1
+    val fromZero = engine.sql(s"SELECT * FROM table_changes('$t0', 0)")
+      .collect().map(r => (r.getAs[Int]("id"),
+        r.getAs[String]("_change_type"), r.getAs[Long]("_commit_version")))
+      .toSet
+    assert(fromZero == Set((10, "insert", 0L), (11, "insert", 0L),
+      (12, "insert", 1L)))
+    // explain sees the TVF through the same rewrite sql() uses
+    val expRow = engine.explain(
+      s"SELECT count(*) AS n FROM table_changes('$t0', 0)").head()
+    assert(expRow.getAs[String]("merge_strategy") != null)
+    engine.dropTable(t0)
     engine.dropTable(t)
+  }
+
+  test("tableChanges idColumns guard: a duplicate identity key raises " +
+      "at execution instead of emitting a corrupt fanned-out feed") {
+    val t = s"cdc_dup_${System.nanoTime()}"
+    engine.createTable(t, "id INT, v STRING")
+    engine.insertValues(t, Seq(Row(1, "a"), Row(1, "b"), Row(2, "c"))) // v1
+    engine.deleteFrom(t, col("v") === "a")                             // v2
+    val ex = intercept[Exception](
+      engine.tableChanges(t, 1, 2, idColumns = Seq("id")).collect())
+    assert(Option(ex.getMessage).exists(_.contains("not unique")),
+      s"wrong failure: $ex")
+    // the default multiset path handles duplicate keys correctly
+    val feed = engine.tableChanges(t, 1, 2).collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("v"),
+        r.getAs[String]("_change_type"))).toSet
+    assert(feed == Set((1, "a", "delete")))
+    engine.dropTable(t)
+  }
+
+  test("compact artifact lifecycle: ONE static exit hook; prior " +
+      "artifacts reclaimed once no retained snapshot reads them") {
+    val t = s"cmp_rec_${System.nanoTime()}"
+    engine.createTable(t, "id INT")
+    engine.insertValues(t, Seq(Row(0)))
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    def artifacts = Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(
+        s"graft_compact_${ProcessHandle.current.pid}_${t}_"))
+    engine.compact(t, 1)
+    assert(artifacts.length == 1)
+    val first = artifacts.head
+    // every retained snapshot still layers over the first artifact's
+    // scan → a second compaction must NOT delete it yet
+    (1 to Engine.MaxVersions + 1).foreach(i =>
+      engine.insertValues(t, Seq(Row(i))))
+    engine.compact(t, 1)
+    assert(artifacts.length == 2, "live artifact was reclaimed early")
+    assert(first.exists())
+    // push the first artifact's readers out of the retention window:
+    // now every retained plan roots at the second artifact
+    (1 to Engine.MaxVersions + 1).foreach(i =>
+      engine.insertValues(t, Seq(Row(100 + i))))
+    engine.compact(t, 1)
+    assert(!first.exists(),
+      "unreferenced compaction artifact was not reclaimed")
+    assert(spark.table(t).count() == 1 + 2 * (Engine.MaxVersions + 1))
+    // DROP restarts history → everything reclaimable
+    engine.dropTable(t)
+    assert(artifacts.isEmpty,
+      "dropTable left compaction artifacts on disk")
   }
 
   test("ASOF JOIN SQL spelling (DuckDB syntax) matches the composed as-of") {

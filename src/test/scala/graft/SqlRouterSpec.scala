@@ -433,6 +433,15 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"CREATE TABLE $t (id INT, name STRING)")
     (1 to 5).foreach(i =>
       engine.sql(s"INSERT INTO $t VALUES ($i, 'r$i')"))
+    // explain classifies OPTIMIZE as routed DDL without executing it:
+    // wouldRoute must match route's interception (the documented
+    // contract), so the append chain is still intact afterwards
+    val exp = engine.explain(s"OPTIMIZE $t INTO 2 FILES").head()
+    assert(exp.getAs[String]("execution_mode") == "LOCAL")
+    assert(exp.getAs[String]("plan") == "routed DDL/DML")
+    assert(spark.table(t).queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.nonEmpty, "explain('OPTIMIZE …') must not compact")
     engine.sql(s"OPTIMIZE $t INTO 2 FILES")
     assert(spark.table(t).queryExecution.analyzed.collect {
       case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
