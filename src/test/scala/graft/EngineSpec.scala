@@ -971,13 +971,18 @@ class EngineSpec extends SparkSpec {
     engine.createTable(t, "id INT, name STRING")
     def schema = spark.table(t).schema
     // a deterministic mixed DML history: appends, a delete, an
-    // update-shaped merge, another append
+    // update-shaped merge, a COMPACTION (OPTIMIZE — rewrites every file
+    // but changes no row: its feed step must be empty), another append
     engine.insertValues(t, Seq(Row(1, "a"), Row(2, "b"), Row(3, "c"))) // v1
     engine.deleteFrom(t, col("id") === 2)                              // v2
     engine.mergeInto(t, spark.createDataFrame(
       Seq(Row(3, "C"), Row(4, "d")).asJava, schema), Seq("id"))        // v3
-    engine.insertValues(t, Seq(Row(5, "e"), Row(5, "e")))              // v4
+    engine.compact(t, 2)                                               // v4
+    engine.insertValues(t, Seq(Row(5, "e"), Row(5, "e")))              // v5
     val cur = engine.currentVersion(t)
+    val compactV = cur - 1
+    assert(engine.tableChanges(t, compactV - 1, compactV).count() == 0,
+      "a compaction commit must contribute ZERO change rows")
     def multiset(rows: Seq[String]): Map[String, Int] =
       rows.groupBy(identity).view.mapValues(_.size).toMap
     def snap(v: Long): Map[String, Int] = multiset(
