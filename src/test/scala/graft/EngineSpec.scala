@@ -522,7 +522,9 @@ class EngineSpec extends SparkSpec {
   }
 
   test("workerCount reflects local parallelism") {
-    assert(engine.workerCount == 4)
+    // holds under local[4] AND local-cluster[2,16,*] (the scale-truth
+    // smoke): the pool is whatever parallelism the master provides
+    assert(engine.workerCount == spark.sparkContext.defaultParallelism)
   }
 
   test("DELETE keeps rows where the predicate evaluates to NULL") {
@@ -577,6 +579,12 @@ class EngineSpec extends SparkSpec {
 
   test("execution modes at reference thresholds (BASELINE.md tiers)") {
     import spark.implicits._
+    // BASELINE.md publishes these tiers for a 4-worker pool; under the
+    // local-cluster smoke (32 cores) the same row counts land in
+    // different tiers by design (rowGroups < workers → NATURAL), so the
+    // fixture-exact assertions only apply at the published pool size
+    assume(spark.sparkContext.defaultParallelism == 4,
+      "BASELINE tier assertions are pinned to the 4-worker fixture")
     engine.clearStats()
     // 200,000 rows: 2 row groups < 4 workers → NATURAL_PARTITION
     // (range_partitioning.test:63-69); 500,000: ~5 row groups → ROW_GROUP
