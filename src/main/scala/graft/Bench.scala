@@ -55,12 +55,17 @@ object Bench {
     // JVM + codegen warmup on the smallest sf, so measured numbers are the
     // steady-state throughput a long-lived cluster session would see.
     // production formulation per query: the override map swaps in the
-    // sketch-only q94 (audit excluded — it's per-snapshot, not per-query)
-    def benchFn(name: String) =
-      SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
+    // sketch-only q94 (audit excluded — it's per-snapshot, not per-query);
+    // each query runs under its execution profile (NamedQuery.conf)
+    def runQuery(name: String, dir: String): Unit =
+      graft.operators.NamedQuery.withConf(spark,
+        SparkEntry.queryConf.getOrElse(name, Map.empty)) {
+        SparkEntry.benchOverrides.getOrElse(name, SparkEntry.queries(name))
+          .apply(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+      }
     benchSet.foreach { name =>
-      try benchFn(name)(spark, "/root/testdata/sf0.001")
-        .write.mode("overwrite").format("noop").save()
+      try runQuery(name, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
     // median-of-5: single-shot timings on a shared host are ±3x noisy
@@ -107,8 +112,7 @@ object Bench {
           stageMin.updateWith(stage)(p => Some(p.fold(dt)(math.min(_, dt))))
         }
         val t0 = System.nanoTime()
-        try benchFn(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
+        try runQuery(name, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }

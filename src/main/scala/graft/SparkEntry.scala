@@ -34,7 +34,12 @@ object SparkEntry {
     * engine-defined hashes (minhash/simhash/LSH/rolling fingerprints) —
     * those get the driver's rows-only check. */
   def oracleSql: Map[String, String] =
-    all.collect { case NamedQuery(n, Some(sql), _) => n -> sql }.toMap
+    all.collect { case NamedQuery(n, Some(sql), _, _) => n -> sql }.toMap
+
+  /** Per-query execution profiles (session confs the runners apply
+    * around the query and restore): see [[operators.NamedQuery.conf]]. */
+  def queryConf: Map[String, Map[String, String]] =
+    all.filter(_.conf.nonEmpty).map(q => q.name -> q.conf).toMap
 
   /** Corpus-level stages shared across bench queries: Bench materializes
     * each once per session (timed as its own JSON entry) and re-warms it

@@ -25,8 +25,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => wanted.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try graft.operators.NamedQuery.withConf(spark,
+        SparkEntry.queryConf.getOrElse(name, Map.empty)) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -239,7 +239,12 @@ object AdvancedOps {
 
   /** Sessionization: 30-minute inactivity gap splits a user's event
     * stream. One shuffle (by user), lag within partition — the streaming
-    * analog is EventsStream's session window. */
+    * analog is EventsStream's session window. An alternative hash-agg
+    * formulation (collect per-user timestamp arrays, sort and diff
+    * in-expression — FloorProbe) beat this by ~25% on a quiet host but
+    * swung 1.1→6 s under heap pressure (10M boxed longs per pass);
+    * the window's streaming sort is the formulation whose cost is
+    * stable and whose per-user state is zero — kept. */
   private val sessions: NamedQuery = NamedQuery("q57_events_sessions",
     Some("""WITH g AS (
            |  SELECT user_id,
@@ -251,7 +256,6 @@ object AdvancedOps {
            |SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions
            |FROM g GROUP BY user_id""".stripMargin),
     (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts")
       t(s, d, "events")
         .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
         .withColumn("brk",

@@ -112,6 +112,15 @@ object BucketedOps {
     factPair(s, d); ()
   }
 
+  /** Execution profile for the zero-exchange bucketed plans: AQE only
+    * re-plans EXCHANGES at stage boundaries; these plans have none on
+    * the fact path (PlanQualitySpec zero-exchange law), so AQE
+    * contributes only its per-stage materialization barriers — measured
+    * 0.2-0.25 s/query at sf10 (StageAccount r10: q155 1.06->0.83 s,
+    * q156 1.52->1.29 s). The same holds at cluster scale: the LAYOUT,
+    * not the runtime re-planner, is what co-locates these joins. */
+  private val NoAqe = NamedQuery.NoAqe
+
   /** q12 on the bucketed layout. The per-order pre-aggregation groups
     * on the bucket key, so even the PARTIAL aggregate consumes the
     * scan's partitioning — the only shuffle left in the whole plan is
@@ -132,12 +141,12 @@ object BucketedOps {
         .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("rev"))
       perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(NamedQuery.maybeBroadcast(c),
+        .join(NamedQuery.maybeBroadcastByFootprint(c, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(round(sum(col("rev")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
-    })
+    }, conf = NoAqe)
 
   /** q68 (TPC-H Q3 shape) on the bucketed layout: the customer join
     * broadcasts and PRESERVES orders' bucket partitioning, the fact
@@ -172,8 +181,8 @@ object BucketedOps {
       // per-bucket hash of the filtered orders (|orders ∩ filter| /
       // buckets rows, bounded by the layout's bucket sizing) and probes
       // the lineitem bucket through it. Q156Probe sf10: 1.28 → 1.06 s.
-      val oc = o.join(NamedQuery.maybeBroadcast(c,
-          t(s, d, "customer"), 100L << 20),
+      val oc = o.join(
+          NamedQuery.maybeBroadcastByFootprint(c, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
         .hint("shuffle_hash")
@@ -186,7 +195,7 @@ object BucketedOps {
         .select("l_orderkey", "revenue", "odate", "o_orderpriority")
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
-    })
+    }, conf = NoAqe)
 
   /** q69 (TPC-H Q5 shape) on the bucketed layout: the broadcast
     * supplier prune preserves lineitem's bucket partitioning into the
@@ -231,18 +240,17 @@ object BucketedOps {
         .hint("shuffle_hash")
       val li = s.table(tli)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-      val bcast = 100L << 20
-      li.join(NamedQuery.maybeBroadcast(suA, suBase, bcast),
+      li.join(NamedQuery.maybeBroadcastByFootprint(suA, d, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
         .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(NamedQuery.maybeBroadcast(cA, cBase, bcast),
+        .join(NamedQuery.maybeBroadcastByFootprint(cA, d, "customer"),
           col("o_custkey") === col("c_custkey")
           && col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
-    })
+    }, conf = NoAqe)
 
   def defs: Seq[NamedQuery] =
     Seq(joinAggBucketed, tpchQ3Bucketed, tpchQ5Bucketed)

@@ -52,14 +52,22 @@ object CurationOps {
     * so the oracle SQL stays the plain per-language cumulative sum.
     * Input must carry (doc_id, lang, tok). */
   private[graft] def packShards(docs: org.apache.spark.sql.DataFrame) = {
+    // ONE corpus shuffle: an explicit (lang, b) repartition that BOTH
+    // consumers sit on — the per-bucket cumulative window (needs
+    // hash(lang,b) + in-partition sort) and the per-bucket totals agg
+    // (needs hash(lang,b), no sort) — so Spark reuses the exchange
+    // instead of shuffling the corpus for the window AND re-scanning it
+    // for the offsets branch (the r9 formulation tokenized the corpus
+    // twice; the scan is the priciest stage at every tier).
     val b = docs.withColumn("b", floor(col("doc_id") / 8192L))
+      .repartition(col("lang"), col("b"))
     val wBuck = Window.partitionBy("lang").orderBy("b")
     val offsets = b.groupBy("lang", "b").agg(sum("tok").as("bt"))
       .withColumn("off", sum("bt").over(wBuck) - col("bt"))
       .drop("bt")
     val wIn = Window.partitionBy("lang", "b").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    b.join(offsets, Seq("lang", "b"))
+    b.join(broadcast(offsets), Seq("lang", "b"))
       .withColumn("cum", sum("tok").over(wIn) + col("off"))
       .groupBy(col("lang"),
         ((col("cum") - col("tok")) / 2000L).cast("long").as("shard"))
@@ -76,13 +84,14 @@ object CurationOps {
       docs: org.apache.spark.sql.DataFrame)
       : Seq[(String, org.apache.spark.sql.DataFrame)] = {
     val b = docs.withColumn("b", floor(col("doc_id") / 8192L))
+      .repartition(col("lang"), col("b"))
     val wBuck = Window.partitionBy("lang").orderBy("b")
     val offsets = b.groupBy("lang", "b").agg(sum("tok").as("bt"))
       .withColumn("off", sum("bt").over(wBuck) - col("bt"))
       .drop("bt")
     val wIn = Window.partitionBy("lang", "b").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = b.join(offsets, Seq("lang", "b"))
+    val cum = b.join(broadcast(offsets), Seq("lang", "b"))
       .withColumn("cum", sum("tok").over(wIn) + col("off"))
     Seq("s1_tokenize" -> docs, "s2_offsets" -> offsets, "s3_cum" -> cum)
   }
@@ -105,7 +114,7 @@ object CurationOps {
     (s, d) => packShards(
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("tok"))))
+          graft.functions.TokenCount.tokenCount(col("text")).as("tok"))))
 
   /** Vocabulary building: top-10 tokens per language by frequency (the
     * seed statistics a tokenizer trainer consumes). Explode → two-level
@@ -187,7 +196,7 @@ object CurationOps {
         ("zh", 100)).toDF("lang", "pct")
       val kept = t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("tok"))
+          graft.functions.TokenCount.tokenCount(col("text")).as("tok"))
         .join(drop, Seq("doc_id"), "left_anti")
         .filter(col("tok") >= 20)
         .join(broadcast(rates), Seq("lang"))
@@ -273,7 +282,7 @@ object CurationOps {
       val wAll = Window.partitionBy()
       t(s, d, "documents").groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          sum(graft.functions.TokenCount.tokenCount(col("text"))).as("n_tokens"))
         .withColumn("raw",
           sqrt(col("n_tokens") * 1.0 / sum("n_tokens").over(wAll)))
         .withColumn("wsum", sum("raw").over(wAll))

@@ -8,12 +8,44 @@ import graft.Tables.t
 
 /** A query exposed through SparkEntry: Spark implementation + (optionally)
   * the equivalent DuckDB SQL used as a correctness oracle. Column names are
-  * aligned on both sides (the driver's comparator sorts columns by name). */
+  * aligned on both sides (the driver's comparator sorts columns by name).
+  *
+  * `conf` is the query's execution profile: session confs the runners
+  * (Bench/Verify) set around the query and restore after — the analog of
+  * the reference's per-query mode classification (task_partitioner.cpp
+  * short-circuits small inputs to one task; here, e.g., a zero-exchange
+  * bucketed plan turns AQE off because AQE's only value is runtime
+  * exchange re-planning, so an exchange-free plan pays its per-stage
+  * materialization barriers for nothing — measured 0.2-0.25 s/query at
+  * sf10, StageAccount r10). */
 case class NamedQuery(name: String,
     oracle: Option[String],
-    fn: (SparkSession, String) => DataFrame)
+    fn: (SparkSession, String) => DataFrame,
+    conf: Map[String, String] = Map.empty)
 
 object NamedQuery {
+  /** Profile for plans with zero (or one tiny) exchange: AQE's value is
+    * runtime re-planning of exchanges, so such plans pay only its
+    * per-stage materialization barriers (~0.1-0.25 s each at sf10,
+    * StageAccount/FloorProbe r10). Everything with a data-bearing
+    * shuffle keeps AQE (skew-join splitting, runtime broadcast). */
+  val NoAqe: Map[String, String] =
+    Map("spark.sql.adaptive.enabled" -> "false")
+
+  /** Run `body` with the query's execution profile applied, restoring
+    * prior session values after (exception-safe). */
+  def withConf[T](s: SparkSession, conf: Map[String, String])(body: => T): T =
+    if (conf.isEmpty) body
+    else {
+      val prior = conf.keys.map(k => k -> s.conf.getOption(k)).toSeq
+      conf.foreach { case (k, v) => s.conf.set(k, v) }
+      try body
+      finally prior.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+
   /** Row-count estimate from Catalyst plan statistics (file footprint ÷
     * bytes per row) — lets operators size blocks/buckets to the corpus
     * without running a count job at query-construction time. */
@@ -40,6 +72,30 @@ object NamedQuery {
       maxBytes: Long): DataFrame = {
     val sz = org.apache.spark.sql.classic.ClassicConversions.castToImpl(upperBound)
       .queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sz <= maxBytes) broadcast(df) else df
+  }
+
+  private val footprints =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Footprint gate straight from FILESYSTEM metadata (memoized): the
+    * Catalyst-stats gates above run analyzer+optimizer over the bound
+    * plan at every query CONSTRUCTION — measured 0.15 s of driver time
+    * per q155 invocation at sf10 (AqeProbe r10), pure overhead for a
+    * dimension whose on-disk size bounds the derived side from above.
+    * Same scale-safety as the stats gate (file bytes >= in-plan bytes
+    * for a pruned/projected side), none of the per-call plan work. */
+  def maybeBroadcastByFootprint(df: DataFrame, dir: String, table: String,
+      maxBytes: Long = 100L << 20): DataFrame = {
+    val sz = footprints.getOrElseUpdate(s"$dir/$table", {
+      val root = new java.io.File(s"$dir/$table.parquet")
+      def size(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+            .map(size).sum
+        else f.length
+      size(root)
+    })
     if (sz <= maxBytes) broadcast(df) else df
   }
 }
@@ -96,7 +152,16 @@ object Relational {
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(min("l_discount"), 2).as("min_disc"),
-        round(max("l_tax"), 2).as("max_tax"))),
+        round(max("l_tax"), 2).as("max_tax")),
+      // scan + one 32-row exchange: tiny-exchange NoAqe profile
+      // (AqeProbe sf10 interleaved: 0.51 -> 0.29 s), and coarse splits —
+      // the 4-column double read decodes far fewer bytes than the file
+      // footprint the splitter sizes tasks by, so 32m over-fragments it
+      // (Sweep06: 128m 0.268 s vs 32m 0.378 s). The reference's task
+      // partitioner makes the same per-query granularity choice
+      // (task_partitioner.cpp: row-group vs range vs single-task).
+      conf = NamedQuery.NoAqe +
+        ("spark.sql.files.maxPartitionBytes" -> "128m")),
 
     // -- the driver-contract example ---------------------------------------
     NamedQuery("q1_agg",
@@ -132,7 +197,8 @@ object Relational {
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_extendedprice"), 4).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
-          count(lit(1)).as("count_order"))),
+          count(lit(1)).as("count_order")),
+      conf = NamedQuery.NoAqe),
 
     NamedQuery("q07_groupby_having",
       Some("""SELECT l_partkey, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
@@ -383,7 +449,8 @@ object Relational {
              |FROM events GROUP BY 1, 2""".stripMargin),
       (s, d) => t(s, d, "events")
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))),
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v")),
+      conf = NamedQuery.NoAqe),
 
     NamedQuery("q31_events_user_stats",
       Some("""SELECT user_id, count(*) AS n_events,

@@ -105,15 +105,19 @@ object SimilarityOps {
            |ORDER BY cos_sim DESC, neighbor LIMIT 10""".stripMargin),
     (s, d) => {
       val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"))
-      val cos = round(cosineSim(col("embedding"), col("q_emb")), 4)
+      // the query vector is an API ARGUMENT in any vector-search
+      // service; here it comes from the data, so fetch it with one
+      // pushed-filter point lookup and inline it as a literal — the
+      // main job is then ONE stage (scan → cosine → TakeOrdered), no
+      // broadcast build (FloorProbe sf10: 0.37 → 0.26 s with NoAqe)
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cos = round(cosineSim(col("embedding"), typedlit(qv)), 4)
       e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
         .select(col("vec_id").as("neighbor"), cos.as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("neighbor"))
         .limit(10)
-    })
+    }, conf = NamedQuery.NoAqe)
 
   /** Hyperplane count sized to the corpus: 2^p buckets ≈ N / occupancy,
     * so the in-bucket self-join does O(N · occupancy) comparisons —

@@ -160,7 +160,7 @@ object SourceOps {
         .groupBy("lang", "source").agg(
           count(lit(1)).as("n_docs"),
           sum("n_chars").as("sum_chars"),
-          sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+          sum(graft.functions.TokenCount.tokenCount(col("text"))).as("sum_tokens"))
     })
 
   /** Globally range-sorted export: `repartitionByRange` +

@@ -22,7 +22,7 @@ object TextOps {
            |  AS chars_per_token
            |FROM documents""".stripMargin),
     (s, d) => {
-      val n = size(split(col("text"), " "))
+      val n = graft.functions.TokenCount.tokenCount(col("text"))
       t(s, d, "documents").select(
         col("doc_id"),
         n.cast("bigint").as("n_tokens"),
@@ -375,7 +375,7 @@ object TextOps {
     (s, d) => {
       val rBrace = !col("text").contains("{")
       val rLorem = !lower(col("text")).contains("lorem ipsum")
-      val rMin = size(split(col("text"), " ")) >= 5
+      val rMin = graft.functions.TokenCount.tokenCount(col("text")) >= 5
       val rTerm = substring(trim(col("text")), -1, 1).isin(".", "!", "?", "\"")
       t(s, d, "documents").select(col("doc_id"),
         rBrace.as("r_brace"), rLorem.as("r_lorem"),
@@ -389,7 +389,7 @@ object TextOps {
   private[graft] def c4Report(docs: DataFrame): DataFrame = {
     val rBrace = !col("text").contains("{")
     val rLorem = !lower(col("text")).contains("lorem ipsum")
-    val rMin = size(split(col("text"), " ")) >= 5
+    val rMin = graft.functions.TokenCount.tokenCount(col("text")) >= 5
     val rTerm = substring(trim(col("text")), -1, 1).isin(".", "!", "?", "\"")
     val rules = array(
       struct(lit("r_brace").as("rule"), rBrace.as("pass")),
