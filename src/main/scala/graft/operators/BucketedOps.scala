@@ -228,29 +228,42 @@ object BucketedOps {
       val cA = cBase
         .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "c_nationkey")
-      // o_year bounds implied by the date range → partition pruning
-      // o_year bounds implied by the date range → partition pruning;
-      // shuffle_hash for the same zero-exchange-SHJ reason as q155
-      // (Q156Probe sf10: baseline SMJ 1.7-1.8 → year+SHJ 1.44-1.75)
+      // o_year bounds implied by the date range → partition pruning.
+      // Customer is pre-joined into the SHJ BUILD side (the q155 shape):
+      // the build shrinks to ASIA-only orders and the fact probe's
+      // output is final rows, instead of probing customer AFTER the
+      // fact join — which the r10 stage accounting measured at 46% of
+      // the query (StageAccount: p4−p3 = 0.65 s of 1.3 at sf10).
       val o = s.table(to)
         .filter(col("o_year").between(1996, 1998)
           && col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
           && col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
         .select("o_orderkey", "o_custkey")
+      val oc = o.join(NamedQuery.maybeBroadcastByFootprint(cA, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
         .hint("shuffle_hash")
       val li = s.table(tli)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       li.join(NamedQuery.maybeBroadcastByFootprint(suA, d, "supplier"),
           col("l_suppkey") === col("s_suppkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(NamedQuery.maybeBroadcastByFootprint(cA, d, "customer"),
-          col("o_custkey") === col("c_custkey")
-          && col("s_nationkey") === col("c_nationkey"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          col("s_nationkey"))
+        // the optimizer folds this filter into the fact join as a second
+        // equi-key pair (l_orderkey,s_nationkey)↔(o_orderkey,c_nationkey);
+        // the SubsetCoPartition profile below lets the single-bucket-key
+        // layout still co-partition that join (both sides hash on key
+        // index 0), so the nation match prunes DURING the probe with
+        // zero fact exchange — StageAccount r10: 1.20 → 0.69 s at sf10,
+        // result-identical, one exchange left (the 5-row n_name rollup)
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
-    }, conf = NoAqe)
+    }, conf = NoAqe +
+      ("spark.sql.requireAllClusterKeysForCoPartition" -> "false"))
 
   def defs: Seq[NamedQuery] =
     Seq(joinAggBucketed, tpchQ3Bucketed, tpchQ5Bucketed)

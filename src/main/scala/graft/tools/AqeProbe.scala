@@ -43,14 +43,28 @@ object AqeProbe {
           acc(s"${n}_$tag") :+= time(save(q(n)(spark, sfDir)))
         }
       }
-      // q155: split construction (driver-side plan build incl.
-      // maybeBroadcast stats) from execution
+      // q155/q156: split construction (driver-side plan build incl.
+      // maybeBroadcast stats) from execution; q156 also A/Bs the
+      // clearCache-per-repeat discipline Bench applies
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       var df: DataFrame = null
       acc("q155_construct") :+= time {
         df = q("q155_tpch_q3_bucketed")(spark, sfDir)
       }
       acc("q155_execute") :+= time(save(df))
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        "false")
+      var df6: DataFrame = null
+      acc("q156_construct") :+= time {
+        df6 = q("q156_tpch_q5_bucketed")(spark, sfDir)
+      }
+      acc("q156_execute") :+= time(save(df6))
+      acc("q156_full_clearcache") :+= time {
+        save(q("q156_tpch_q5_bucketed")(spark, sfDir))
+        spark.catalog.clearCache()
+      }
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition",
+        "true")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
     acc.toSeq.sortBy(_._1).foreach { case (k, v) =>
