@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -74,13 +75,44 @@ object BucketedOps {
     * every bucket (tasks × buckets files). */
   private[graft] def writeBucketed(df: DataFrame, name: String,
       key: String, buckets: Int = BucketCount,
-      partitionCol: Option[String] = None): Unit = {
+      partitionCol: Option[String] = None,
+      sortCols: Seq[String] = Nil): Unit = {
+    val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
     val w = df.repartition(buckets, col(key))
       .write.mode("overwrite")
     partitionCol.fold(w)(w.partitionBy(_))
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, key).sortBy(sorts.head, sorts.tail: _*)
       .saveAsTable(name)
   }
+
+  private val memoEvents = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Bucketed event-log layout: hash-bucketed on `user_id` AND sorted
+    * within each bucket on (`user_id`, `ts`) — the layout a production
+    * event store lands its compacted log in (one file per bucket, so
+    * the scan REPORTS the sort order; Spark only trusts bucket sort
+    * metadata when a bucket is a single file). Every per-user
+    * time-ordered computation — sessionization, funnels, as-of lookups
+    * — then plans with ZERO exchange and ZERO sort: the scan itself
+    * satisfies both the window's clustering and its ordering. This is
+    * the events analog of [[factPair]]: q57's stage accounting put 94%
+    * of the query in the user-key shuffle+sort; the layout pays that
+    * movement once per snapshot instead of once per query. */
+  def eventsByUser(s: SparkSession, d: String): String =
+    memoEvents.getOrElseUpdate((s, d), {
+      reapDeadLayouts()
+      val suf = s"${ProcessHandle.current.pid}_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val tev = s"bk_ev_$suf"
+      writeBucketed(t(s, d, "events"), tev, "user_id",
+        sortCols = Seq("user_id", "ts"))
+      sys.addShutdownHook {
+        try s.sql(s"DROP TABLE IF EXISTS $tev")
+        catch { case _: Throwable => () }
+      }
+      tev
+    })
 
   /** Delete warehouse dirs of `bk_*` layouts whose owning JVM is dead
     * (kill -9 skips shutdown hooks; without this, each killed bench
@@ -265,6 +297,51 @@ object BucketedOps {
     }, conf = NoAqe +
       ("spark.sql.requireAllClusterKeysForCoPartition" -> "false"))
 
+  /** q57 (sessionization) on the user-bucketed event log. Identical
+    * semantics and oracle SQL; the window's PARTITION BY user_id ORDER
+    * BY ts is satisfied by the scan itself (bucket hash distribution +
+    * single-file-per-bucket sort metadata), and the per-user rollup
+    * consumes the same distribution — the whole plan runs without one
+    * exchange or sort operator. q57's Q30Probe stage accounting showed
+    * the user-key shuffle+sort at 94% of the query; this is that 94%
+    * moved into the amortized layout write. */
+  val sessionsBucketed: NamedQuery = NamedQuery(
+    "q161_events_sessions_bucketed",
+    Some("""WITH g AS (
+           |  SELECT user_id,
+           |    CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+           |            - lag(CAST(floor(epoch(ts)) AS BIGINT))
+           |              OVER (PARTITION BY user_id ORDER BY ts) > 1800
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM events)
+           |SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions
+           |FROM g GROUP BY user_id""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      // the window MUST order by the raw sorted column (ts), not a
+      // derived expression, or the scan's sort metadata can't satisfy
+      // it; the gap test converts to epoch seconds AFTER the lag
+      s.table(eventsByUser(s, d))
+        .select("user_id", "ts")
+        .withColumn("brk",
+          when(unix_timestamp(col("ts"))
+            - unix_timestamp(lag("ts", 1).over(w)) > 1800, 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg((sum("brk") + 1).as("n_sessions"))
+      // bucketedTableScan.outputOrdering: since 3.0 Spark ignores bucket
+      // sort metadata by default because a multi-file bucket only sorts
+      // per-file; [[writeBucketed]] repartitions on the bucket key so
+      // every bucket is EXACTLY one file — the one case the ordering is
+      // sound — and the law in PlanQualitySpec pins the sort-free plan
+    }, conf = NoAqe +
+      ("spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true"))
+
+  /** Warm hook for Bench (events layout), mirroring [[warmLayout]]. */
+  private[graft] def warmEventsLayout(s: SparkSession, d: String): Unit = {
+    eventsByUser(s, d); ()
+  }
+
   def defs: Seq[NamedQuery] =
-    Seq(joinAggBucketed, tpchQ3Bucketed, tpchQ5Bucketed)
+    Seq(joinAggBucketed, tpchQ3Bucketed, tpchQ5Bucketed, sessionsBucketed)
 }

@@ -292,6 +292,44 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("user-bucketed sessionization runs with ZERO exchanges and ZERO " +
+      "sorts, and matches q57") {
+    // the events-layout law behind q161: events are bucketed on user_id
+    // and sorted within each bucket on (user_id, ts) with one file per
+    // bucket, so the sessionization window's clustering AND ordering are
+    // both satisfied by the scan — no exchange, no sort operator. The
+    // per-user rollup consumes the same distribution. q57's stage
+    // accounting put the user-key shuffle+sort at 94% of the query;
+    // this law pins that the layout formulation never re-pays it.
+    val q161 = operators.NamedQuery.withConf(spark,
+      SparkEntry.queryConf("q161_events_sessions_bucketed")) {
+      val df = SparkEntry.queries("q161_events_sessions_bucketed")(spark, sf)
+      df.collect()
+      df
+    }
+    val plan = castToImpl(q161).queryExecution.executedPlan
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deep(q.plan)
+      case other => Seq(other)
+    }.flatten
+    val nodes = deep(plan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "q161 shuffled: the bucketed events scan must satisfy the window's " +
+        "user_id clustering")
+    assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "q161 sorted: the single-file-per-bucket (user_id, ts) sort " +
+        "metadata must satisfy the window's ordering")
+    // semantics law: identical result to the shuffle-formulated q57
+    val q57 = SparkEntry.queries("q57_events_sessions")(spark, sf)
+    assert(q161.exceptAll(q57).count() == 0 &&
+      q57.exceptAll(q161).count() == 0,
+      "q161 diverged from q57 on the same data")
+  }
+
   test("q156 orders scan prunes year partitions at listing time") {
     // the r9 layout law: orders is partitionBy(o_year) + bucketed, and
     // the date-range queries carry the implied o_year bounds — the scan
