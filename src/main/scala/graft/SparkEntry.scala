@@ -62,6 +62,8 @@ object SparkEntry {
       "q156_tpch_q5_bucketed" ->
         (("bucket_stage", BucketedOps.warmLayout _)),
       "q161_events_sessions_bucketed" ->
+        (("events_bucket_stage", BucketedOps.warmEventsLayout _)),
+      "q162_asof_join_bucketed" ->
         (("events_bucket_stage", BucketedOps.warmEventsLayout _)))
 
   /** Bench-time PRODUCTION formulations for queries whose correctness
@@ -85,5 +87,6 @@ object SparkEntry {
     "q46_ann_lsh", "q68_tpch_q3", "q69_tpch_q5", "q123_curation_pipeline",
     "q130_passage_dedup", "q138_tfidf", "q140_range_join",
     "q154_join_agg_bucketed", "q155_tpch_q3_bucketed",
-    "q156_tpch_q5_bucketed", "q161_events_sessions_bucketed")
+    "q156_tpch_q5_bucketed", "q161_events_sessions_bucketed",
+    "q162_asof_join_bucketed")
 }

@@ -337,11 +337,41 @@ object BucketedOps {
     }, conf = NoAqe +
       ("spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true"))
 
+  /** q58 (as-of join) on the user-bucketed event log. q58's window
+    * orders by (ts, is_signup DESC) so that at equal timestamps the
+    * signup precedes the error inside a ROWS frame; a secondary order
+    * key would invalidate the layout's (user_id, ts) sort metadata and
+    * force a sort back in. A RANGE frame removes the need for the tie
+    * key: at an error row with time T it spans ALL rows with ts ≤ T —
+    * equal-timestamp signups included regardless of intra-tie order —
+    * which is exactly the inclusive `e.ts >= s.ts` as-of bound. With
+    * the window ordered by the raw sorted column, the whole as-of runs
+    * from the scan: zero exchange, zero sort. */
+  val asofBucketed: NamedQuery = NamedQuery("q162_asof_join_bucketed",
+    Some("""SELECT e.event_id, s.ts AS signup_ts
+           |FROM (SELECT * FROM events WHERE event_type = 'error') e
+           |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           |ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin),
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      s.table(eventsByUser(s, d))
+        .filter(col("event_type").isin("signup", "error"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_type") === "signup").as("is_signup"))
+        .withColumn("signup_ts",
+          max(when(col("is_signup"), col("ts"))).over(w))
+        .filter(!col("is_signup") && col("signup_ts").isNotNull)
+        .select("event_id", "signup_ts")
+    }, conf = NoAqe +
+      ("spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true"))
+
   /** Warm hook for Bench (events layout), mirroring [[warmLayout]]. */
   private[graft] def warmEventsLayout(s: SparkSession, d: String): Unit = {
     eventsByUser(s, d); ()
   }
 
   def defs: Seq[NamedQuery] =
-    Seq(joinAggBucketed, tpchQ3Bucketed, tpchQ5Bucketed, sessionsBucketed)
+    Seq(joinAggBucketed, tpchQ3Bucketed, tpchQ5Bucketed, sessionsBucketed,
+      asofBucketed)
 }

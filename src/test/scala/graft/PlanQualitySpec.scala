@@ -301,13 +301,6 @@ class PlanQualitySpec extends SparkSpec {
     // per-user rollup consumes the same distribution. q57's stage
     // accounting put the user-key shuffle+sort at 94% of the query;
     // this law pins that the layout formulation never re-pays it.
-    val q161 = operators.NamedQuery.withConf(spark,
-      SparkEntry.queryConf("q161_events_sessions_bucketed")) {
-      val df = SparkEntry.queries("q161_events_sessions_bucketed")(spark, sf)
-      df.collect()
-      df
-    }
-    val plan = castToImpl(q161).queryExecution.executedPlan
     def deep(p: org.apache.spark.sql.execution.SparkPlan)
         : Seq[org.apache.spark.sql.execution.SparkPlan] = p.collect {
       case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
@@ -315,19 +308,31 @@ class PlanQualitySpec extends SparkSpec {
         deep(q.plan)
       case other => Seq(other)
     }.flatten
-    val nodes = deep(plan)
-    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
-      "q161 shuffled: the bucketed events scan must satisfy the window's " +
-        "user_id clustering")
-    assert(!nodes.exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
-      "q161 sorted: the single-file-per-bucket (user_id, ts) sort " +
-        "metadata must satisfy the window's ordering")
-    // semantics law: identical result to the shuffle-formulated q57
-    val q57 = SparkEntry.queries("q57_events_sessions")(spark, sf)
-    assert(q161.exceptAll(q57).count() == 0 &&
-      q57.exceptAll(q161).count() == 0,
-      "q161 diverged from q57 on the same data")
+    def lawFor(bucketed: String, baseline: String): Unit = {
+      val df = operators.NamedQuery.withConf(spark,
+        SparkEntry.queryConf(bucketed)) {
+        val d = SparkEntry.queries(bucketed)(spark, sf)
+        d.collect()
+        d
+      }
+      val nodes = deep(castToImpl(df).queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"$bucketed shuffled: the bucketed events scan must satisfy the " +
+          "window's user_id clustering")
+      assert(!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+        s"$bucketed sorted: the single-file-per-bucket (user_id, ts) sort " +
+          "metadata must satisfy the window's ordering")
+      // semantics law: identical result to the shuffle formulation
+      val base = SparkEntry.queries(baseline)(spark, sf)
+      assert(df.exceptAll(base).count() == 0 &&
+        base.exceptAll(df).count() == 0,
+        s"$bucketed diverged from $baseline on the same data")
+    }
+    lawFor("q161_events_sessions_bucketed", "q57_events_sessions")
+    // q162: the RANGE frame must reproduce q58's tie-inclusive as-of
+    // semantics without the secondary sort key
+    lawFor("q162_asof_join_bucketed", "q58_asof_join")
   }
 
   test("q156 orders scan prunes year partitions at listing time") {
