@@ -39,9 +39,18 @@ object MakeBenchTier {
     // group is the atomic parquet split unit, so no setting can
     // re-parallelize it afterwards. 32 matches the bench session's
     // cores; a production lakehouse targets ~128 MB files the same way.
-    def wr(df: DataFrame, t: String, files: Int = 32): Unit =
-      (if (files > 1) df.repartition(files) else df.coalesce(1))
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    def wr(df: DataFrame, t: String, files: Int = 32): Unit = {
+      // the repartition exists only to land `files` output files; when
+      // the frame already has that many partitions (scaling an
+      // already-32-file tier: explode preserves partitioning) skip it —
+      // at sf100 the full shuffle spills ~uncompressed-table bytes to
+      // /tmp and can exhaust the disk before the write starts
+      val shaped =
+        if (files == 1) df.coalesce(1)
+        else if (df.rdd.getNumPartitions == files) df
+        else df.repartition(files)
+      shaped.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     def maxOf(df: DataFrame, c: String): Long =
       df.agg(max(col(c))).head().getLong(0) + 1
 
