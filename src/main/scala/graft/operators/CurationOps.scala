@@ -59,16 +59,32 @@ object CurationOps {
     // instead of shuffling the corpus for the window AND re-scanning it
     // for the offsets branch (the r9 formulation tokenized the corpus
     // twice; the scan is the priciest stage at every tier).
-    val b = docs.withColumn("b", floor(col("doc_id") / 8192L))
+    // Exchange-reuse shape. Two structural rules keep the corpus to ONE
+    // scan+tokenize (it is the priciest stage at every tier):
+    //  1. join-key null filters are EXPLICIT on the shared frame — an
+    //     inner join injects isnotnull(lang, b) on the probe subtree
+    //     only, and ReusedExchangeExec needs byte-identical subtrees;
+    //  2. the per-bucket totals come from the WINDOWED frame
+    //     (max of the within-bucket cumulative = the bucket total, tok
+    //     being nonnegative) instead of a groupBy on the pre-window
+    //     frame — a pre-window aggregate branch would column-prune
+    //     doc_id out of ITS copy of the exchange and the two exchanges
+    //     would no longer match. With both consumers reading the same
+    //     4-column exchange, the build side replans as ReusedExchange:
+    //     one corpus scan, one corpus shuffle (sf10 A/B: 1.21 → 0.57 s).
+    val b = docs.filter(col("lang").isNotNull)
+      .withColumn("b", floor(col("doc_id") / 8192L))
+      .filter(col("b").isNotNull)
       .repartition(col("lang"), col("b"))
-    val wBuck = Window.partitionBy("lang").orderBy("b")
-    val offsets = b.groupBy("lang", "b").agg(sum("tok").as("bt"))
-      .withColumn("off", sum("bt").over(wBuck) - col("bt"))
-      .drop("bt")
     val wIn = Window.partitionBy("lang", "b").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    b.join(broadcast(offsets), Seq("lang", "b"))
-      .withColumn("cum", sum("tok").over(wIn) + col("off"))
+    val cumIn = b.withColumn("cum_in", sum("tok").over(wIn))
+    val wBuck = Window.partitionBy("lang").orderBy("b")
+    val offsets = cumIn.groupBy("lang", "b").agg(max("cum_in").as("bt"))
+      .withColumn("off", sum("bt").over(wBuck) - col("bt"))
+      .drop("bt")
+    cumIn.join(broadcast(offsets), Seq("lang", "b"))
+      .withColumn("cum", col("cum_in") + col("off"))
       .groupBy(col("lang"),
         ((col("cum") - col("tok")) / 2000L).cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
@@ -83,17 +99,19 @@ object CurationOps {
   private[graft] def packShardsStages(
       docs: org.apache.spark.sql.DataFrame)
       : Seq[(String, org.apache.spark.sql.DataFrame)] = {
-    val b = docs.withColumn("b", floor(col("doc_id") / 8192L))
+    val b = docs.filter(col("lang").isNotNull)
+      .withColumn("b", floor(col("doc_id") / 8192L))
+      .filter(col("b").isNotNull)
       .repartition(col("lang"), col("b"))
-    val wBuck = Window.partitionBy("lang").orderBy("b")
-    val offsets = b.groupBy("lang", "b").agg(sum("tok").as("bt"))
-      .withColumn("off", sum("bt").over(wBuck) - col("bt"))
-      .drop("bt")
     val wIn = Window.partitionBy("lang", "b").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = b.join(broadcast(offsets), Seq("lang", "b"))
-      .withColumn("cum", sum("tok").over(wIn) + col("off"))
-    Seq("s1_tokenize" -> docs, "s2_offsets" -> offsets, "s3_cum" -> cum)
+    val cumIn = b.withColumn("cum_in", sum("tok").over(wIn))
+    val wBuck = Window.partitionBy("lang").orderBy("b")
+    val offsets = cumIn.groupBy("lang", "b").agg(max("cum_in").as("bt"))
+      .withColumn("off", sum("bt").over(wBuck) - col("bt"))
+      .drop("bt")
+    Seq("s1_tokenize" -> docs, "s2_shuffle" -> b,
+      "s3_cum_window" -> cumIn, "s4_offsets" -> offsets)
   }
 
   /** Token-budget shard packing: within each language, documents are
@@ -115,6 +133,9 @@ object CurationOps {
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           graft.functions.TokenCount.tokenCount(col("text")).as("tok"))))
+    // (AQE stays ON here: an A/B measured the NoAqe profile 20% SLOWER
+    // — the runtime coalescing of the tiny tail-stage shuffles is worth
+    // more than the stage barriers cost on this 6-stage plan)
 
   /** Vocabulary building: top-10 tokens per language by frequency (the
     * seed statistics a tokenizer trainer consumes). Explode → two-level

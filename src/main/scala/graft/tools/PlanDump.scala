@@ -21,7 +21,11 @@ object PlanDump {
     graft.operators.NamedQuery.withConf(spark,
       graft.SparkEntry.queryConf.getOrElse(name, Map.empty)) {
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      df.write.mode("overwrite").format("noop").save()
+      // collect() (not a noop write) so THIS df's AdaptiveSparkPlan is
+      // the one that finalizes — the printed plan then shows runtime
+      // decisions (ReusedExchange/stage reuse, AQEShuffleRead) instead
+      // of the static initial plan
+      df.collect()
       df.explain("formatted")
     }
     spark.stop()

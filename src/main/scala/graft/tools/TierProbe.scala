@@ -28,7 +28,7 @@ object TierProbe {
     def docsTok(d: String): DataFrame =
       graft.Tables.t(spark, d, "documents")
         .select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("tok"))
+          graft.functions.TokenCount.tokenCount(col("text")).as("tok"))
 
     val probes: Seq[(String, () => DataFrame)] =
       Seq("q94_sketch_only" ->
