@@ -164,7 +164,7 @@ class Engine private[graft] (val spark: SparkSession) {
       buckets: Int = graft.operators.BucketedOps.BucketCount): Unit = {
     val catalogName = s"bk_eng_${ProcessHandle.current.pid}_$name"
     graft.operators.BucketedOps.writeBucketed(
-      spark.read.parquet(path), catalogName, key, buckets)
+      spark.read.parquet(path), catalogName, Seq(key), buckets)
     put(name, spark.table(catalogName))
   }
 

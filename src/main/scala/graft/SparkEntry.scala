@@ -64,7 +64,9 @@ object SparkEntry {
       "q161_events_sessions_bucketed" ->
         (("events_bucket_stage", BucketedOps.warmEventsLayout _)),
       "q162_asof_join_bucketed" ->
-        (("events_bucket_stage", BucketedOps.warmEventsLayout _)))
+        (("events_bucket_stage", BucketedOps.warmEventsLayout _)),
+      "q163_shard_packing_bucketed" ->
+        (("docs_bucket_stage", BucketedOps.warmDocsTokens _)))
 
   /** Bench-time PRODUCTION formulations for queries whose correctness
     * row deliberately carries extra verification work. q94's `queries`
@@ -88,5 +90,5 @@ object SparkEntry {
     "q130_passage_dedup", "q138_tfidf", "q140_range_join",
     "q154_join_agg_bucketed", "q155_tpch_q3_bucketed",
     "q156_tpch_q5_bucketed", "q161_events_sessions_bucketed",
-    "q162_asof_join_bucketed")
+    "q162_asof_join_bucketed", "q163_shard_packing_bucketed")
 }

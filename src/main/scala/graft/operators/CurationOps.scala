@@ -52,13 +52,6 @@ object CurationOps {
     * so the oracle SQL stays the plain per-language cumulative sum.
     * Input must carry (doc_id, lang, tok). */
   private[graft] def packShards(docs: org.apache.spark.sql.DataFrame) = {
-    // ONE corpus shuffle: an explicit (lang, b) repartition that BOTH
-    // consumers sit on — the per-bucket cumulative window (needs
-    // hash(lang,b) + in-partition sort) and the per-bucket totals agg
-    // (needs hash(lang,b), no sort) — so Spark reuses the exchange
-    // instead of shuffling the corpus for the window AND re-scanning it
-    // for the offsets branch (the r9 formulation tokenized the corpus
-    // twice; the scan is the priciest stage at every tier).
     // Exchange-reuse shape. Two structural rules keep the corpus to ONE
     // scan+tokenize (it is the priciest stage at every tier):
     //  1. join-key null filters are EXPLICIT on the shared frame — an
@@ -136,6 +129,39 @@ object CurationOps {
     // (AQE stays ON here: an A/B measured the NoAqe profile 20% SLOWER
     // — the runtime coalescing of the tiny tail-stage shuffles is worth
     // more than the stage barriers cost on this 6-stage plan)
+
+  /** q97 on the ingest-time token manifest
+    * ([[BucketedOps.docsTokens]]): the narrow (doc_id, lang, tok, b)
+    * table is bucketed on (lang, b) and sorted (lang, b, doc_id) with
+    * one file per bucket, so BOTH prefix-sum windows' clustering and
+    * the in-bucket ordering come straight from the scan — no corpus
+    * shuffle, no corpus sort, and the document text is never re-read
+    * (TokenCount ran once, at layout write). Identical semantics and
+    * oracle SQL to q97; the production path a training-data writer
+    * actually runs, with the per-snapshot manifest write amortized
+    * like every other layout stage. */
+  val shardPackingBucketed: NamedQuery = NamedQuery(
+    "q163_shard_packing_bucketed",
+    shardPacking.oracle,
+    (s, d) => {
+      val m = s.table(BucketedOps.docsTokens(s, d))
+      val wIn = Window.partitionBy("lang", "b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumIn = m.withColumn("cum_in", sum("tok").over(wIn))
+      val wBuck = Window.partitionBy("lang").orderBy("b")
+      val offsets = cumIn.groupBy("lang", "b").agg(max("cum_in").as("bt"))
+        .withColumn("off", sum("bt").over(wBuck) - col("bt"))
+        .drop("bt")
+      cumIn.join(broadcast(offsets), Seq("lang", "b"))
+        .withColumn("cum", col("cum_in") + col("off"))
+        .groupBy(col("lang"),
+          ((col("cum") - col("tok")) / 2000L).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
+        .orderBy("lang", "shard")
+    }, conf = Map(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true"))
+    // (AQE stays ON: NoAqe A/B read 0.82 vs 0.68 s — coalescing the
+    // three tiny tail exchanges outweighs the stage barriers)
 
   /** Vocabulary building: top-10 tokens per language by frequency (the
     * seed statistics a tokenizer trainer consumes). Explode → two-level
@@ -425,7 +451,7 @@ object CurationOps {
     })
 
   def defs: Seq[NamedQuery] =
-    Seq(stratifiedSample, shardPacking, vocabTopK, curationPipeline,
-      contamination, domainMixing, sourceDivergence, reservoirSample,
-      contextChunks)
+    Seq(stratifiedSample, shardPacking, shardPackingBucketed, vocabTopK,
+      curationPipeline, contamination, domainMixing, sourceDivergence,
+      reservoirSample, contextChunks)
 }

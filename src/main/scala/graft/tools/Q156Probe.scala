@@ -89,7 +89,7 @@ object Q156Probe {
     val plain = s"bk_op_${ProcessHandle.current.pid}_" +
       sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val plainT = time(BucketedOps.writeBucketed(
-      t(spark, sfDir, "orders"), plain, "o_orderkey"))
+      t(spark, sfDir, "orders"), plain, Seq("o_orderkey")))
     println(f"[q156probe] plain_layout_write $plainT%6.2f s")
 
     val dateCond = col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&

@@ -120,10 +120,10 @@ object StageAccount {
     val t64 = {
       val t0 = System.nanoTime()
       BucketedOps.writeBucketed(t(spark, sfDir, "lineitem"), tli64,
-        "l_orderkey", buckets = 64)
+        Seq("l_orderkey"), buckets = 64)
       BucketedOps.writeBucketed(t(spark, sfDir, "orders")
           .withColumn("o_year", year(col("o_orderdate"))),
-        to64, "o_orderkey", buckets = 64, partitionCol = Some("o_year"))
+        to64, Seq("o_orderkey"), buckets = 64, partitionCol = Some("o_year"))
       (System.nanoTime() - t0) / 1e9
     }
     println(f"[stage] layout64_write   $t64%6.3f s")

@@ -64,11 +64,12 @@ class EventsEncodingSpec extends SparkSpec {
   }
 
   test("inventory size law: the basket can never shrink") {
-    // 158 keys as of round 10 (q161/q162 events-layout queries) — raise
-    // this floor when queries are added, never lower it: a key that
-    // stops resolving or throws at analysis must fail this suite, not
-    // silently fall out of the driver basket.
-    assert(SparkEntry.queries.size >= 158,
+    // 159 keys as of round 10 (q161/q162 events-layout queries, q163
+    // token-manifest packing) — raise this floor when queries are
+    // added, never lower it: a key that stops resolving or throws at
+    // analysis must fail this suite, not silently fall out of the
+    // driver basket.
+    assert(SparkEntry.queries.size >= 159,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 

@@ -335,6 +335,46 @@ class PlanQualitySpec extends SparkSpec {
     lawFor("q162_asof_join_bucketed", "q58_asof_join")
   }
 
+  test("token-manifest shard packing never moves or sorts the corpus") {
+    // q163's layout law: the (lang, b)-bucketed, (lang, b, doc_id)-
+    // sorted token manifest must feed both prefix-sum windows straight
+    // from the scan. The final 15-row ORDER BY and the 310-row offsets
+    // window may sort/shuffle; the corpus may not — so the law is
+    // shape-precise: no repartition-by-column exchange (q97's corpus
+    // movement) and no sort ordered on doc_id (the corpus sort).
+    val q163 = operators.NamedQuery.withConf(spark,
+      SparkEntry.queryConf("q163_shard_packing_bucketed")) {
+      val df = SparkEntry.queries("q163_shard_packing_bucketed")(spark, sf)
+      df.collect()
+      df
+    }
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deep(q.plan)
+      case other => Seq(other)
+    }.flatten
+    val nodes = deep(castToImpl(q163).queryExecution.executedPlan)
+    assert(!nodes.exists {
+      case e: ShuffleExchangeExec => e.shuffleOrigin.toString.contains(
+        "REPARTITION_BY_COL")
+      case _ => false
+    }, "q163 repartitioned the corpus: the bucketed manifest scan must " +
+      "satisfy the window clustering")
+    assert(!nodes.exists {
+      case s: org.apache.spark.sql.execution.SortExec =>
+        s.sortOrder.exists(_.child.references.exists(
+          _.name == "doc_id"))
+      case _ => false
+    }, "q163 sorted the corpus: the manifest's (lang, b, doc_id) sort " +
+      "metadata must satisfy the window ordering")
+    val q97 = SparkEntry.queries("q97_shard_packing")(spark, sf)
+    assert(q163.exceptAll(q97).count() == 0 &&
+      q97.exceptAll(q163).count() == 0,
+      "q163 diverged from q97 on the same data")
+  }
+
   test("q156 orders scan prunes year partitions at listing time") {
     // the r9 layout law: orders is partitionBy(o_year) + bucketed, and
     // the date-range queries carry the implied o_year bounds — the scan
