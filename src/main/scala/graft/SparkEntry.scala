@@ -66,7 +66,9 @@ object SparkEntry {
       "q162_asof_join_bucketed" ->
         (("events_bucket_stage", BucketedOps.warmEventsLayout _)),
       "q163_shard_packing_bucketed" ->
-        (("docs_bucket_stage", BucketedOps.warmDocsTokens _)))
+        (("docs_bucket_stage", BucketedOps.warmDocsTokens _)),
+      "q164_events_hourly_rollup" ->
+        (("events_rollup_stage", BucketedOps.warmEventsRollup _)))
 
   /** Bench-time PRODUCTION formulations for queries whose correctness
     * row deliberately carries extra verification work. q94's `queries`
@@ -90,5 +92,6 @@ object SparkEntry {
     "q130_passage_dedup", "q138_tfidf", "q140_range_join",
     "q154_join_agg_bucketed", "q155_tpch_q3_bucketed",
     "q156_tpch_q5_bucketed", "q161_events_sessions_bucketed",
-    "q162_asof_join_bucketed", "q163_shard_packing_bucketed")
+    "q162_asof_join_bucketed", "q163_shard_packing_bucketed",
+    "q164_events_hourly_rollup")
 }

@@ -466,7 +466,50 @@ object SimilarityOps {
         .orderBy("label")
     })
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, the
+    * public method): pairwise cosine is computed only WITHIN a
+    * cluster, and an item is dropped when a lower-id member of its own
+    * cluster sits above the similarity threshold (keep-first — the
+    * deterministic stand-in for the paper's keep-farthest-from-
+    * centroid tie rule). The `label` column plays the cluster
+    * assignment here so the DuckDB oracle can replay the identical
+    * partition; at 100 TB the assignment comes from the clustering
+    * stage already in the library (q134 components / q75 IVF
+    * centroids) and this operator consumes it unchanged.
+    *
+    * Scale shape: the join key IS the cluster id, so candidate
+    * generation is a bucket equi-join — pair count is Σ|cluster|²,
+    * bounded by the clustering stage's cell sizing (the same
+    * guarantee the LSH band join rides), never corpus². One shuffle
+    * on label; the anti-join dedups on vec_id. */
+  val semanticDedup: NamedQuery = NamedQuery("q166_semantic_dedup",
+    Some("""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+           |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+           |       x -> x * x))) AS nrm
+           |  FROM embeddings),
+           |dup AS (SELECT DISTINCT b.vec_id FROM n a JOIN n b
+           |  ON a.label = b.label AND a.vec_id < b.vec_id
+           |  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > 0.4)
+           |SELECT n.vec_id, n.label, n.vec_id NOT IN
+           |  (SELECT vec_id FROM dup) AS keep
+           |FROM n ORDER BY vec_id""".stripMargin),
+    (s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "label", "embedding")
+      val a = e.select(col("vec_id").as("id_a"), col("label"),
+        col("embedding").as("ea"))
+      val bSide = e.select(col("vec_id").as("id_b"), col("label"),
+        col("embedding").as("eb"))
+      val dup = a.join(bSide, Seq("label"))
+        .filter(col("id_a") < col("id_b") &&
+          cosineSim(col("ea"), col("eb")) > 0.4)
+        .select(col("id_b").as("vec_id")).distinct()
+      e.join(dup.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(!col("is_dup"), lit(true)).as("keep"))
+        .orderBy("vec_id")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(embeddingNearDup, annTopK, annLsh, annIvf, annLshAudit, annIvfAudit,
-      embeddingClusters, embeddingQuantize)
+      embeddingClusters, embeddingQuantize, semanticDedup)
 }

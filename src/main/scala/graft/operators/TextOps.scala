@@ -519,8 +519,73 @@ object TextOps {
             .otherwise("tail").as("bucket"))
     })
 
+  /** BM25 retrieval scoring (Robertson et al., the Okapi formulation
+    * with the non-negative idf variant ln(1 + (N−df+0.5)/(df+0.5)),
+    * k1 = 1.2, b = 0.75): the ranking function a curation pipeline
+    * uses to score documents against a probe query — seed selection
+    * for quality classifiers, benchmark-contamination triage, and
+    * retrieval-based mixing all start here. Top-10 documents for a
+    * fixed 3-term query.
+    *
+    * Determinism across engines: per-term scores are summed in FIXED
+    * term order as three explicit addends (a GROUP-BY-doc sum over a
+    * term-exploded frame would re-introduce summation-order float
+    * drift); df/N are exact counts and avgdl is an exact-integer sum
+    * divided once, so every double on both sides is bit-identical.
+    *
+    * Scale shape: one corpus pass computes (dl, tf_t) per doc as
+    * narrow in-row expressions (no explode, no shuffle); the 1-row
+    * corpus-stats frame broadcasts; top-10 runs as TakeOrdered — the
+    * only movement in the whole plan is the k-row result. */
+  val bm25: NamedQuery = {
+    val terms = Seq("join", "vector", "stream")
+    val k1 = "1.2"; val b = "0.75"
+    val tfSql = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
+    }.mkString(",\n           |  ")
+    val dfSql = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val scoreSql = terms.indices.map(i =>
+      s"""ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ($k1 + 1)
+         |    / (tf$i + $k1 * (1 - $b + $b * dl / avgdl))""".stripMargin)
+      .mkString("\n  + ")
+    NamedQuery("q165_bm25_topk",
+      Some(s"""WITH d AS (SELECT doc_id,
+              |  len(string_split(text, ' ')) AS dl,
+              |  $tfSql
+              |  FROM documents),
+              |st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfSql FROM d)
+              |SELECT doc_id, round($scoreSql, 4) AS bm25
+              |FROM d, st
+              |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin),
+      (s, d) => {
+        val dk1 = 1.2; val db = 0.75
+        val withTf = t(s, d, "documents").select(
+          col("doc_id") +:
+            graft.functions.TokenCount.tokenCount(col("text")).as("dl") +:
+            terms.zipWithIndex.map { case (term, i) =>
+              size(filter(split(col("text"), " "), w => w === lit(term)))
+                .as(s"tf$i")
+            }: _*)
+        val statCols = count(lit(1)).as("n") +: avg("dl").as("avgdl") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+        val stats = withTf.agg(statCols.head, statCols.tail: _*)
+        val score = terms.indices.map { i =>
+          log(lit(1) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
+            col(s"tf$i") * (dk1 + 1) /
+            (col(s"tf$i") +
+              (lit(1 - db) + lit(db) * col("dl") / col("avgdl")) * dk1)
+        }.reduce(_ + _)
+        withTf.crossJoin(broadcast(stats))
+          .select(col("doc_id"), round(score, 4).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+      }, conf = NamedQuery.NoAqe)
+  }
+
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
       piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate,
-      curationReport, lmQuality)
+      curationReport, lmQuality, bm25)
 }

@@ -64,12 +64,13 @@ class EventsEncodingSpec extends SparkSpec {
   }
 
   test("inventory size law: the basket can never shrink") {
-    // 159 keys as of round 10 (q161/q162 events-layout queries, q163
-    // token-manifest packing) — raise this floor when queries are
-    // added, never lower it: a key that stops resolving or throws at
+    // 162 keys as of round 10 (q161/q162 events-layout, q163
+    // token-manifest packing, q164 rollup fold, q165 BM25, q166
+    // semantic dedup) — raise this floor when queries are added,
+    // never lower it: a key that stops resolving or throws at
     // analysis must fail this suite, not silently fall out of the
     // driver basket.
-    assert(SparkEntry.queries.size >= 159,
+    assert(SparkEntry.queries.size >= 162,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 

@@ -375,6 +375,45 @@ class PlanQualitySpec extends SparkSpec {
       "q163 diverged from q97 on the same data")
   }
 
+  test("rollup fold reads ONLY the minute rollup with zero exchanges, " +
+      "and matches q30") {
+    // q164's layout law: the hour-grain dashboard fold must consume the
+    // minute rollup's event_type bucket clustering (group keys include
+    // the bucket key → no exchange) and must never touch the raw events
+    // table — the Q30Probe scan floor is paid in the rollup write, not
+    // per query.
+    val q164 = operators.NamedQuery.withConf(spark,
+      SparkEntry.queryConf("q164_events_hourly_rollup")) {
+      val df = SparkEntry.queries("q164_events_hourly_rollup")(spark, sf)
+      df.collect()
+      df
+    }
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deep(q.plan)
+      case other => Seq(other)
+    }.flatten
+    val nodes = deep(castToImpl(q164).queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "q164 shuffled: the rollup's event_type bucketing must satisfy " +
+        "the (event_type, hour) aggregation clustering")
+    val scanned = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scanned.nonEmpty && scanned.forall(_.contains("bk_evr_")),
+      s"q164 read outside the rollup artifact: $scanned")
+    val q30 = operators.NamedQuery.withConf(spark,
+      SparkEntry.queryConf("q30_events_hourly")) {
+      SparkEntry.queries("q30_events_hourly")(spark, sf)
+    }
+    assert(q164.exceptAll(q30).count() == 0 &&
+      q30.exceptAll(q164).count() == 0,
+      "q164 diverged from q30 on the same data")
+  }
+
   test("q156 orders scan prunes year partitions at listing time") {
     // the r9 layout law: orders is partitionBy(o_year) + bucketed, and
     // the date-range queries carry the implied o_year bounds — the scan
