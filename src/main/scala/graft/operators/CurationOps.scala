@@ -450,8 +450,103 @@ object CurationOps {
           least(lit(128), col("n") - col("start")).cast("long").as("n_tok"))
     })
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed n-gram feature distribution
+    * is. Features are unigrams + bigrams hashed into 2 × 4096 buckets;
+    * the target distribution is estimated from the `lang = 'en'` slice
+    * (standing in for the paper's high-quality target sample), the raw
+    * distribution from the full corpus; a document's weight is
+    * Σ_features log(p_target(f) / p_raw(f)) with add-1 smoothing.
+    *
+    * Portability/determinism: the feature hash is the first 3 hex chars
+    * of md5 (identical in Spark and DuckDB — the q148/q149 portable-
+    * hash idiom), and each bucket's log-ratio is quantized to integer
+    * MICRO-units before the per-doc sum, so the aggregation is exact
+    * integer arithmetic — order-independent, no float-summation drift.
+    *
+    * Scale shape: one corpus pass builds both count tables (the target
+    * counts are a filtered partial of the same exploded frame); the
+    * log-ratio table is ≤ 8192 rows and BROADCASTS, so per-doc scoring
+    * is a map-side join + integer partial-agg — no corpus-keyed shuffle
+    * beyond the doc_id combine. At 100 TB the bucket tables are still
+    * 8192 rows: this is the whole point of DSIR's hashed features. */
+  val dsirWeights: NamedQuery = NamedQuery("q168_dsir_weights",
+    Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+           |          FROM documents),
+           |f AS (SELECT doc_id, lang, unnest(list_concat(
+           |    list_transform(ws, x -> 'u' || substr(md5(x), 1, 3)),
+           |    list_transform(range(1, len(ws)),
+           |      i -> 'b' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 3))
+           |  )) AS f FROM w),
+           |raw AS (SELECT f, count(*) AS cr FROM f GROUP BY f),
+           |tgt AS (SELECT f, count(*) AS ct FROM f WHERE lang = 'en'
+           |        GROUP BY f),
+           |tot AS (SELECT (SELECT sum(cr) FROM raw) AS br,
+           |               (SELECT sum(ct) FROM tgt) AS bt),
+           |lr AS (SELECT raw.f,
+           |    CAST(round((ln(coalesce(ct, 0) + 1) - ln(bt + 8192.0)
+           |      - ln(cr + 1) + ln(br + 8192.0)) * 1e6) AS BIGINT)
+           |      AS lr_micro
+           |  FROM raw LEFT JOIN tgt USING (f), tot)
+           |SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS dsir_w
+           |FROM f JOIN lr USING (f) GROUP BY doc_id""".stripMargin),
+    (s, d) => {
+      val feats = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("lang"), explode(concat(
+          expr("transform(ws, x -> 'u' || substr(md5(x), 1, 3))"),
+          expr("zip_with(slice(ws, 1, size(ws) - 1), " +
+            "slice(ws, 2, size(ws) - 1), " +
+            "(a, b) -> 'b' || substr(md5(a || ' ' || b), 1, 3))")))
+          .as("f"))
+      val raw = feats.groupBy("f").agg(count(lit(1)).as("cr"))
+      val tgt = feats.filter(col("lang") === "en")
+        .groupBy("f").agg(count(lit(1)).as("ct"))
+      val brTot = raw.agg(sum("cr").as("br"))
+      val btTot = tgt.agg(sum("ct").as("bt"))
+      val lr = raw.join(tgt, Seq("f"), "left").na.fill(0L, Seq("ct"))
+        .crossJoin(brTot).crossJoin(btTot)
+        .select(col("f"),
+          round((log(col("ct") + 1) - log(col("bt") + lit(8192.0))
+            - log(col("cr") + 1) + log(col("br") + lit(8192.0))) * 1e6)
+            .cast("long").as("lr_micro"))
+      feats.join(broadcast(lr), Seq("f"))
+        .groupBy("doc_id").agg(sum("lr_micro").as("dsir_w"))
+    })
+
+  /** Deterministic train/val/test holdout split — 80/10/10 by a salted
+    * md5 of the document id, the assignment every training pipeline
+    * needs to be STABLE across runs, engines, and corpus re-shuffles
+    * (a doc's split never changes when other docs are added or
+    * removed, which `row_number() % 10` cannot guarantee). The first
+    * four hex chars give 16 bits of uniformity; hex-string comparison
+    * is numeric comparison because hex digits are ASCII-ordered.
+    * Thresholds: 0xcccd/0x10000 ≈ 0.80001, 0xe666/0x10000 ≈ 0.90000.
+    *
+    * Scale shape: pure narrow map over the corpus — the split column
+    * pipelines inside the scan and typically feeds a partitioned
+    * write; zero shuffle. */
+  val holdoutSplit: NamedQuery = NamedQuery("q170_holdout_split",
+    Some("""WITH h AS (SELECT doc_id, lang,
+           |  substr(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 4)
+           |    AS hx FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN hx < 'cccd' THEN 'train'
+           |       WHEN hx < 'e666' THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM h""".stripMargin),
+    (s, d) => {
+      val hx = substring(
+        md5(concat(col("doc_id").cast("string"), lit(":split1"))), 1, 4)
+      t(s, d, "documents").select(col("doc_id"),
+        when(hx < "cccd", "train").when(hx < "e666", "val")
+          .otherwise("test").as("split"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(stratifiedSample, shardPacking, shardPackingBucketed, vocabTopK,
       curationPipeline, contamination, domainMixing, sourceDivergence,
-      reservoirSample, contextChunks)
+      reservoirSample, contextChunks, dsirWeights, holdoutSplit)
 }

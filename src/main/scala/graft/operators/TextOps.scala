@@ -584,8 +584,109 @@ object TextOps {
       }, conf = NamedQuery.NoAqe)
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", table A1) —
+    * the repetition-free subset expressible as per-document statistics:
+    * word count in [50, 100 000], mean word length in [3, 10], ≥ 80 %
+    * of words containing an alphabetic character, and ≥ 2 stop-word
+    * TOKENS (the paper counts distinct required words; this corpus has
+    * a synthetic vocabulary, so the adapted rule counts occurrences —
+    * documented deviation). Complements q151 (C4 heuristics) and q158
+    * (CCNet LM quality) as the third published quality gate.
+    *
+    * Determinism: mean_wl and alpha_frac are single divisions of exact
+    * integer sums — bit-identical across engines; rounding is display
+    * precision, not drift control. Scale shape: pure narrow map, zero
+    * shuffle — pipelines inside the corpus scan at any size. */
+  val gopherGate: NamedQuery = NamedQuery("q167_gopher_gate",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           |          FROM documents),
+           |m AS (SELECT doc_id, len(ws) AS n_words,
+           |  list_aggregate(list_transform(ws, x -> len(x)), 'sum')
+           |    AS sum_wl,
+           |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+           |    AS n_alpha,
+           |  len(list_filter(ws, x -> x IN ('the', 'be', 'to', 'of',
+           |    'and', 'that', 'have', 'with'))) AS stop_hits
+           |  FROM w)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  round(sum_wl * 1.0 / n_words, 4) AS mean_wl,
+           |  round(n_alpha * 1.0 / n_words, 4) AS alpha_frac,
+           |  CAST(stop_hits AS BIGINT) AS stop_hits,
+           |  n_words BETWEEN 50 AND 100000 AS r_words,
+           |  sum_wl * 1.0 / n_words BETWEEN 3 AND 10 AS r_wordlen,
+           |  n_alpha * 1.0 / n_words >= 0.8 AS r_alpha,
+           |  stop_hits >= 2 AS r_stop,
+           |  (n_words BETWEEN 50 AND 100000
+           |   AND sum_wl * 1.0 / n_words BETWEEN 3 AND 10
+           |   AND n_alpha * 1.0 / n_words >= 0.8
+           |   AND stop_hits >= 2) AS keep
+           |FROM m""".stripMargin),
+    (s, d) => {
+      val m = t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TokenCount.tokenCount(col("text")).as("n_words"),
+        expr("aggregate(split(text, ' '), 0L, (acc, x) -> acc + length(x))")
+          .as("sum_wl"),
+        expr("size(filter(split(text, ' '), x -> x rlike '[a-z]'))")
+          .cast("long").as("n_alpha"),
+        expr("size(filter(split(text, ' '), x -> x IN ('the', 'be', " +
+          "'to', 'of', 'and', 'that', 'have', 'with')))")
+          .cast("long").as("stop_hits"))
+      val meanWl = col("sum_wl") * 1.0 / col("n_words")
+      val alphaFrac = col("n_alpha") * 1.0 / col("n_words")
+      val rWords = col("n_words").between(50, 100000)
+      val rWordlen = meanWl.between(3, 10)
+      val rAlpha = alphaFrac >= 0.8
+      val rStop = col("stop_hits") >= 2
+      m.select(col("doc_id"), col("n_words"),
+        round(meanWl, 4).as("mean_wl"),
+        round(alphaFrac, 4).as("alpha_frac"),
+        col("stop_hits"),
+        rWords.as("r_words"), rWordlen.as("r_wordlen"),
+        rAlpha.as("r_alpha"), rStop.as("r_stop"),
+        (rWords && rWordlen && rAlpha && rStop).as("keep"))
+    })
+
+  /** Tokenizer fertility report per (lang, source): BPE-ish tokens per
+    * whitespace word (fertility) and characters per BPE token
+    * (compression) — the table a pipeline reads before fixing a token
+    * budget per language, and the standard cross-lingual tokenizer-
+    * quality diagnostic (a language with outlier fertility is getting
+    * over-fragmented). Uses the q65 BPE-ish regex so the two reports
+    * agree on what a token is.
+    *
+    * Determinism: all sums are exact integers; each ratio is ONE
+    * division of exact ints — bit-identical across engines. Scale
+    * shape: narrow in-row token counts, then a |lang × source|-group
+    * aggregation with map-side combine — one corpus pass. */
+  val fertility: NamedQuery = NamedQuery("q169_tokenizer_fertility",
+    Some("""WITH m AS (SELECT lang, source,
+           |  len(string_split(text, ' ')) AS tok_ws,
+           |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS tok_bpe,
+           |  n_chars FROM documents)
+           |SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(tok_ws) AS BIGINT) AS tok_ws,
+           |  CAST(sum(tok_bpe) AS BIGINT) AS tok_bpe,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars,
+           |  round(sum(tok_bpe) * 1.0 / sum(tok_ws), 4) AS fertility,
+           |  round(sum(n_chars) * 1.0 / sum(tok_bpe), 4)
+           |    AS chars_per_tok
+           |FROM m GROUP BY lang, source""".stripMargin),
+    (s, d) => t(s, d, "documents").select(col("lang"), col("source"),
+        graft.functions.TokenCount.tokenCount(col("text")).as("tok_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("tok_bpe"),
+        col("n_chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok_ws").as("tok_ws"), sum("tok_bpe").as("tok_bpe"),
+        sum("n_chars").as("chars"),
+        round(sum("tok_bpe") * 1.0 / sum("tok_ws"), 4).as("fertility"),
+        round(sum("n_chars") * 1.0 / sum("tok_bpe"), 4)
+          .as("chars_per_tok")))
+
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
       piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate,
-      curationReport, lmQuality, bm25)
+      curationReport, lmQuality, bm25, gopherGate, fertility)
 }

@@ -64,13 +64,14 @@ class EventsEncodingSpec extends SparkSpec {
   }
 
   test("inventory size law: the basket can never shrink") {
-    // 162 keys as of round 10 (q161/q162 events-layout, q163
+    // 166 keys as of round 10 (q161/q162 events-layout, q163
     // token-manifest packing, q164 rollup fold, q165 BM25, q166
-    // semantic dedup) — raise this floor when queries are added,
-    // never lower it: a key that stops resolving or throws at
-    // analysis must fail this suite, not silently fall out of the
-    // driver basket.
-    assert(SparkEntry.queries.size >= 162,
+    // semantic dedup, q167 Gopher gate, q168 DSIR weights, q169
+    // tokenizer fertility, q170 holdout split) — raise this floor
+    // when queries are added, never lower it: a key that stops
+    // resolving or throws at analysis must fail this suite, not
+    // silently fall out of the driver basket.
+    assert(SparkEntry.queries.size >= 166,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
