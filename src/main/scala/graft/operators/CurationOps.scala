@@ -461,14 +461,21 @@ object CurationOps {
     *
     * Portability/determinism: the feature hash is the first 3 hex chars
     * of md5 (identical in Spark and DuckDB — the q148/q149 portable-
-    * hash idiom), and each bucket's log-ratio is quantized to integer
-    * MICRO-units before the per-doc sum, so the aggregation is exact
-    * integer arithmetic — order-independent, no float-summation drift.
+    * hash idiom), and each bucket's log-ratio is quantized to an
+    * integer (1e4 units) before the per-doc sum, so the aggregation is
+    * exact integer arithmetic — order-independent GIVEN identical
+    * bucket values. The bucket values themselves each take one native
+    * ln() per engine; the coarse quantum leaves ~100 ulps of margin
+    * against libm differences at a rounding boundary (it cannot make
+    * cross-engine float agreement a hard guarantee — nothing can).
     *
-    * Scale shape: one corpus pass builds both count tables (the target
-    * counts are a filtered partial of the same exploded frame); the
-    * log-ratio table is ≤ 8192 rows and BROADCASTS, so per-doc scoring
-    * is a map-side join + integer partial-agg — no corpus-keyed shuffle
+    * Scale shape: ONE corpus aggregation builds both count tables — the
+    * target count is a conditional count riding the same exchange as
+    * the raw count — and the grand totals derive from the ≤ 8192-row
+    * bucket table, not from re-aggregating the corpus. The log-ratio
+    * table BROADCASTS, so per-doc scoring is a map-side join + integer
+    * partial-agg — the exploded corpus is read exactly twice (count
+    * pass + scoring pass) and never shuffled on a corpus-sized key
     * beyond the doc_id combine. At 100 TB the bucket tables are still
     * 8192 rows: this is the whole point of DSIR's hashed features. */
   val dsirWeights: NamedQuery = NamedQuery("q168_dsir_weights",
@@ -479,17 +486,16 @@ object CurationOps {
            |    list_transform(range(1, len(ws)),
            |      i -> 'b' || substr(md5(ws[i] || ' ' || ws[i+1]), 1, 3))
            |  )) AS f FROM w),
-           |raw AS (SELECT f, count(*) AS cr FROM f GROUP BY f),
-           |tgt AS (SELECT f, count(*) AS ct FROM f WHERE lang = 'en'
-           |        GROUP BY f),
-           |tot AS (SELECT (SELECT sum(cr) FROM raw) AS br,
-           |               (SELECT sum(ct) FROM tgt) AS bt),
-           |lr AS (SELECT raw.f,
-           |    CAST(round((ln(coalesce(ct, 0) + 1) - ln(bt + 8192.0)
-           |      - ln(cr + 1) + ln(br + 8192.0)) * 1e6) AS BIGINT)
-           |      AS lr_micro
-           |  FROM raw LEFT JOIN tgt USING (f), tot)
-           |SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS dsir_w
+           |cnt AS (SELECT f, count(*) AS cr,
+           |        count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+           |        FROM f GROUP BY f),
+           |tot AS (SELECT sum(cr) AS br, sum(ct) AS bt FROM cnt),
+           |lr AS (SELECT cnt.f,
+           |    CAST(round((ln(ct + 1) - ln(bt + 8192.0)
+           |      - ln(cr + 1) + ln(br + 8192.0)) * 1e4) AS BIGINT)
+           |      AS lr_q
+           |  FROM cnt, tot)
+           |SELECT doc_id, CAST(sum(lr_q) AS BIGINT) AS dsir_w
            |FROM f JOIN lr USING (f) GROUP BY doc_id""".stripMargin),
     (s, d) => {
       val feats = t(s, d, "documents")
@@ -501,19 +507,21 @@ object CurationOps {
             "slice(ws, 2, size(ws) - 1), " +
             "(a, b) -> 'b' || substr(md5(a || ' ' || b), 1, 3))")))
           .as("f"))
-      val raw = feats.groupBy("f").agg(count(lit(1)).as("cr"))
-      val tgt = feats.filter(col("lang") === "en")
-        .groupBy("f").agg(count(lit(1)).as("ct"))
-      val brTot = raw.agg(sum("cr").as("br"))
-      val btTot = tgt.agg(sum("ct").as("bt"))
-      val lr = raw.join(tgt, Seq("f"), "left").na.fill(0L, Seq("ct"))
-        .crossJoin(brTot).crossJoin(btTot)
+      // both count tables off ONE aggregation of the exploded corpus
+      // (the en-slice count is a conditional count in the same agg —
+      // a second filtered groupBy could not reuse this exchange and
+      // re-exploding the corpus per table was the dominant cost)
+      val counts = feats.groupBy("f").agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      // grand totals fold the ≤ 2×4096-row bucket table, not the corpus
+      val tot = counts.agg(sum("cr").as("br"), sum("ct").as("bt"))
+      val lr = counts.crossJoin(tot)
         .select(col("f"),
           round((log(col("ct") + 1) - log(col("bt") + lit(8192.0))
-            - log(col("cr") + 1) + log(col("br") + lit(8192.0))) * 1e6)
-            .cast("long").as("lr_micro"))
+            - log(col("cr") + 1) + log(col("br") + lit(8192.0))) * 1e4)
+            .cast("long").as("lr_q"))
       feats.join(broadcast(lr), Seq("f"))
-        .groupBy("doc_id").agg(sum("lr_micro").as("dsir_w"))
+        .groupBy("doc_id").agg(sum("lr_q").as("dsir_w"))
     })
 
   /** Deterministic train/val/test holdout split — 80/10/10 by a salted
@@ -529,7 +537,7 @@ object CurationOps {
     * pipelines inside the scan and typically feeds a partitioned
     * write; zero shuffle. */
   val holdoutSplit: NamedQuery = NamedQuery("q170_holdout_split",
-    Some("""WITH h AS (SELECT doc_id, lang,
+    Some("""WITH h AS (SELECT doc_id,
            |  substr(md5(CAST(doc_id AS VARCHAR) || ':split1'), 1, 4)
            |    AS hx FROM documents)
            |SELECT doc_id,

@@ -669,7 +669,7 @@ object TextOps {
            |  CAST(sum(tok_bpe) AS BIGINT) AS tok_bpe,
            |  CAST(sum(n_chars) AS BIGINT) AS chars,
            |  round(sum(tok_bpe) * 1.0 / sum(tok_ws), 4) AS fertility,
-           |  round(sum(n_chars) * 1.0 / sum(tok_bpe), 4)
+           |  round(sum(n_chars) * 1.0 / nullif(sum(tok_bpe), 0), 4)
            |    AS chars_per_tok
            |FROM m GROUP BY lang, source""".stripMargin),
     (s, d) => t(s, d, "documents").select(col("lang"), col("source"),
@@ -682,7 +682,12 @@ object TextOps {
         sum("tok_ws").as("tok_ws"), sum("tok_bpe").as("tok_bpe"),
         sum("n_chars").as("chars"),
         round(sum("tok_bpe") * 1.0 / sum("tok_ws"), 4).as("fertility"),
-        round(sum("n_chars") * 1.0 / sum("tok_bpe"), 4)
+        // a group whose text has no [a-z0-9] runs sums tok_bpe to 0;
+        // guard the divisor on BOTH sides (nullif above) so each engine
+        // yields NULL — Spark's Divide nulls on /0 while DuckDB's IEEE
+        // float division returns inf, which would break oracle parity
+        round(when(sum("tok_bpe") =!= 0,
+          sum("n_chars") * 1.0 / sum("tok_bpe")), 4)
           .as("chars_per_tok")))
 
   def defs: Seq[NamedQuery] =
