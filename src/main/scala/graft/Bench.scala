@@ -72,11 +72,18 @@ object Bench {
     // (GC + contention); the median is robust to a contended repeat in
     // either direction (best-of-N understates under systematic load)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "5").toInt
-    // Load sentinel: a fixed tiny query timed at basket start/middle/end.
-    // Two rounds running the driver artifact was contention-soaked and
-    // every regression triage burned a round-trip; calibration drift >2×
-    // within one run flags the artifact itself as contended instead of
-    // leaving host-load forensics to be re-derived after the fact.
+    // Load sentinel: a fixed tiny query interleaved with the basket.
+    // Two rounds the committed artifact was contention-soaked and every
+    // regression triage burned a round-trip; r10's start/mid/end
+    // sentinel DETECTED the ramp but could not defend against it — the
+    // five late-basket rows printed as uncertifiable 2.4-5.2× apparent
+    // regressions. The artifact now defends itself: every query carries
+    // the max of its two bracketing sentinel readings as a per-query
+    // load stamp, and rows stamped >2× the quietest sentinel observed
+    // anywhere in the run are RE-MEASURED on additional passes (keeping
+    // whichever measurement came from the quieter window) until the
+    // whole basket is certified quiet or the pass budget is exhausted —
+    // only then does the artifact print contended:true.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries("q05_agg_global")(spark, "/root/testdata/sf0.001")
@@ -85,8 +92,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // untimed: the sentinel must not measure its own codegen
-    val calStart = calibrate()
-    var calMid = calStart
     // corpus-level shared stages (e.g. the shingle index q41/q42 both
     // read): timed as their own entries; re-warmed (untimed) after each
     // cache-clear so per-query numbers measure the pass itself.
@@ -97,10 +102,9 @@ object Bench {
     // index), where the first pass carries cold-JVM cost.
     val stageFirst = scala.collection.mutable.Map.empty[String, Double]
     val stageMin = scala.collection.mutable.Map.empty[String, Double]
-    val results = benchSet.zipWithIndex.map { case (name, qIdx) =>
-      if (qIdx == benchSet.size / 2) calMid = calibrate()
+    def measure(name: String): Vector[Double] = {
       val shared = SparkEntry.benchSharedStages.get(name)
-      val times = (1 to repeats).map { _ =>
+      (1 to repeats).map { _ =>
         shared.foreach { case (stage, warm) =>
           val s0 = System.nanoTime()
           try warm(spark, sfDir)
@@ -120,9 +124,46 @@ object Bench {
         // repeats would measure cache hits, not the operator
         finally spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times
+      }.toVector.sorted
     }
+    // chosen measurement + its load stamp per query; sentinel cadence 4
+    val chosen = scala.collection.mutable.Map
+      .empty[String, (Vector[Double], Double)]
+    val allCals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    var pass = 0
+    var calStart = 0.0; var calMid = 0.0; var calEnd = 0.0
+    var quiet = false
+    while (!quiet && pass < maxPasses) {
+      pass += 1
+      val floor = if (allCals.isEmpty) Double.MaxValue else allCals.min
+      val toRun =
+        if (pass == 1) benchSet
+        else benchSet.filter(n => chosen(n)._2 > 2.0 * floor)
+      var prevCal = calibrate(); allCals += prevCal
+      if (pass == 1) calStart = prevCal
+      val mid = toRun.size / 2
+      toRun.grouped(4).zipWithIndex.foreach { case (group, gi) =>
+        if (pass == 1 && gi * 4 <= mid && mid < gi * 4 + group.size)
+          calMid = prevCal
+        val ms = group.map(n => n -> measure(n))
+        val nextCal = calibrate(); allCals += nextCal
+        // a query's stamp is the LOUDER of its two bracketing sentinels
+        // — a ramp that starts mid-group still taints the whole group
+        val stamp = math.max(prevCal, nextCal)
+        prevCal = nextCal
+        ms.foreach { case (n, ts) =>
+          if (!chosen.get(n).exists(_._2 <= stamp)) chosen(n) = (ts, stamp)
+        }
+      }
+      if (pass == 1) calEnd = prevCal
+      val fl = allCals.min
+      quiet = benchSet.forall(n => chosen(n)._2 <= 2.0 * fl)
+      if (!quiet && pass < maxPasses)
+        System.err.println(s"[bench] pass $pass contended (floor=$fl, " +
+          s"loud=${benchSet.count(n => chosen(n)._2 > 2.0 * fl)}); re-running")
+    }
+    val results = benchSet.map(n => n -> chosen(n)._1)
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts(ts.size / 2) }
       .mkString("{", ",", "}")
@@ -133,12 +174,14 @@ object Bench {
       "\"" + k + "\":[" + r3(ts.head) + "," + r3(ts(ts.size / 2)) + "," +
         r3(ts.last) + "]"
     }.mkString("{", ",", "}")
-    val calEnd = calibrate()
-    val cals = Seq(calStart, calMid, calEnd)
-    val contended = cals.max / math.max(cals.min, 1e-9) > 2.0
+    val calFloor = allCals.min
+    val contended = !quiet
+    // per-query load stamps: each row is certifiable on its own terms
+    val calQ = benchSet.map(n => "\"" + n + "\":" + r3(chosen(n)._2))
+      .mkString("{", ",", "}")
     val calibration =
       s"""{"start":${r3(calStart)},"mid":${r3(calMid)},"end":${r3(calEnd)},""" +
-        s""""contended":$contended}"""
+        s""""floor":${r3(calFloor)},"passes":$pass,"contended":$contended}"""
     val stages = stageFirst.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val stagesMin = stageMin.toSeq.sortBy(_._1)
@@ -148,7 +191,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spreads,"stages":$stages,"stages_min":$stagesMin,""" +
-        s""""calibration":$calibration,"sf":"$sfDir"}"""
+        s""""calibration":$calibration,"cal_per_query":$calQ,""" +
+        s""""sf":"$sfDir"}"""
     // the FULL artifact (spreads + stages) goes to the file; stdout gets
     // a COMPACT line — the driver tail-captures stdout with a bounded
     // buffer, and the r9 full line overran it (parsed:null). Rounded
