@@ -34,6 +34,11 @@ object BucketedOps {
     * and both tables of a co-located pair MUST agree on it. */
   val BucketCount = 32
 
+  /** Buckets for the minute rollup — far fewer distinct rows than the
+    * fact layouts (minutes × types), and [[LayoutMaintenance]] appends
+    * one file per touched bucket per delta fold. */
+  val RollupBuckets = 8
+
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (String, String)]
 
@@ -139,11 +144,10 @@ object BucketedOps {
       val suf = s"${ProcessHandle.current.pid}_" +
         d.replaceAll("[^a-zA-Z0-9]", "_")
       val tevr = s"bk_evr_$suf"
+      // projection shared with the O(delta) CDC fold (LayoutMaintenance)
       writeBucketed(
-        t(s, d, "events")
-          .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
-          .agg(count(lit(1)).as("n"), sum("value").as("sv")),
-        tevr, Seq("event_type"), buckets = 8,
+        LayoutMaintenance.minutePartials(t(s, d, "events")),
+        tevr, Seq("event_type"), buckets = RollupBuckets,
         sortCols = Seq("event_type", "m"))
       sys.addShutdownHook {
         try s.sql(s"DROP TABLE IF EXISTS $tevr")
@@ -173,13 +177,9 @@ object BucketedOps {
       val suf = s"${ProcessHandle.current.pid}_" +
         d.replaceAll("[^a-zA-Z0-9]", "_")
       val tdoc = s"bk_dt_$suf"
+      // projection shared with the O(delta) CDC fold (LayoutMaintenance)
       writeBucketed(
-        t(s, d, "documents")
-          .filter(col("lang").isNotNull)
-          .select(col("doc_id"), col("lang"),
-            graft.functions.TokenCount.tokenCount(col("text")).as("tok"))
-          .withColumn("b", floor(col("doc_id") / 8192L))
-          .filter(col("b").isNotNull),
+        LayoutMaintenance.manifestRows(t(s, d, "documents")),
         tdoc, Seq("lang", "b"), sortCols = Seq("lang", "b", "doc_id"))
       sys.addShutdownHook {
         try s.sql(s"DROP TABLE IF EXISTS $tdoc")
@@ -457,7 +457,11 @@ object BucketedOps {
            |FROM events GROUP BY 1, 2""".stripMargin),
     (s, d) => s.table(eventsMinuteRollup(s, d))
       .groupBy(col("event_type"), date_trunc("hour", col("m")).as("h"))
-      .agg(sum("n").as("n"), round(sum("sv"), 2).as("sum_v")),
+      .agg(sum("n").as("n"), round(sum("sv"), 2).as("sum_v"))
+      // no-op on a freshly-written rollup; on a fold-maintained one
+      // (LayoutMaintenance) it drops hours whose events were all
+      // deleted — signed partials net such groups to count 0
+      .filter(col("n") =!= 0),
     conf = NoAqe)
 
   /** Warm hook for Bench (events layout), mirroring [[warmLayout]]. */

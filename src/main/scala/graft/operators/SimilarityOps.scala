@@ -159,8 +159,18 @@ object SimilarityOps {
     * best neighbor directly — no candidate-pair rows materialize and no
     * second Window shuffle (the join-then-rank formulation copies both
     * 64-float arrays into every pair row; clustered corpora skew buckets,
-    * making that materialization the dominant cost). No oracle
-    * (approximate by construction); rows-only check + PipelineSpec. */
+    * making that materialization the dominant cost).
+    *
+    * MULTI-PROBE (r11): a vector alone in its bucket used to get no
+    * neighbor at all — the sole source of coverage < 1 in the q121
+    * audit. Singletons now also PROBE the p buckets at Hamming
+    * distance 1 (each probe row competes against the probed bucket's
+    * home members, the standard multi-probe direction; home members
+    * never see probe rows as candidates). Only singletons fan out, so
+    * the blowup is p × (singleton fraction) ≈ nothing, and the final
+    * per-vector argmax over probe results is a shuffle of bare
+    * (id, nn, cos) triples. No oracle (approximate by construction);
+    * q121 coverage/bounds/gap audit + PipelineSpec recall law. */
   val annLsh: NamedQuery = NamedQuery("q46_ann_lsh", None,
     (s, d) => {
       val spark = s
@@ -168,27 +178,42 @@ object SimilarityOps {
       val e = t(s, d, "embeddings")
       val est = NamedQuery.estimatedRows(
         e.select("vec_id", "embedding"), 64 * 4 + 8)
+      val p = planeCount(est)
       val rnd = new Random(42)
-      val hyper = Array.fill(planeCount(est), 64)(rnd.nextGaussian())
-      e.select(col("vec_id"), col("embedding"),
-          graft.functions.HyperplaneBucket
-            .hyperplaneBucket(col("embedding"), hyper).as("bucket"))
-        .as[(Long, Array[Float], Int)]
+      val hyper = Array.fill(p, 64)(rnd.nextGaussian())
+      val bucketed = e.select(col("vec_id"), col("embedding"),
+        graft.functions.HyperplaneBucket
+          .hyperplaneBucket(col("embedding"), hyper).as("bucket"))
+      // bucket occupancy rides the same bucket-keyed exchange shape;
+      // only size-1 buckets' vectors emit probe rows
+      val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("bcnt"))
+      bucketed.join(sizes, Seq("bucket"))
+        .select(col("vec_id"), col("embedding"), col("bucket"), col("bcnt"))
+        .as[(Long, Array[Float], Int, Long)]
+        .flatMap { case (id, v, bk, cnt) =>
+          val home = Iterator((id, v, bk, true))
+          if (cnt > 1L) home
+          else home ++ (0 until p).iterator
+            .map(k => (id, v, bk ^ (1 << k), false))
+        }
         .groupByKey(_._3)
         .flatMapGroups { (_, it) =>
           val arr = it.toArray
-          val norms = arr.map { case (_, v, _) =>
+          val norms = arr.map { case (_, v, _, _) =>
             var s2 = 0.0; var i = 0
             while (i < v.length) { s2 += v(i).toDouble * v(i); i += 1 }
             math.sqrt(s2)
           }
+          // candidates are the bucket's HOME members only
+          val mem = arr.indices.filter(arr(_)._4).toArray
           arr.indices.iterator.flatMap { i =>
-            val (ida, va, _) = arr(i)
+            val (ida, va, _, _) = arr(i)
             var bestId = -1L
             var bestCos = Double.MinValue
-            var j = 0
-            while (j < arr.length) {
-              if (j != i) {
+            var mj = 0
+            while (mj < mem.length) {
+              val j = mem(mj)
+              if (arr(j)._1 != ida) {
                 val vb = arr(j)._2
                 var dot = 0.0; var k = 0
                 val m = math.min(va.length, vb.length)
@@ -201,11 +226,18 @@ object SimilarityOps {
                   bestCos = cos; bestId = arr(j)._1
                 }
               }
-              j += 1
+              mj += 1
             }
             if (bestId >= 0) Some((ida, bestId, bestCos)) else None
           }
-        }.toDF("vec_id", "nn", "cos_sim")
+        }
+        // non-singletons produce exactly one candidate triple; a
+        // singleton's p probes reduce to its global best here
+        .groupByKey(_._1)
+        .reduceGroups((a, b) =>
+          if (a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)) a else b)
+        .map(_._2)
+        .toDF("vec_id", "nn", "cos_sim")
     })
 
   /** IVF cell count ≈ √N — the classical sizing: with nprobe cells
@@ -293,14 +325,15 @@ object SimilarityOps {
 
   /** Oracle-checked audit of the LSH ANN pass against the exact
     * nearest-neighbor baseline: the corpus count hash-matches outright;
-    * nearly every vector must receive a neighbor (coverage ≥ 0.95 — a
-    * singleton bucket yields none, and coverage is measured over the
-    * WHOLE corpus from the LSH output itself); no reported similarity
-    * may beat the true best (beyond 4-dp rounding); and the mean
-    * reported similarity must stay within 0.2 of the mean true best
-    * (measured gap ≈ 0.11 on the near-random synthetic embeddings —
-    * real clustered corpora do far better; the floor pins the pass from
-    * collapsing). The exact side runs only for a FIXED 100-query probe
+    * every vector must receive a neighbor (coverage ≥ 0.99, measured over
+    * the WHOLE corpus from the LSH output itself — multi-probe lifted
+    * measured coverage to 1.0 at sf0.001/0.01/0.1, AnnFloorProbe r11);
+    * no reported similarity may beat the true best (beyond 4-dp
+    * rounding); and the mean reported similarity must stay within 0.17
+    * of the mean true best (measured gap 0.104-0.136 across tiers on
+    * the near-random synthetic embeddings — real clustered corpora do
+    * far better; the bound sits half the old margin above the worst
+    * measured tier, close enough to catch a real quality regression). The exact side runs only for a FIXED 100-query probe
     * set (the 100 smallest vec_ids): O(100·n) with the probes
     * broadcast, so the audit stays runnable at every scale tier — the
     * round-3 all-pairs formulation was O(n²) and died past sf0.1. */
@@ -322,7 +355,7 @@ object SimilarityOps {
       val lsh = annLsh.fn(s, d).select("vec_id", "cos_sim").cache()
       val cov = e.join(lsh, Seq("vec_id"), "left_outer").agg(
         count(lit(1)).as("n_vecs"),
-        (count(col("cos_sim")) * 1.0 >= count(lit(1)) * 0.95)
+        (count(col("cos_sim")) * 1.0 >= count(lit(1)) * 0.99)
           .as("coverage_ok"))
       // coalesce to false: if NO probe received an LSH neighbor, the
       // aggregates are all-NULL and the audit must FAIL, not null out
@@ -330,7 +363,7 @@ object SimilarityOps {
         .agg(
           coalesce(max(col("cos_sim") - col("best_cos")) <= 1e-3,
             lit(false)).as("bounds_ok"),
-          coalesce(avg(col("cos_sim")) >= avg(col("best_cos")) - 0.2,
+          coalesce(avg(col("cos_sim")) >= avg(col("best_cos")) - 0.17,
             lit(false)).as("gap_ok"))
       cov.crossJoin(samp)
         .select("n_vecs", "coverage_ok", "bounds_ok", "gap_ok")
@@ -338,9 +371,11 @@ object SimilarityOps {
 
   /** Oracle-checked audit of the IVF ANN pass: each of the 10 probe
     * queries must return a full top-10; mean recall@10 against the
-    * brute-force exact top-10 must stay ≥ 0.15 (measured ≈ 0.45 on the
-    * near-random synthetic embeddings, whose neighbors barely cluster —
-    * the floor pins the index from degenerating to noise); and no
+    * brute-force exact top-10 must stay ≥ 0.25 (measured 0.38-0.47
+    * across tiers on the near-random synthetic embeddings, whose
+    * neighbors barely cluster — AnnFloorProbe r11; the floor sits half
+    * the old margin below the worst tier, so it catches a real index
+    * regression instead of only total collapse); and no
     * reported similarity may beat the query's true best. */
   val annIvfAudit: NamedQuery = NamedQuery("q122_ann_ivf_audit",
     Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, true AS rows_ok,
@@ -373,7 +408,7 @@ object SimilarityOps {
           max(when(col("in_exact"), col("cos"))).as("true_best"))
       perQ.agg(count(lit(1)).as("n_queries"),
         (min(col("n_ivf")) === 10).as("rows_ok"),
-        (avg(col("n_hit")) >= 1.5).as("recall_ok"),
+        (avg(col("n_hit")) >= 2.5).as("recall_ok"),
         (max(col("ivf_best") - col("true_best")) <= 1e-3).as("bounds_ok"))
     })
 

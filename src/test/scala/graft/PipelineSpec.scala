@@ -93,12 +93,15 @@ class PipelineSpec extends SparkSpec {
       .select("qid", "neighbor")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall@10 $recall")
+    assert(recall >= 0.35, s"recall@10 $recall") // measured 0.44 (r11)
   }
 
-  test("lsh ann returns a best neighbor per probed vector") {
+  test("lsh ann returns exactly one best neighbor per corpus vector " +
+    "(multi-probe: singleton buckets probe Hamming-1 neighbors)") {
     val nn = run("q46_ann_lsh")
     assert(nn.groupBy("vec_id").count().agg(max("count")).head().getLong(0) == 1)
+    val nVecs = Tables.t(spark, sf, "embeddings").count()
+    assert(nn.count() == nVecs, "multi-probe coverage must be total here")
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {
