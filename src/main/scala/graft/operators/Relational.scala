@@ -156,12 +156,18 @@ object Relational {
       // scan + one 32-row exchange: tiny-exchange NoAqe profile
       // (AqeProbe sf10 interleaved: 0.51 -> 0.29 s), and coarse splits —
       // the 4-column double read decodes far fewer bytes than the file
-      // footprint the splitter sizes tasks by, so 32m over-fragments it
-      // (Sweep06: 128m 0.268 s vs 32m 0.378 s). The reference's task
-      // partitioner makes the same per-query granularity choice
-      // (task_partitioner.cpp: row-group vs range vs single-task).
+      // footprint the splitter sizes tasks by, so small splits
+      // over-fragment it into task-launch constants. Q05Probe r11 sweep
+      // (sf10, med-of-7): 32m 0.38, 128m 0.31, 256m 0.27, 512m 0.25,
+      // 1g/2g/8g 0.25-0.27 s — flat past 256m, so the residual over
+      // DuckDB (0.16 s) is the fixed job constant (the empty-data sf0.1
+      // run costs 0.19 s by itself). 512m is the knee: ~45 tasks at the
+      // sf100 decade tier keeps 32 cores fed while amortizing launch
+      // cost. The reference's task partitioner makes the same per-query
+      // granularity choice (task_partitioner.cpp: row-group vs range vs
+      // single-task short-circuit).
       conf = NamedQuery.NoAqe +
-        ("spark.sql.files.maxPartitionBytes" -> "128m")),
+        ("spark.sql.files.maxPartitionBytes" -> "512m")),
 
     // -- the driver-contract example ---------------------------------------
     NamedQuery("q1_agg",

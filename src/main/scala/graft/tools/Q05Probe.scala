@@ -62,6 +62,12 @@ object Q05Probe {
         "spark.sql.files.openCostInBytes" -> "1g")) {
       med("d_q05_sf10_single_task")(q05(sf10))
     }
+    Seq("256m", "512m", "1g", "2g").foreach { mpb =>
+      graft.operators.NamedQuery.withConf(spark,
+        Map("spark.sql.files.maxPartitionBytes" -> mpb)) {
+        med(s"e_q05_sf10_$mpb")(q05(sf10))
+      }
+    }
     spark.stop()
   }
 }
