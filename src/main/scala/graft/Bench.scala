@@ -48,6 +48,18 @@ object Bench {
       // (Sweep06). Production rule: maxPartitionBytes ≤ file size so a
       // scan fans out to ≥ the core count.
       .config("spark.sql.files.maxPartitionBytes", "32m")
+      // shuffle files are only reclaimed when the driver GCs the stage
+      // objects (ContextCleaner); with a 24g heap and a multi-query
+      // session, full GCs are rare enough that a decade-tier basket
+      // accumulated 37 GB of dead shuffle files and ENOSPC'd q42 at
+      // sf100 (r11). The default periodicGC is 30min — longer than the
+      // whole basket; 2min bounds dead-shuffle residency at tier scale.
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      // zstd shuffle/spill blocks are ~35% smaller than lz4 for the
+      // dedup queries' hash-key streams; at the decade tier q42's
+      // verification spill is disk-bound, and the codec is a
+      // context-level conf (not settable per-query via SQLConf)
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -146,7 +158,16 @@ object Bench {
       toRun.grouped(4).zipWithIndex.foreach { case (group, gi) =>
         if (pass == 1 && gi * 4 <= mid && mid < gi * 4 + group.size)
           calMid = prevCal
-        val ms = group.map(n => n -> measure(n))
+        val ms = group.map { n =>
+          val r = n -> measure(n)
+          // between queries (untimed): ContextCleaner only reclaims a
+          // query's shuffle files after the driver GCs its stage
+          // objects; without this the decade-tier basket accumulates
+          // the whole session's dead shuffles and ENOSPCs (r11: 37 GB
+          // of dead blockmgr files killed q42 at sf100 twice)
+          System.gc()
+          r
+        }
         val nextCal = calibrate(); allCals += nextCal
         // a query's stamp is the LOUDER of its two bracketing sentinels
         // — a ramp that starts mid-group still taints the whole group

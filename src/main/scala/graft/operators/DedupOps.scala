@@ -147,37 +147,74 @@ object DedupOps {
         .select(col("id_a"), col("id_b"), round(jac, 3).as("jaccard"))
     })
 
+  /** Candidate generation for q42, STAGED to parquet: signatures →
+    * banding → banded bucket equi-join → distinct pairs, written as a
+    * compact two-long-per-pair artifact and read back cold. Staging
+    * (instead of the r8 `.cache()`) serves two needs at once: the
+    * candidate set still feeds multiple verification consumers without
+    * re-running the signature pipeline (the cache's original job —
+    * measured 65× superlinear without either), AND the write-read
+    * barrier ends the generation lineage, so the generation shuffles
+    * (signature groupBy, band join, distinct) become reclaimable while
+    * verification runs. The one-action formulation held every one of
+    * those on disk SIMULTANEOUSLY with the verification join's own
+    * spill — measured >60 GB transient at the sf100 tier, ENOSPC on a
+    * 63 GB-free box. Peak disk is now max(generation, verification),
+    * not their sum — the same pay-once staging discipline as the
+    * persisted shingle index. */
+  private[graft] def stageCandidates(s: SparkSession, d: String,
+      sh: DataFrame): String = {
+    val numHashes = 32
+    val bands = 8
+    val rowsPerBand = numHashes / bands
+    // Repartition on doc_id BEFORE the signature aggregation. The
+    // shared index comes out of the hot-shingle anti-join partitioned
+    // by SHINGLE, so each document's rows are scattered across every
+    // partition and the partial aggregate emits one 32-long buffer per
+    // (doc × partition) — event-log accounting at sf100: 50.6 GB of
+    // shuffle for what is logically 5M signatures (the ENOSPC root
+    // cause). Exchanging the raw 16-byte index rows first costs ~1/10
+    // of that, and the doc-clustered input then collapses partial
+    // output to ONE buffer per document, with the final aggregate
+    // riding the same partitioning exchange-free.
+    val sig = sh.repartition(col("doc_id")).groupBy("doc_id").agg(
+      graft.functions.MinHashSignature.minhashSignature(col("s"), numHashes)
+        .as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      val bandSlice = slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+      struct(lit(b).as("band"), xxhash64(bandSlice).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = buckets.toDF("id_a", "band", "bh")
+      .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val base = s"${sys.props("java.io.tmpdir")}/graft_q42_cand_" +
+      s"${ProcessHandle.current.pid}_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+    cand.write.mode("overwrite").parquet(base)
+    // shuffle files are reclaimed only after their stage objects are
+    // GC'd (ContextCleaner); the generation lineage is dead the moment
+    // this method returns, so collect it NOW — verification's spill
+    // needs the disk back before the 2-minute periodic GC would fire
+    System.gc()
+    base
+  }
+
   /** MinHash + LSH: 32 signature slots (min over xxhash64(seed, shingle)),
-    * 8 bands × 4 rows. Docs colliding in any band become candidates;
-    * candidates are verified with exact Jaccard. The candidate join is on
+    * 8 bands × 4 rows. Docs colliding in any band become candidates
+    * ([[stageCandidates]] — generation is staged to parquet so its
+    * shuffles don't share peak disk with verification); candidates are
+    * verified with exact Jaccard. The candidate join is on
     * (band, band_hash) buckets — no quadratic pair enumeration, which is
     * the whole point at 100 TB. No oracle: signature values depend on
-    * Spark's xxhash64 (rows-only check). */
+    * Spark's xxhash64 (rows-only check); q119 is the oracle-checked
+    * audit twin. */
   val minhashLsh: NamedQuery = NamedQuery("q42_dedup_minhash_lsh", None,
     (s, d) => {
-      val numHashes = 32
-      val bands = 8
-      val rowsPerBand = numHashes / bands
       val sh = sharedShingles(s, d)
-      val sig = sh.groupBy("doc_id").agg(
-        graft.functions.MinHashSignature.minhashSignature(col("s"), numHashes)
-          .as("sig"))
-      val bandCols = (0 until bands).map { b =>
-        val bandSlice = slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-        struct(lit(b).as("band"), xxhash64(bandSlice).as("bh"))
-      }
-      val buckets = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      // cache: the candidate set feeds three consumers (candidate-doc
-      // broadcast, the semi-join, and the final join) — uncached, each
-      // re-runs the whole signature+banding pipeline (measured 65×
-      // superlinear on a 10× corpus; linear with the cache)
-      val cand = buckets.toDF("id_a", "band", "bh")
-        .join(buckets.toDF("id_b", "band", "bh"), Seq("band", "bh"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").distinct()
-        .cache()
+      val cand = s.read.parquet(stageCandidates(s, d, sh))
       // verify candidates with exact Jaccard — restrict the inverted
       // index to candidate docs BEFORE the pair join, so verification
       // cost scales with |candidates|, not with the full corpus
@@ -189,10 +226,23 @@ object DedupOps {
       val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
         .select("doc_id", "s")
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // AGGREGATE the co-occurrence stream BEFORE intersecting with the
+      // candidate set: the r10 formulation semi-joined the raw pair
+      // stream first, which shuffles every (id_a, id_b, shingle)
+      // occurrence uncombined — a dup pair contributes ~|shared
+      // shingles| rows — and ENOSPC'd at the sf100 tier (>40 GB
+      // transient spill). groupBy first rides q41's proven shape
+      // (map-side partial combine compresses occurrences to one row
+      // per pair); the candidate intersection is then an equi-join of
+      // two compact pair tables on the SAME (id_a, id_b) partitioning
+      // — no extra exchange. Inner join, not left_semi: Catalyst's
+      // PushDownLeftSemiAntiJoin would push a semi-join on grouping
+      // keys back below the aggregate, resurrecting the raw-stream
+      // shuffle (cand is distinct, so the inner join cannot fan out).
       val inter = shCand.toDF("id_a", "s").join(shCand.toDF("id_b", "s"), Seq("s"))
         .filter(col("id_a") < col("id_b"))
-        .join(cand, Seq("id_a", "id_b"), "left_semi")
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        .join(cand, Seq("id_a", "id_b"))
       val jac = col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
       inter
         .join(sz.toDF("id_a", "na"), "id_a")

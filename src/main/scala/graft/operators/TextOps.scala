@@ -341,7 +341,17 @@ object TextOps {
       // frame — two 5M-row sorts at sf1. The agg buffers one doc's terms
       // (bounded by doc length), sorts ~150 elements in-memory, and
       // slices — no frame-wide sort, one exchange on doc_id.
-      tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      // shuffle-hash, not sort-merge: the idf join keys on the raw term
+      // STRING, and SMJ pays two frame-wide string sorts for it —
+      // standalone sf100 A/B: 67-69 s SMJ vs 59 s SHJ (~13%);
+      // 512-partition variants unchanged either way, so the residual
+      // decade-tier superlinearity is not spill or join strategy but
+      // the tier's vocabulary itself (MakeBenchTier's per-copy mutation
+      // prefixes grow vocab ~linearly with copies, where a real corpus
+      // follows Heaps' law — BENCH_NOTES r11). The hash build is the
+      // df side — vocab-sized per partition, the smaller side by the
+      // tf multiplicity.
+      tf.join(df.hint("shuffle_hash"), Seq("term")).crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * log(col("nn") * 1.0 / col("df")), 4))
         .groupBy("doc_id").agg(

@@ -1213,6 +1213,38 @@ class EngineSpec extends SparkSpec {
     engine.unregisterTable(t)
   }
 
+  test("layout maintenance LAW: per-commit folds COMPOSE — folding each " +
+    "commit's feed as it lands ≡ one fold of the whole range ≡ rewrite") {
+    import graft.operators.{BucketedOps, LayoutMaintenance}
+    val events = graft.Tables.t(spark, sf, "events")
+    val t = s"lay_seq_${System.nanoTime()}"
+    val layInc = s"lay_seq_inc_${System.nanoTime()}"
+    val layFull = s"lay_seq_full_${System.nanoTime()}"
+    engine.registerTable(t, events.filter(col("event_id") >= 60))
+    BucketedOps.writeBucketed(
+      LayoutMaintenance.minutePartials(engine.table(t)), layInc,
+      Seq("event_type"), buckets = BucketedOps.RollupBuckets,
+      sortCols = Seq("event_type", "m"))
+    engine.insertInto(t, events.filter(col("event_id") < 30))            // v1
+    engine.deleteFrom(t, col("event_id").between(10, 19))                // v2
+    engine.insertInto(t,
+      events.filter(col("event_id") >= 30 && col("event_id") < 60))     // v3
+    // the ingest cadence: one fold per landed commit, not one per range
+    (0L until 3L).foreach { v =>
+      LayoutMaintenance.foldMinuteDelta(
+        engine.tableChanges(t, v, v + 1), layInc)
+    }
+    BucketedOps.writeBucketed(
+      LayoutMaintenance.minutePartials(engine.table(t)), layFull,
+      Seq("event_type"), buckets = BucketedOps.RollupBuckets,
+      sortCols = Seq("event_type", "m"))
+    val inc = rollupRows(LayoutMaintenance.canonicalRollup(spark, layInc))
+    val full = rollupRows(spark.table(layFull))
+    assert(inc.nonEmpty && inc.sameElements(full))
+    Seq(layInc, layFull).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    engine.unregisterTable(t)
+  }
+
   test("layout maintenance LAW: token-manifest INSERT fold ≡ rewrite; " +
     "a delta with deletes raises instead of corrupting") {
     import graft.operators.{BucketedOps, LayoutMaintenance}
