@@ -23,19 +23,19 @@ object Bench {
     // partition, floored at the core count (sf0.1–sf10 land exactly on
     // the old core-count value, so small-tier artifacts are unchanged).
     // SPARK_GRAFT_SHUFFLE overrides for experiments.
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", {
+    val tierBytes = {
       val dir = java.nio.file.Paths.get(sfDir)
-      val tierBytes =
-        if (!java.nio.file.Files.isDirectory(dir)) 0L
-        else {
-          val s = java.nio.file.Files.walk(dir)
-          try s.filter(java.nio.file.Files.isRegularFile(_))
-            .mapToLong(java.nio.file.Files.size(_)).sum()
-          finally s.close()
-        }
+      if (!java.nio.file.Files.isDirectory(dir)) 0L
+      else {
+        val s = java.nio.file.Files.walk(dir)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.max(cpus.toInt, math.min(2048L,
-        tierBytes / (128L << 20) + 1).toInt).toString
-    })
+        tierBytes / (128L << 20) + 1).toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -54,12 +54,20 @@ object Bench {
       // accumulated 37 GB of dead shuffle files and ENOSPC'd q42 at
       // sf100 (r11). The default periodicGC is 30min — longer than the
       // whole basket; 2min bounds dead-shuffle residency at tier scale.
-      .config("spark.cleaner.periodicGC.interval", "2min")
-      // zstd shuffle/spill blocks are ~35% smaller than lz4 for the
-      // dedup queries' hash-key streams; at the decade tier q42's
-      // verification spill is disk-bound, and the codec is a
-      // context-level conf (not settable per-query via SQLConf)
-      .config("spark.io.compression.codec", "zstd")
+      .config("spark.cleaner.periodicGC.interval", sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
+      // Tier-adaptive shuffle codec. zstd blocks are ~35% smaller than
+      // lz4 for the dedup queries' hash-key streams — at the decade
+      // tier q42's verification spill is disk-bound, so the smaller
+      // blocks are the difference between finishing and ENOSPC. But at
+      // the committed small tiers nothing spills and zstd's extra CPU
+      // is a pure tax on every shuffle block (r11 A/B at sf0.1: +4-10%
+      // on the shuffle-heavy rows). The codec is context-level (not
+      // settable per-query via SQLConf), so pick by tier size: disk
+      // pressure only exists when the tier is within ~2 decades of
+      // free disk. SPARK_GRAFT_CODEC overrides for experiments.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC",
+          if (tierBytes >= (4L << 30)) "zstd" else "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
