@@ -88,7 +88,8 @@ object SparkEntry {
     "q44_embedding_neardup", "q45_ann_topk", "q47_text_tokens",
     "q94_percentiles_approx", "q56_percentiles", "q97_shard_packing",
     "q57_events_sessions", "q58_asof_join",
-    "q46_ann_lsh", "q68_tpch_q3", "q69_tpch_q5", "q123_curation_pipeline",
+    "q46_ann_lsh", "q171_dedup_then_ann",
+    "q68_tpch_q3", "q69_tpch_q5", "q123_curation_pipeline",
     "q130_passage_dedup", "q138_tfidf", "q140_range_join",
     "q154_join_agg_bucketed", "q155_tpch_q3_bucketed",
     "q156_tpch_q5_bucketed", "q161_events_sessions_bucketed",

@@ -172,12 +172,17 @@ object SimilarityOps {
     * (id, nn, cos) triples. No oracle (approximate by construction);
     * q121 coverage/bounds/gap audit + PipelineSpec recall law. */
   val annLsh: NamedQuery = NamedQuery("q46_ann_lsh", None,
-    (s, d) => {
+    (s, d) => lshOneNN(s,
+      t(s, d, "embeddings").select("vec_id", "embedding"), None))
+
+  /** The q46 engine, reusable over any (vec_id, embedding) frame —
+    * q171 runs it over the SemDeDup representative set. */
+  private[graft] def lshOneNN(s: SparkSession, e: DataFrame,
+      nHint: Option[Long]): DataFrame = {
       val spark = s
       import spark.implicits._
-      val e = t(s, d, "embeddings")
-      val est = NamedQuery.estimatedRows(
-        e.select("vec_id", "embedding"), 64 * 4 + 8)
+      val est = nHint.getOrElse(NamedQuery.estimatedRows(
+        e.select("vec_id", "embedding"), 64 * 4 + 8))
       val p = planeCount(est)
       val rnd = new Random(42)
       val hyper = Array.fill(p, 64)(rnd.nextGaussian())
@@ -238,7 +243,7 @@ object SimilarityOps {
           if (a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)) a else b)
         .map(_._2)
         .toDF("vec_id", "nn", "cos_sim")
-    })
+  }
 
   /** IVF cell count ≈ √N — the classical sizing: with nprobe cells
     * probed, per-query work is nprobe·N/nlist = O(√N). Capped at 4096
@@ -544,7 +549,184 @@ object SimilarityOps {
         .orderBy("vec_id")
     })
 
+  /** SemDeDup grouping stage over IVF cells — the scale-true cluster
+    * assignment (q166 uses the table's coarse `label` so its DuckDB
+    * oracle can replay the partition; 10 labels over a 100 TB corpus
+    * would make the within-group pair join quadratic, so the pipeline
+    * variant groups by the √N k-means cells the library already
+    * builds for q75).
+    *
+    * Oversized-cell guard: duplicate-heavy corpora concentrate copies
+    * into few cells (the exact q46 failure mode at the sf100 decade
+    * tier), so any cell past `cap` is sub-split by hyperplane sign
+    * bits — ceil(log2(csz/cap)) bits, i.e. just enough to bring the
+    * expected group back under cap. Near-identical copies share sign
+    * bits, so a split group still holds its duplicates together (the
+    * dedup pass must see them in one group to drop them); what a split
+    * can miss is only cross-subbucket pairs that were already
+    * borderline under the cosine threshold — the same bounded-recall
+    * trade the LSH band join makes. The guard therefore bounds DIVERSE
+    * hot cells (the k-means-collapse failure mode); copy-concentrated
+    * groups stay large by design and are handled by the keep-first
+    * scan in [[semdedupReps]], whose cost is O(m·kept) per group, not
+    * O(m²). Returns (vec_id, embedding, gkey). */
+  private[graft] def semdedupGroups(s: SparkSession, e: DataFrame,
+      cap: Long = 2048L): DataFrame = {
+    val est = NamedQuery.estimatedRows(
+      e.select("vec_id", "embedding"), 64 * 4 + 8)
+    val cents = ivfCentroids(s, e, ivfNlist(est))
+    val assigned = ivfAssign(e, cents)
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
+    val pMax = 16
+    val rnd = new Random(99L)
+    val hyper = Array.fill(pMax, 64)(rnd.nextGaussian())
+    val sub = graft.functions.HyperplaneBucket
+      .hyperplaneBucket(col("embedding"), hyper)
+    val bits = least(lit(pMax),
+      ceil(log(2.0, col("csz").cast("double") / cap))).cast("int")
+    // gkey = cell ‖ masked sub-bits: cells are < 4096 (ivfNlist cap)
+    // and the mask keeps ≤ pMax sub-bits, so the key packs into a long
+    assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("mask",
+        when(col("csz") <= cap, lit(0))
+          .otherwise(pow(lit(2.0), bits.cast("double")).cast("int") - 1))
+      .select(col("vec_id"), col("embedding"),
+        (col("cell").cast("long") * lit(1L << 17) +
+          (sub.bitwiseAND(col("mask"))).cast("long")).as("gkey"))
+  }
+
+  /** SemDeDup representative set: greedy keep-first scan per group —
+    * members in vec_id order, each compared against the group's KEPT
+    * set only; a vector joins the kept set unless some kept lower-id
+    * mate sits above the cosine threshold. One shuffle on gkey, then
+    * O(m·kept) work per group — on a duplicate-heavy corpus kept ≈
+    * (originals per group), so a 1000-copy group costs ~1000
+    * comparisons where a pair join would materialize ~500k pair rows
+    * (the exact blowup q46 hits on the sf100 decade tier). Greedy
+    * keep-first also yields the audit invariant directly: no two kept
+    * vectors in a group are above-threshold similar, and every
+    * dropped vector has a KEPT lower-id justification. */
+  private[graft] def keepFirst(g: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    g.select("gkey", "vec_id", "embedding")
+      .as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (gk, it) =>
+        val arr = it.toArray.sortBy(_._2)
+        // kept: (id, vec, norm) — the running representative set
+        val kept = scala.collection.mutable
+          .ArrayBuffer.empty[(Long, Array[Float], Double)]
+        arr.iterator.flatMap { case (_, id, v) =>
+          var n2 = 0.0; var i = 0
+          while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+          val nv = math.sqrt(n2)
+          val dup = kept.exists { case (_, kv, kn) =>
+            var dot = 0.0; var j = 0
+            val m = math.min(v.length, kv.length)
+            while (j < m) { dot += v(j).toDouble * kv(j); j += 1 }
+            dot / (nv * kn) > threshold
+          }
+          if (dup) None
+          else { kept += ((id, v, nv)); Some((id, v, gk)) }
+        }
+      }
+      .toDF("vec_id", "embedding", "gkey")
+  }
+  private[graft] def semdedupReps(s: SparkSession, e: DataFrame,
+      threshold: Double = 0.4): DataFrame =
+    keepFirst(semdedupGroups(s, e), threshold)
+
+  /** Dedup-then-ANN: the production composition for duplicate-heavy
+    * corpora. The sf100 decade tier (1000 noisy copies per original)
+    * is exactly where bucketed ANN degrades — near-identical copies
+    * collide in one LSH bucket regardless of plane count, so q46's
+    * in-bucket work grows with the square of the copy multiplicity.
+    * The pipeline answer is to pay the duplicate cost ONCE in a
+    * dedup pass whose per-group cost is O(m·kept), not O(m²), and
+    * search the representative set: SemDeDup over IVF cells
+    * (oversize-split + greedy keep-first) → q46's multi-probe LSH
+    * one-NN over the survivors. Output is one
+    * (vec_id, nn, cos_sim) row per representative. No oracle (k-means
+    * cells + LSH are engine-defined); q172 is the oracle-checked
+    * audit twin. Public method: Abbas et al., SemDeDup (arXiv
+    * 2303.09540) — dedup-before-index is the paper's stated purpose. */
+  val dedupThenAnn: NamedQuery = NamedQuery("q171_dedup_then_ann", None,
+    (s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      // two consumers (bucket + occupancy) plus a count: cache, or the
+      // dedup join re-runs per consumer
+      val reps = semdedupReps(s, e).select("vec_id", "embedding").cache()
+      lshOneNN(s, reps, Some(reps.count()))
+    })
+
+  /** Oracle-checked audit twin of q171 (the q121 pattern): the corpus
+    * count hash-matches outright; the dedup stage must be SOUND (no
+    * surviving within-group pair above the threshold — the engine
+    * re-checks its own output and the oracle pins the verdict column
+    * to true) and COMPLETE (every dropped vector has a lower-id
+    * group-mate above threshold — no over-dropping); every
+    * representative must receive a neighbor (multi-probe coverage,
+    * ≥ 0.99); and on the 100-smallest-rep probe set no reported
+    * similarity may beat the true best among representatives beyond
+    * 4-dp rounding. */
+  val dedupThenAnnAudit: NamedQuery = NamedQuery("q172_dedup_then_ann_audit",
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS dedup_sound,
+           |true AS dedup_complete, true AS coverage_ok, true AS bounds_ok
+           |FROM embeddings""".stripMargin),
+    (s, d) => {
+      val e = t(s, d, "embeddings").select("vec_id", "embedding")
+      val g = semdedupGroups(s, e).cache()
+      val kept = keepFirst(g).cache()
+      val reps = kept.select("vec_id", "embedding")
+      // sound: no two KEPT group-mates above threshold — checked by a
+      // kept×kept pair join (kept sets are small, the join is cheap),
+      // independently of the greedy scan that produced them
+      val ka = kept.select(col("vec_id").as("id_a"), col("gkey"),
+        col("embedding").as("ea"))
+      val kb = kept.select(col("vec_id").as("id_b"), col("gkey"),
+        col("embedding").as("eb"))
+      val sound = ka.join(kb, Seq("gkey"))
+        .filter(col("id_a") < col("id_b") &&
+          cosineSim(col("ea"), col("eb")) > 0.4)
+        .agg(coalesce(count(lit(1)) === 0, lit(true)).as("dedup_sound"))
+      // complete: every dropped vector has a KEPT lower-id group-mate
+      // above threshold (no over-dropping)
+      val dropped = g.join(kept.select("vec_id"), Seq("vec_id"),
+        "left_anti")
+      val justified = dropped
+        .select(col("vec_id").as("id_d"), col("gkey"),
+          col("embedding").as("ed"))
+        .join(ka, Seq("gkey"))
+        .filter(col("id_a") < col("id_d") &&
+          cosineSim(col("ea"), col("ed")) > 0.4)
+        .select(col("id_d").as("vec_id")).distinct()
+      val complete = dropped.select("vec_id")
+        .join(justified, Seq("vec_id"), "left_anti")
+        .agg(coalesce(count(lit(1)) === 0, lit(true))
+          .as("dedup_complete"))
+      val lsh = lshOneNN(s, reps, Some(reps.count()))
+        .select("vec_id", "cos_sim").cache()
+      val cov = e.agg(count(lit(1)).as("n_vecs")).crossJoin(
+        reps.join(lsh, Seq("vec_id"), "left_outer").agg(
+          (count(col("cos_sim")) * 1.0 >= count(lit(1)) * 0.99)
+            .as("coverage_ok")))
+      val probes = reps.orderBy("vec_id").limit(100).toDF("qid", "q_emb")
+      val best = reps.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid")
+        .agg(max(cosineSim(col("q_emb"), col("embedding"))).as("best_cos"))
+      val bounds = best.join(lsh, col("qid") === col("vec_id"), "left_outer")
+        .agg(coalesce(max(col("cos_sim") - col("best_cos")) <= 1e-3,
+          lit(false)).as("bounds_ok"))
+      cov.crossJoin(sound).crossJoin(complete).crossJoin(bounds)
+        .select("n_vecs", "dedup_sound", "dedup_complete",
+          "coverage_ok", "bounds_ok")
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(embeddingNearDup, annTopK, annLsh, annIvf, annLshAudit, annIvfAudit,
-      embeddingClusters, embeddingQuantize, semanticDedup)
+      embeddingClusters, embeddingQuantize, semanticDedup,
+      dedupThenAnn, dedupThenAnnAudit)
 }

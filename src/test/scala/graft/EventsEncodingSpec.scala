@@ -64,14 +64,12 @@ class EventsEncodingSpec extends SparkSpec {
   }
 
   test("inventory size law: the basket can never shrink") {
-    // 166 keys as of round 10 (q161/q162 events-layout, q163
-    // token-manifest packing, q164 rollup fold, q165 BM25, q166
-    // semantic dedup, q167 Gopher gate, q168 DSIR weights, q169
-    // tokenizer fertility, q170 holdout split) — raise this floor
-    // when queries are added, never lower it: a key that stops
+    // 168 keys as of round 11 (q171 dedup-then-ANN pipeline + q172
+    // audit twin, on top of r10's 166) — raise this floor when
+    // queries are added, never lower it: a key that stops
     // resolving or throws at analysis must fail this suite, not
     // silently fall out of the driver basket.
-    assert(SparkEntry.queries.size >= 166,
+    assert(SparkEntry.queries.size >= 168,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
@@ -108,12 +106,13 @@ class EventsEncodingSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported physical type"))
   }
 
-  test("oracle coverage law: only the four engine-defined-hash queries " +
+  test("oracle coverage law: only the five engine-defined-hash queries " +
       "may lack DuckDB oracle SQL") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // each of these carries a green companion audit row (q119-q122)
+    // each of these carries a green companion audit row (q119-q122;
+    // q171's twin is q172)
     assert(noOracle == Set("q42_dedup_minhash_lsh", "q43_dedup_simhash",
-      "q46_ann_lsh", "q75_ann_ivf"),
+      "q46_ann_lsh", "q75_ann_ivf", "q171_dedup_then_ann"),
       s"oracle-less queries drifted: $noOracle — new queries must ship " +
         "with oracleSql or a documented audit twin")
   }

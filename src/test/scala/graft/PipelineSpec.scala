@@ -156,6 +156,27 @@ class PipelineSpec extends SparkSpec {
     assert(maxOcc <= 20L * (10 * n) / nlist, s"hot cell $maxOcc rows")
   }
 
+  test("semdedup keep-first collapses a duplicate-heavy corpus to " +
+    "~original size (the q46 decade-tier failure mode, paid once)") {
+    import graft.operators.SimilarityOps
+    val sf01 = "/root/testdata/sf0.01"
+    val e = Tables.t(spark, sf01, "embeddings").select("vec_id", "embedding")
+    val n = e.count()
+    // 10 noisy copies per original (cos ≈ 1 within a copy group):
+    // dedup must collapse the 10× corpus back to ≈ the original count
+    val reps = SimilarityOps.semdedupReps(spark, corpus10x(e))
+    val kept = reps.count()
+    assert(kept <= (1.5 * n).toLong,
+      s"dedup kept $kept of ${10 * n} — copy groups not collapsed")
+    assert(kept >= 1L)
+    // and the ANN stage then runs on the collapsed set: q171 emits at
+    // most one neighbor row per representative, none self-referential
+    val nn = run("q171_dedup_then_ann")
+    assert(nn.filter(col("vec_id") === col("nn")).isEmpty)
+    assert(nn.groupBy("vec_id").count()
+      .agg(max("count")).head().getLong(0) == 1)
+  }
+
   test("repetition detector: repeated text compresses below natural text") {
     import spark.implicits._
     val docs = Seq(
