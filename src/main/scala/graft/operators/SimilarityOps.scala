@@ -256,12 +256,13 @@ object SimilarityOps {
     * sphere orders like cosine. The sample cap keeps training cost flat
     * as the corpus grows; centroids (≈√N rows) are metadata-sized and
     * feed a broadcast argmax. */
-  def ivfCentroids(s: SparkSession, e: DataFrame, nlist: Int): DataFrame = {
+  def ivfCentroids(s: SparkSession, e: DataFrame, nlist: Int,
+      sampleCap: Int = 65536): DataFrame = {
     val spark = s
     import spark.implicits._
     val est = NamedQuery.estimatedRows(
       e.select("vec_id", "embedding"), 64 * 4 + 8)
-    val frac = math.min(1.0, 65536.0 / est.toDouble)
+    val frac = math.min(1.0, sampleCap.toDouble / est.toDouble)
     val sample =
       if (frac >= 1.0) e else e.sample(withReplacement = false, frac, 7L)
     val feats = sample.select("embedding").as[Array[Float]].map { v =>
@@ -280,16 +281,46 @@ object SimilarityOps {
       .toSeq.toDF("cid", "cent")
   }
 
-  /** Cell assignment: argmax cosine over the broadcast centroids. */
+  /** Cell assignment: argmax cosine over the broadcast centroid
+    * matrix in ONE NARROW MAP — no exchange at all. The r10 join +
+    * row_number formulation materialized N×nlist rows (every
+    * embedding copied nlist times) and pushed them through a window
+    * shuffle; at sf100 that is 5M×2236 512-byte rows. Centroids are
+    * metadata-sized (≤4096×64 floats = 1 MB — the same √N bound that
+    * justifies the Engine's IVF centroid fetch), so the driver
+    * collect + task broadcast is the scale-correct shape. Ties break
+    * to the smaller cid, matching the old window order. */
   def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
-    val cos = cosineSim(col("embedding"), col("cent"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("c").desc, col("cid"))
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"), cos.as("c"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cn: Array[(Array[Float], Double)] =
+      cents.as[(Long, Array[Float])].collect().sortBy(_._1).map {
+        case (_, c) =>
+          var s2 = 0.0; var i = 0
+          while (i < c.length) { s2 += c(i).toDouble * c(i); i += 1 }
+          (c, math.sqrt(s2))
+      }
+    val bc = spark.sparkContext.broadcast(cn)
+    e.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bc.value
+        var n2 = 0.0; var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+        val nv = math.sqrt(n2)
+        var best = 0; var bestCos = Double.MinValue
+        var c = 0
+        while (c < cs.length) {
+          val (cv, cnm) = cs(c)
+          var dot = 0.0; var j = 0
+          val m = math.min(v.length, cv.length)
+          while (j < m) { dot += v(j).toDouble * cv(j); j += 1 }
+          val cos = dot / (nv * cnm)
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        (id, v, best.toLong)
+      }
+      .toDF("vec_id", "embedding", "cell")
   }
 
   /** IVF ANN: the sampled-k-means coarse quantizer assigns every vector
@@ -574,7 +605,14 @@ object SimilarityOps {
       cap: Long = 2048L): DataFrame = {
     val est = NamedQuery.estimatedRows(
       e.select("vec_id", "embedding"), 64 * 4 + 8)
-    val cents = ivfCentroids(s, e, ivfNlist(est))
+    // The dedup stage wants GROUPING, not search quality: a coarse
+    // quantizer (≤256 cells, 16k training sample) costs k×sample×iters
+    // flops instead of q75's √N sizing — the sub-split guard absorbs
+    // the coarseness by capping whatever the quantizer leaves big.
+    // (√N cells at sf100 would spend more time training k-means than
+    // the dedup pass it serves.)
+    val nlist = math.min(256, ivfNlist(est))
+    val cents = ivfCentroids(s, e, nlist, sampleCap = 16384)
     val assigned = ivfAssign(e, cents)
     val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
     val pMax = 16
