@@ -91,6 +91,7 @@ object SparkEntry {
     "q46_ann_lsh", "q171_dedup_then_ann",
     "q68_tpch_q3", "q69_tpch_q5", "q123_curation_pipeline",
     "q130_passage_dedup", "q138_tfidf", "q140_range_join",
+    "q173_substring_spans",
     "q154_join_agg_bucketed", "q155_tpch_q3_bucketed",
     "q156_tpch_q5_bucketed", "q161_events_sessions_bucketed",
     "q162_asof_join_bucketed", "q163_shard_packing_bucketed",

@@ -68,4 +68,50 @@ object ShingleHashArray {
 
   def shingleHashArray(c: Column, n: Int = 3): Column =
     GraftSqlBridge.column(ShingleHashArray(GraftSqlBridge.expression(c), n))
+
+  /** ALL n-word window hashes in positional order (no dedup) — the
+    * exact-substring span pass (q173) needs positions to merge
+    * overlapping duplicated windows into covered-token counts, so it
+    * posexplodes this instead of exploding the distinct set. */
+  def positionalShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val words = text.split(SPACE, -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](words.length - n + 1)
+    var i = 0
+    val window = new Array[UTF8String](n)
+    while (i <= words.length - n) {
+      var j = 0
+      while (j < n) { window(j) = words(i + j); j += 1 }
+      val s = UTF8String.concatWs(SPACE, window.toIndexedSeq: _*)
+      out(i) = XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, SEED)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def positionalShingleHashArray(c: Column, n: Int): Column =
+    GraftSqlBridge.column(
+      PositionalShingleHashes(GraftSqlBridge.expression(c), n))
+}
+
+/** Positional sibling of [[ShingleHashArray]]: one hash per window,
+  * in order, duplicates preserved. */
+case class PositionalShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashArray.positionalShingleHashes(
+      input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashArray.positionalShingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

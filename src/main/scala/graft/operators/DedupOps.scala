@@ -688,8 +688,69 @@ object DedupOps {
         .orderBy("source_a", "source_b")
     })
 
+  /** Exact-substring span dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv 2107.06499 —
+    * their ExactSubstr dedup, re-expressed distributed): every 8-word
+    * window that occurs more than once ANYWHERE in the corpus marks
+    * its 8 tokens as duplicated; overlapping marked windows merge, and
+    * each document reports its duplicated-token fraction. The paper
+    * builds a corpus-wide suffix array — a sequential structure with
+    * no distributed analog; the window-hash formulation computes the
+    * same covered-span measure with Spark-native pieces:
+    * one codegen'd pass emits positional window hashes (8-byte longs,
+    * never gram strings), one hash-keyed groupBy finds repeated
+    * windows, one semi-join marks positions, and a per-doc window
+    * merges overlaps (contribution = min(k, pos - prev)) — every
+    * stage shuffle-proportional, no corpus re-scan. The lag-merge is
+    * exact interval union because windows have equal length k. */
+  val substringSpans: NamedQuery = NamedQuery("q173_substring_spans",
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |g AS (SELECT doc_id,
+           |        unnest(range(1, greatest(len(ws) - 6, 1))) AS pos,
+           |        unnest(list_transform(range(1, greatest(len(ws) - 6, 1)),
+           |               i -> array_to_string(ws[i:i+7], ' '))) AS gram
+           |      FROM w),
+           |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+           |d AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+           |cov0 AS (SELECT doc_id, pos,
+           |         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           |         FROM d),
+           |cov AS (SELECT doc_id, sum(CASE WHEN prev IS NULL THEN 8
+           |                ELSE least(8, pos - prev) END) AS dup_tokens
+           |        FROM cov0 GROUP BY doc_id)
+           |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+           |       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           |       round(coalesce(dup_tokens, 0) * 1.0 / len(ws), 4)
+           |         AS dup_fraction
+           |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id""".stripMargin),
+    (s, d) => {
+      val k = 8
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val toks = docs.select(col("doc_id"),
+        posexplode(graft.functions.ShingleHashArray
+          .positionalShingleHashArray(col("text"), k)))
+        .toDF("doc_id", "pos", "h")
+      val dup = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select("h")
+      val marked = toks.join(dup, Seq("h"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val cov = marked.withColumn("prev", lag("pos", 1).over(w))
+        .withColumn("add", when(col("prev").isNull, lit(k))
+          .otherwise(least(lit(k), col("pos") - col("prev"))))
+        .groupBy("doc_id")
+        .agg(sum("add").cast("long").as("dup_tokens"))
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) /
+            col("n_tokens"), 4).as("dup_fraction"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters,
       minhashAudit, simhashAudit, passageDedup, keepBest, incrementalDedup,
-      containment, sourceOverlap)
+      containment, sourceOverlap, substringSpans)
 }

@@ -156,6 +156,17 @@ class PipelineSpec extends SparkSpec {
     assert(maxOcc <= 20L * (10 * n) / nlist, s"hot cell $maxOcc rows")
   }
 
+  test("exact-substring spans: planted near-dups carry high " +
+    "duplicated-token fractions; fractions are a valid measure") {
+    val frac = run("q173_substring_spans")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(frac.values.forall(v => v >= 0.0 && v <= 1.0))
+    val dupDocs = exactPairs.flatMap(p => Seq(p._1, p._2))
+    assert(dupDocs.nonEmpty)
+    dupDocs.foreach(id => assert(frac(id) >= 0.3,
+      s"near-dup doc $id has dup_fraction ${frac(id)}"))
+  }
+
   test("semdedup keep-first collapses a duplicate-heavy corpus to " +
     "~original size (the q46 decade-tier failure mode, paid once)") {
     import graft.operators.SimilarityOps
