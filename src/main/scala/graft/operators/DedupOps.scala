@@ -726,6 +726,13 @@ object DedupOps {
     (s, d) => {
       val k = 8
       val docs = t(s, d, "documents").select("doc_id", "text")
+      // two consumers (dup-gram aggregation + mark semi-join) — and
+      // deliberately NO cache: the exploded stream is ~50× the text it
+      // came from, and caching it starves the distinct-heavy
+      // aggregation of the same memory (measured sf100: 59 s
+      // recomputed vs 101 s cached). Re-shingling is a codegen'd
+      // narrow pass over the raw text; recompute is the cheaper side
+      // of the trade everywhere past the toy tiers.
       val toks = docs.select(col("doc_id"),
         posexplode(graft.functions.ShingleHashArray
           .positionalShingleHashArray(col("text"), k)))
@@ -747,7 +754,16 @@ object DedupOps {
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
           round(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) /
             col("n_tokens"), 4).as("dup_fraction"))
-    })
+    }, conf = Map(
+      // ~94% of windows are DISTINCT grams (Q173Probe): map-side
+      // combine buys nothing, so the aggregation hash tables carry the
+      // full keyspace and the tier-sized default partition count
+      // spills (sf100: 88 s at 121 partitions, 44 s at 256). Start the
+      // shuffle wide and let AQE coalesce small tiers back down — the
+      // per-query analog of sizing reducers to the DISTINCT keyspace,
+      // not the input bytes.
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        -> "1024"))
 
   def defs: Seq[NamedQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters,
