@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   *    existing rollup nor the raw corpus. Appended rows per fold:
   *    O(distinct (type, minute) pairs in the delta).
   *
-  *  - the token manifest is per-document rows, so only the append
+  *  - the token manifest and the user-bucketed event log
+  *    ([[foldEventsDelta]]) are per-ROW layouts, so only the append
   *    cadence (INSERT lineage — the production corpus-ingest shape) has
   *    an O(delta) fold: new docs' manifest rows append into their
   *    (lang, b) buckets. A delta containing deletes or updates has no
@@ -32,6 +33,12 @@ import org.apache.spark.sql.functions._
   *    detects that with one O(delta) aggregate over the feed and raises,
   *    directing the caller to the rewrite path — fail loudly, never
   *    corrupt (the same contract as the CDC duplicate-key guard).
+  *
+  * (The fact pair ([[BucketedOps.factPair]]) shares the per-row
+  * algebra, but its orders side is year-PARTITIONED as well as
+  * bucketed, so its fold needs partition-aware appends; TPC-H facts
+  * are immutable in every replayed scenario, so that fold is left to
+  * the rewrite path deliberately rather than shipped untested.)
   *
   * Appending a second file into a bucket degrades GRACEFULLY: bucket
   * hash distribution stays sound (zero-exchange plans keep their shape
@@ -117,6 +124,44 @@ object LayoutMaintenance {
     } finally { rows.unpersist(); () }
   }
 
+  /** Fold one INSERT-lineage CDC feed of the events table into the
+    * user-bucketed event-log layout `name` — the ingest cadence of an
+    * event store (the log is append-only; a retention purge is a
+    * rewrite). Same per-row algebra as the token manifest: raises on
+    * deletes/updates rather than corrupting. Appended rows land in
+    * their user_id buckets sorted (user_id, ts), so bucket pruning and
+    * the zero-exchange clustering survive immediately; per-bucket sort
+    * METADATA returns only after [[compactEventsByUser]] (multi-file
+    * buckets get a correct in-memory sort in the meantime — the
+    * graceful-degradation contract above). Returns events appended. */
+  def foldEventsDelta(feed: DataFrame, name: String): Long = {
+    val types = feed.groupBy("_change_type").count().collect()
+    val bad = types.filterNot(_.getString(0) == "insert")
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        "Constraint Error: event-log incremental fold supports INSERT " +
+          "deltas only; feed contains [" +
+          bad.map(r => s"${r.getString(0)}×${r.getLong(1)}").mkString(", ") +
+          "] — rewrite the layout (BucketedOps.eventsByUser) or compact")
+    val rows = feed.drop("_change_type", "_commit_version").persist()
+    try {
+      val touched = rows.count()
+      rows.repartition(BucketedOps.BucketCount, col("user_id"))
+        .write.mode("append").format("parquet")
+        .bucketBy(BucketedOps.BucketCount, "user_id")
+        .sortBy("user_id", "ts")
+        .saveAsTable(name)
+      touched
+    } finally { rows.unpersist(); () }
+  }
+
+  /** OPTIMIZE for a fold-maintained event-log layout: republish one
+    * sorted file per bucket, restoring the zero-sort plans (q161/q162
+    * shapes) that single-file-bucket sort metadata enables. */
+  def compactEventsByUser(s: SparkSession, name: String): Unit =
+    republish(s, name, s.table(name), Seq("user_id"),
+      BucketedOps.BucketCount, Seq("user_id", "ts"))
+
   /** Canonical content of a (possibly tombstone-carrying) minute-rollup
     * table: partials re-aggregated per (event_type, m), fully-deleted
     * minutes (net count 0) dropped — exactly what a full rewrite from
@@ -145,11 +190,26 @@ object LayoutMaintenance {
       keys: Seq[String], buckets: Int, sortCols: Seq[String]): Unit = {
     val tmp = s"${name}_cmp"
     // the content plan reads `name`, so publish to a sibling first and
-    // swap names — never overwrite a table mid-read
-    BucketedOps.writeBucketed(content, tmp, keys, buckets,
-      sortCols = sortCols)
+    // swap names — never overwrite a table mid-read.
+    // autoBucketedScan=false: when `content` is a direct scan of the
+    // bucketed table, the planner elides writeBucketed's repartition
+    // against the scan's bucket distribution AND auto-disables the
+    // bucketed read (no operator "needs" it) — write tasks then hold
+    // mixed buckets and the compaction silently leaves multi-file
+    // buckets, defeating its whole purpose (caught by the event-log
+    // law's plan assertion). Forcing the bucketed scan makes the
+    // elision sound: scan partitions ARE the buckets.
+    graft.operators.NamedQuery.withConf(s, Map(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")) {
+      BucketedOps.writeBucketed(content, tmp, keys, buckets,
+        sortCols = sortCols)
+    }
     s.sql(s"DROP TABLE IF EXISTS $name")
     s.sql(s"ALTER TABLE $tmp RENAME TO $name")
+    // the renamed table reuses the dropped table's warehouse path:
+    // drop any cached file listing so the next plan sees the compacted
+    // one-file-per-bucket layout, not the pre-compaction file set
+    s.catalog.refreshTable(name)
     ()
   }
 }

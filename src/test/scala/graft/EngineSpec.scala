@@ -1245,6 +1245,72 @@ class EngineSpec extends SparkSpec {
     engine.unregisterTable(t)
   }
 
+  test("layout maintenance LAW: event-log INSERT fold ≡ rewrite; the " +
+    "multi-file plan stays exchange-free; compaction restores zero-sort") {
+    import graft.operators.{BucketedOps, LayoutMaintenance}
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val events = graft.Tables.t(spark, sf, "events")
+    val t = s"lay_evlog_${System.nanoTime()}"
+    val eInc = s"evlog_inc_${System.nanoTime()}"
+    val eFull = s"evlog_full_${System.nanoTime()}"
+    engine.registerTable(t, events.filter(col("event_id") % 4 =!= 0))
+    BucketedOps.writeBucketed(engine.table(t), eInc, Seq("user_id"),
+      sortCols = Seq("user_id", "ts"))
+    engine.insertInto(t, events.filter(col("event_id") % 4 === 0))  // v1
+    val deltaN = events.filter(col("event_id") % 4 === 0).count()
+    val touched =
+      LayoutMaintenance.foldEventsDelta(engine.tableChanges(t, 0), eInc)
+    assert(touched == deltaN && touched > 0)
+    BucketedOps.writeBucketed(engine.table(t), eFull, Seq("user_id"),
+      sortCols = Seq("user_id", "ts"))
+    def rows(n: String) = spark.table(n)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(rows(eInc).nonEmpty && rows(eInc).sameElements(rows(eFull)))
+    // plan law on the sessionization shape (q161's window): run it over
+    // the layout and walk the executed plan
+    def deep(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case q: QueryStageExec => deep(q.plan)
+      case other => Seq(other)
+    }.flatten
+    def windowNodes(n: String): Seq[SparkPlan] =
+      graft.operators.NamedQuery.withConf(spark, Map(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
+        "spark.sql.adaptive.enabled" -> "false")) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts")
+        val df = spark.table(n)
+          .withColumn("rn", row_number().over(w))
+          .groupBy("user_id").agg(max("rn").as("n_events"))
+        df.collect()
+        deep(org.apache.spark.sql.classic.ClassicConversions
+          .castToImpl(df).queryExecution.executedPlan)
+      }
+    // with a second file per bucket: clustering survives (no exchange),
+    // sort metadata is rightly DISTRUSTED (a sort comes back)
+    val degraded = windowNodes(eInc)
+    assert(!degraded.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "multi-file buckets must keep the zero-exchange clustering")
+    assert(degraded.exists(_.isInstanceOf[SortExec]),
+      "multi-file buckets must NOT be trusted for sort order")
+    // compaction restores the one-file-per-bucket zero-sort plan
+    LayoutMaintenance.compactEventsByUser(spark, eInc)
+    assert(rows(eInc).sameElements(rows(eFull)))
+    val restored = windowNodes(eInc)
+    assert(!restored.exists(_.isInstanceOf[ShuffleExchangeExec]) &&
+      !restored.exists(_.isInstanceOf[SortExec]),
+      "compaction must restore the zero-exchange zero-sort plan")
+    // a purge step has no O(delta) per-row fold: fail loudly
+    engine.deleteFrom(t, col("event_id") === 1)                     // v2
+    val ex = intercept[IllegalStateException](
+      LayoutMaintenance.foldEventsDelta(engine.tableChanges(t, 1), eInc))
+    assert(ex.getMessage.contains("INSERT deltas only"))
+    Seq(eInc, eFull).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    engine.unregisterTable(t)
+  }
+
   test("layout maintenance LAW: token-manifest INSERT fold ≡ rewrite; " +
     "a delta with deletes raises instead of corrupting") {
     import graft.operators.{BucketedOps, LayoutMaintenance}
@@ -1275,9 +1341,16 @@ class EngineSpec extends SparkSpec {
     val ex = intercept[IllegalStateException](
       LayoutMaintenance.foldManifestDelta(engine.tableChanges(t, 1), mInc))
     assert(ex.getMessage.contains("INSERT deltas only"))
-    // compaction restores the single-file-per-bucket invariant
+    // compaction restores the single-file-per-bucket invariant — check
+    // the FILES, not just content (the autoBucketedScan elision bug
+    // left multi-file buckets here with content intact, r11)
     LayoutMaintenance.compactTokenManifest(spark, mInc)
     assert(rows(mInc).sameElements(rows(mFull)))
+    val manFiles = new java.io.File(s"spark-warehouse/$mInc")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(manFiles <= BucketedOps.BucketCount,
+      s"manifest compaction left $manFiles files for " +
+        s"${BucketedOps.BucketCount} buckets")
     Seq(mInc, mFull).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     engine.unregisterTable(t)
   }
