@@ -43,6 +43,15 @@ class PlanQualitySpec extends SparkSpec {
       s"read schema not pruned: $schema")
   }
 
+  test("q173 reads only (doc_id, text) — the span pass must never drag " +
+    "the full documents schema through the explode") {
+    val df = SparkEntry.queries("q173_substring_spans")(spark, sf)
+    val schemas = scans(df).map(_.requiredSchema.fieldNames.toSet)
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(s.subsetOf(Set("doc_id", "text")),
+      s"q173 scan reads extra columns: $s"))
+  }
+
   test("q12 joins broadcast (no fact-table shuffle for the dimension join)") {
     val df = SparkEntry.queries("q12_join_agg")(spark, sf)
     df.collect() // let AQE finalize
