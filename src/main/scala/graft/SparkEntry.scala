@@ -68,7 +68,11 @@ object SparkEntry {
       "q163_shard_packing_bucketed" ->
         (("docs_bucket_stage", BucketedOps.warmDocsTokens _)),
       "q164_events_hourly_rollup" ->
-        (("events_rollup_stage", BucketedOps.warmEventsRollup _)))
+        (("events_rollup_stage", BucketedOps.warmEventsRollup _)),
+      "q174_zorder_box" ->
+        (("zorder_stage", BucketedOps.warmZOrder _)),
+      "q175_time_range_daily" ->
+        (("timesort_stage", BucketedOps.warmTimeLayout _)))
 
   /** Bench-time PRODUCTION formulations for queries whose correctness
     * row deliberately carries extra verification work. q94's `queries`
@@ -95,5 +99,6 @@ object SparkEntry {
     "q154_join_agg_bucketed", "q155_tpch_q3_bucketed",
     "q156_tpch_q5_bucketed", "q161_events_sessions_bucketed",
     "q162_asof_join_bucketed", "q163_shard_packing_bucketed",
-    "q164_events_hourly_rollup")
+    "q164_events_hourly_rollup",
+    "q174_zorder_box", "q175_time_range_daily")
 }

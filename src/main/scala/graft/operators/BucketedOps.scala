@@ -479,7 +479,176 @@ object BucketedOps {
     docsTokens(s, d); ()
   }
 
+  // ---------------------------------------------------------------------
+  // Sort-clustered layouts: data skipping by physical row order.
+  // The bucketed layouts above remove EXCHANGES; these remove READS —
+  // parquet min/max stats prune row groups the predicate cannot match,
+  // but only if the layout clusters the predicate columns. At 100 TB
+  // a point-in-time, point-in-user box query must not scan the table.
+  // ---------------------------------------------------------------------
+
+  /** File target for the sort-clustered layouts. Pruning granularity
+    * IS the clustering resolution: with F files the Z-grid is √F × √F,
+    * and a box of fractions (u, t) touches ~(u√F+1)(t√F+1) cells — at
+    * F=64 a 12%×10% box reads MORE than a time-sorted layout (measured
+    * 14% vs 11%), at F=256 it wins 2-4×. Small files are cheap at scan
+    * time (FileSourceScan packs them into maxPartitionBytes splits, so
+    * task count does not grow with file count); the cap bounds listing
+    * and footer overhead, and [[writeSorted]] caps row-group SIZE so
+    * granularity keeps improving inside large files past the cap. */
+  private def clusterFiles(n: Long): Int =
+    math.min(1024L, math.max(256L, n / 100000L)).toInt
+
+  /** Range-partition on `sortCol` and sort within partitions, so each
+    * written file covers a disjoint `sortCol` range. Timestamps go out
+    * as TIMESTAMP_MICROS — INT96 (a Spark default elsewhere) carries no
+    * parquet min/max stats and would silently disable the pruning this
+    * layout exists for. */
+  private def writeSorted(df: DataFrame, name: String,
+      sortCol: org.apache.spark.sql.Column, files: Int): Unit = {
+    val s = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "TIMESTAMP_MICROS")
+    // rows within a file are sorted, so each ROW GROUP covers a
+    // contiguous sort-key range too — 8 MB groups keep the pruning
+    // unit fine-grained even when decade-tier files grow past it
+    try df.repartitionByRange(files, sortCol)
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (8L << 20).toString)
+      .saveAsTable(name)
+    finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
+  private val memoZ = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, Long)]
+
+  /** Z-ordered event layout: rows sorted by the Morton interleave of
+    * (user_id, ts) ranks ([[graft.functions.Morton]]), so every file /
+    * row group covers a small RECTANGLE of the (user, time) plane and
+    * a 2-D box predicate prunes to the few row groups intersecting it.
+    * A single-column sort prunes only its own column — the other
+    * dimension spreads over every file and its stats are useless
+    * (measured in ZOrderSpec). The rank scaling needs the two column
+    * ranges: one 1-row stats aggregate at layout-write time (the same
+    * sanctioned once-per-snapshot driver fetch as the IVF centroids).
+    * Returns (table name, max user_id) — the stats the box queries
+    * derive their tier-relative bounds from. */
+  def eventsZOrder(s: SparkSession, d: String): (String, Long) =
+    memoZ.getOrElseUpdate((s, d), {
+      reapDeadLayouts()
+      val suf = s"${ProcessHandle.current.pid}_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val tz = s"bk_z_$suf"
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val r = ev.agg(min("user_id"), max("user_id"),
+        expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))"),
+        count(lit(1))).head
+      def l(i: Int) = r.getAs[Number](i).longValue
+      val z = graft.functions.Morton.zValue(
+        graft.functions.Morton.rank16(col("user_id"), l(0), l(1)),
+        graft.functions.Morton.rank16(expr("unix_micros(ts)"), l(2), l(3)))
+      writeSorted(ev.withColumn("z", z), tz, col("z"), clusterFiles(l(4)))
+      sys.addShutdownHook {
+        try s.sql(s"DROP TABLE IF EXISTS $tz")
+        catch { case _: Throwable => () }
+      }
+      (tz, l(1))
+    })
+
+  private val memoTl = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Time-sorted event layout (the standard single-dimension event-log
+    * clustering): files cover disjoint ts ranges, so time-window scans
+    * prune to the window's files. This is both a production layout in
+    * its own right (q175) and the honest comparison baseline for the
+    * Z-order skipping law — Z-order trades a little time-pruning
+    * granularity for pruning on BOTH dimensions. */
+  def eventsByTime(s: SparkSession, d: String): String =
+    memoTl.getOrElseUpdate((s, d), {
+      reapDeadLayouts()
+      val suf = s"${ProcessHandle.current.pid}_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val tl = s"bk_tl_$suf"
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val n = ev.agg(count(lit(1))).head.getLong(0)
+      writeSorted(ev, tl, col("ts"), clusterFiles(n))
+      sys.addShutdownHook {
+        try s.sql(s"DROP TABLE IF EXISTS $tl")
+        catch { case _: Throwable => () }
+      }
+      tl
+    })
+
+  /** 2-D box query on the Z-ordered layout: one user-range octile ×
+    * one 3-day window. Bounds are tier-relative (derived from the
+    * layout's max user_id on the Spark side, a scalar subquery on the
+    * DuckDB side) so the box stays a constant FRACTION of the table at
+    * every tier; both predicates reach the scan as pushed literal
+    * filters and parquet stats prune the non-intersecting row groups
+    * (ZOrderSpec pins rows-read under half the time-sorted twin's).
+    * Plan: pruned scan → partial agg → one ≤5-row exchange. */
+  val zorderBox: NamedQuery = NamedQuery("q174_zorder_box",
+    Some("""WITH b AS (SELECT (max(user_id)+1)//8 AS w FROM events)
+           |SELECT event_type, count(*) AS n,
+           |round(sum(value), 2) AS sum_v
+           |FROM events, b
+           |WHERE user_id >= 2*w AND user_id < 3*w
+           |AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |AND ts < TIMESTAMP '2024-01-13 00:00:00'
+           |GROUP BY event_type ORDER BY event_type""".stripMargin),
+    (s, d) => {
+      val (tz, maxU) = eventsZOrder(s, d)
+      val w = (maxU + 1L) / 8L
+      s.table(tz)
+        .filter(col("user_id") >= lit(2L * w) &&
+          col("user_id") < lit(3L * w) &&
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .orderBy("event_type")
+    }, conf = NoAqe)
+
+  /** Week-window daily rollup on the time-sorted layout — the
+    * dashboard query an event store answers all day. The window
+    * predicate prunes the scan to the week's files/row groups
+    * (ZOrderSpec law); DISTINCT user_id keeps the fold honest (it
+    * cannot be answered from partials, so this genuinely re-reads the
+    * pruned window). */
+  val timeRangeDaily: NamedQuery = NamedQuery("q175_time_range_daily",
+    Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+           |count(DISTINCT user_id) AS dau,
+           |round(sum(value), 2) AS sum_v
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+           |AND ts < TIMESTAMP '2024-01-15 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, d) => s.table(eventsByTime(s, d))
+      .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("dau"),
+        round(sum("value"), 2).as("sum_v"))
+      .orderBy("day"),
+    conf = NoAqe)
+
+  /** Warm hook for Bench (Z-order layout). */
+  private[graft] def warmZOrder(s: SparkSession, d: String): Unit = {
+    eventsZOrder(s, d); ()
+  }
+
+  /** Warm hook for Bench (time-sorted layout). */
+  private[graft] def warmTimeLayout(s: SparkSession, d: String): Unit = {
+    eventsByTime(s, d); ()
+  }
+
   def defs: Seq[NamedQuery] =
     Seq(joinAggBucketed, tpchQ3Bucketed, tpchQ5Bucketed, sessionsBucketed,
-      asofBucketed, eventsHourlyRollup)
+      asofBucketed, eventsHourlyRollup, zorderBox, timeRangeDaily)
 }
