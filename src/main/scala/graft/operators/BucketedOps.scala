@@ -487,17 +487,21 @@ object BucketedOps {
   // a point-in-time, point-in-user box query must not scan the table.
   // ---------------------------------------------------------------------
 
-  /** File target for the sort-clustered layouts. Pruning granularity
-    * IS the clustering resolution: with F files the Z-grid is √F × √F,
-    * and a box of fractions (u, t) touches ~(u√F+1)(t√F+1) cells — at
-    * F=64 a 12%×10% box reads MORE than a time-sorted layout (measured
-    * 14% vs 11%), at F=256 it wins 2-4×. Small files are cheap at scan
-    * time (FileSourceScan packs them into maxPartitionBytes splits, so
-    * task count does not grow with file count); the cap bounds listing
-    * and footer overhead, and [[writeSorted]] caps row-group SIZE so
-    * granularity keeps improving inside large files past the cap. */
-  private def clusterFiles(n: Long): Int =
-    math.min(1024L, math.max(256L, n / 100000L)).toInt
+  /** File count for the sort-clustered layouts — a constant, because
+    * the FILE grid only needs to be fine enough to seed pruning; the
+    * ROW GROUP is the real pruning unit and [[writeSorted]] caps its
+    * size, so granularity keeps improving inside files as data grows.
+    * 256 files makes the Z-grid 16×16 (at F=64 a 12%×10% box read
+    * MORE than the time-sorted layout, 14% vs 11%; at F=256 it wins
+    * 2-4×), and growing the count past that only buys footer/listing
+    * overhead: the sf100 A/B (ZOrderProbe, 100M rows) measured
+    * 1024 files × 8 MB groups vs 256 × 4 MB at identical rows-read
+    * (±20%) but 0.52→0.30 s (box), 0.39→0.17 s (drill-down),
+    * 1.45→1.30 s (week), and write 38→34 s. At cluster scale the
+    * same holds: object stores want ~10²-10³ large files, parallelism
+    * comes from maxPartitionBytes splits (task count is independent
+    * of file count), and row-group stats carry the skipping. */
+  private[graft] val clusterFiles: Int = 256
 
   /** Range-partition on `sortCol` and sort within partitions, so each
     * written file covers a disjoint `sortCol` range. Timestamps go out
@@ -511,12 +515,13 @@ object BucketedOps {
     val prev = s.conf.getOption(key)
     s.conf.set(key, "TIMESTAMP_MICROS")
     // rows within a file are sorted, so each ROW GROUP covers a
-    // contiguous sort-key range too — 8 MB groups keep the pruning
+    // contiguous sort-key range too — 4 MB groups keep the pruning
     // unit fine-grained even when decade-tier files grow past it
+    // (the sf100 A/B at [[clusterFiles]] fixed this size)
     try df.repartitionByRange(files, sortCol)
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite")
-      .option("parquet.block.size", (8L << 20).toString)
+      .option("parquet.block.size", (4L << 20).toString)
       .saveAsTable(name)
     finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
@@ -544,13 +549,12 @@ object BucketedOps {
       val ev = t(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
       val r = ev.agg(min("user_id"), max("user_id"),
-        expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))"),
-        count(lit(1))).head
+        expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))")).head
       def l(i: Int) = r.getAs[Number](i).longValue
       val z = graft.functions.Morton.zValue(
         graft.functions.Morton.rank16(col("user_id"), l(0), l(1)),
         graft.functions.Morton.rank16(expr("unix_micros(ts)"), l(2), l(3)))
-      writeSorted(ev.withColumn("z", z), tz, col("z"), clusterFiles(l(4)))
+      writeSorted(ev.withColumn("z", z), tz, col("z"), clusterFiles)
       sys.addShutdownHook {
         try s.sql(s"DROP TABLE IF EXISTS $tz")
         catch { case _: Throwable => () }
@@ -575,8 +579,7 @@ object BucketedOps {
       val tl = s"bk_tl_$suf"
       val ev = t(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
-      val n = ev.agg(count(lit(1))).head.getLong(0)
-      writeSorted(ev, tl, col("ts"), clusterFiles(n))
+      writeSorted(ev, tl, col("ts"), clusterFiles)
       sys.addShutdownHook {
         try s.sql(s"DROP TABLE IF EXISTS $tl")
         catch { case _: Throwable => () }
