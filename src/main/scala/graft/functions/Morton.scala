@@ -45,10 +45,16 @@ object Morton {
     * Monotonic, so Z-order on ranks preserves locality of the raw
     * values; the raw columns (not the ranks) are what parquet stats
     * prune on, so rank resolution only bounds CLUSTERING granularity,
-    * never correctness. Degenerate ranges (min == max) map to 0. */
+    * never correctness. Degenerate ranges (min == max) map to 0.
+    * Values OUTSIDE [min, max] clamp to the grid edge rather than
+    * wrapping — an incremental fold computes ranks against the grid
+    * recorded at layout-write time, and rows the corpus has since
+    * outgrown must cluster at the boundary (locally coarser layout),
+    * not teleport across the curve. */
   def rank16(v: Column, min: Long, max: Long): Column = {
     val span = math.max(1L, max - min)
-    ((v - lit(min)).cast("double") * lit(65535.0) / lit(span.toDouble))
-      .cast("long").bitwiseAND(lit(0xFFFFL))
+    least(greatest(
+      ((v - lit(min)).cast("double") * lit(65535.0) / lit(span.toDouble))
+        .cast("long"), lit(0L)), lit(65535L))
   }
 }

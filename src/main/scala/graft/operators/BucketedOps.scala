@@ -507,9 +507,15 @@ object BucketedOps {
     * written file covers a disjoint `sortCol` range. Timestamps go out
     * as TIMESTAMP_MICROS — INT96 (a Spark default elsewhere) carries no
     * parquet min/max stats and would silently disable the pruning this
-    * layout exists for. */
-  private def writeSorted(df: DataFrame, name: String,
-      sortCol: org.apache.spark.sql.Column, files: Int): Unit = {
+    * layout exists for. With `append = true` the new files extend the
+    * table instead: their ranges may overlap the existing files', but
+    * skipping is ROW-GROUP stats, not file metadata, so pruning
+    * degrades only as far as the delta's own spread —
+    * [[LayoutMaintenance.compactSortedLayout]] restores the
+    * disjoint-range invariant. */
+  private[graft] def writeSorted(df: DataFrame, name: String,
+      sortCol: org.apache.spark.sql.Column, files: Int,
+      append: Boolean = false): Unit = {
     val s = df.sparkSession
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = s.conf.getOption(key)
@@ -520,10 +526,52 @@ object BucketedOps {
     // (the sf100 A/B at [[clusterFiles]] fixed this size)
     try df.repartitionByRange(files, sortCol)
       .sortWithinPartitions(sortCol)
-      .write.mode("overwrite")
+      .write.mode(if (append) "append" else "overwrite")
       .option("parquet.block.size", (4L << 20).toString)
       .saveAsTable(name)
     finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
+  /** The Z-rank grid a Z-ordered layout was written against, persisted
+    * as table properties so an incremental fold ([[LayoutMaintenance]])
+    * can place delta rows on the SAME curve — z-values are only
+    * comparable within one grid. */
+  private[graft] case class ZBounds(minU: Long, maxU: Long,
+      minT: Long, maxT: Long)
+
+  private[graft] def zBoundsOf(s: SparkSession, name: String): ZBounds = {
+    val p = s.sql(s"SHOW TBLPROPERTIES $name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def b(k: String): Long = p.getOrElse(s"graft.z.$k",
+      throw new IllegalStateException(
+        s"$name carries no graft.z.$k bound — not a Z-order layout")).toLong
+    ZBounds(b("minU"), b("maxU"), b("minT"), b("maxT"))
+  }
+
+  private[graft] def zOf(b: ZBounds): org.apache.spark.sql.Column =
+    graft.functions.Morton.zValue(
+      graft.functions.Morton.rank16(col("user_id"), b.minU, b.maxU),
+      graft.functions.Morton.rank16(expr("unix_micros(ts)"), b.minT, b.maxT))
+
+  /** Write an events projection as the Z-ordered layout `name` and
+    * stamp the rank grid on the table. `grid` pins the bounds
+    * explicitly (a re-layout that must stay fold-compatible with an
+    * existing grid); otherwise they come from one 1-row stats
+    * aggregate over `ev`. Returns the grid used. */
+  private[graft] def writeZOrder(ev: DataFrame, name: String,
+      grid: Option[ZBounds] = None): ZBounds = {
+    val s = ev.sparkSession
+    val b = grid.getOrElse {
+      val r = ev.agg(min("user_id"), max("user_id"),
+        expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))")).head
+      def l(i: Int) = r.getAs[Number](i).longValue
+      ZBounds(l(0), l(1), l(2), l(3))
+    }
+    writeSorted(ev.withColumn("z", zOf(b)), name, col("z"), clusterFiles)
+    s.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+      s"'graft.z.minU'='${b.minU}','graft.z.maxU'='${b.maxU}'," +
+      s"'graft.z.minT'='${b.minT}','graft.z.maxT'='${b.maxT}')")
+    b
   }
 
   private val memoZ = scala.collection.concurrent.TrieMap
@@ -548,18 +596,12 @@ object BucketedOps {
       val tz = s"bk_z_$suf"
       val ev = t(s, d, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
-      val r = ev.agg(min("user_id"), max("user_id"),
-        expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))")).head
-      def l(i: Int) = r.getAs[Number](i).longValue
-      val z = graft.functions.Morton.zValue(
-        graft.functions.Morton.rank16(col("user_id"), l(0), l(1)),
-        graft.functions.Morton.rank16(expr("unix_micros(ts)"), l(2), l(3)))
-      writeSorted(ev.withColumn("z", z), tz, col("z"), clusterFiles)
+      val b = writeZOrder(ev, tz)
       sys.addShutdownHook {
         try s.sql(s"DROP TABLE IF EXISTS $tz")
         catch { case _: Throwable => () }
       }
-      (tz, l(1))
+      (tz, b.maxU)
     })
 
   private val memoTl = scala.collection.concurrent.TrieMap

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * task_partitioner.cpp row-group splits); this module is the piece
   * that makes the layout story hold at a 100 TB ingest cadence.
   *
-  * Two maintenance algebras:
+  * Three maintenance algebras:
   *
   *  - the minute rollup is a PARTIAL-AGGREGATE store: count and sum
   *    compose, and they compose with SIGNS — an insert contributes
@@ -33,6 +33,16 @@ import org.apache.spark.sql.functions._
   *    detects that with one O(delta) aggregate over the feed and raises,
   *    directing the caller to the rewrite path — fail loudly, never
   *    corrupt (the same contract as the CDC duplicate-key guard).
+  *
+  *  - the sort-clustered layouts ([[foldTimeSortedDelta]],
+  *    [[foldZOrderDelta]]) are per-row too, but their invariant is
+  *    physical ROW ORDER, not bucket assignment: a delta appends as
+  *    its own range-partitioned sorted files, whose row-group min/max
+  *    stats prune independently of the base generation's — so
+  *    skipping survives the fold and only file count / range overlap
+  *    accumulate until [[compactSortedLayout]]. The Z-order fold
+  *    additionally reuses the rank grid recorded on the table, since
+  *    z-values from different grids do not share a curve.
   *
   * (The fact pair ([[BucketedOps.factPair]]) shares the per-row
   * algebra, but its orders side is year-PARTITIONED as well as
@@ -103,15 +113,9 @@ object LayoutMaintenance {
     * merge-on-read; use [[BucketedOps.docsTokens]]' rewrite). Returns
     * manifest rows appended. */
   def foldManifestDelta(feed: DataFrame, name: String): Long = {
-    val types = feed.groupBy("_change_type").count().collect()
-    val bad = types.filterNot(_.getString(0) == "insert")
-    if (bad.nonEmpty)
-      throw new IllegalStateException(
-        "Constraint Error: token-manifest incremental fold supports " +
-          "INSERT deltas only; feed contains [" +
-          bad.map(r => s"${r.getString(0)}×${r.getLong(1)}").mkString(", ") +
-          "] — rewrite the manifest (BucketedOps.docsTokens) or compact")
-    val rows = manifestRows(feed).select("doc_id", "lang", "tok", "b")
+    val rows = manifestRows(
+      insertOnlyRows(feed, "token-manifest", "BucketedOps.docsTokens"))
+      .select("doc_id", "lang", "tok", "b")
       .persist()
     try {
       val touched = rows.count()
@@ -135,15 +139,8 @@ object LayoutMaintenance {
     * buckets get a correct in-memory sort in the meantime — the
     * graceful-degradation contract above). Returns events appended. */
   def foldEventsDelta(feed: DataFrame, name: String): Long = {
-    val types = feed.groupBy("_change_type").count().collect()
-    val bad = types.filterNot(_.getString(0) == "insert")
-    if (bad.nonEmpty)
-      throw new IllegalStateException(
-        "Constraint Error: event-log incremental fold supports INSERT " +
-          "deltas only; feed contains [" +
-          bad.map(r => s"${r.getString(0)}×${r.getLong(1)}").mkString(", ") +
-          "] — rewrite the layout (BucketedOps.eventsByUser) or compact")
-    val rows = feed.drop("_change_type", "_commit_version").persist()
+    val rows = insertOnlyRows(feed, "event-log",
+      "BucketedOps.eventsByUser").persist()
     try {
       val touched = rows.count()
       rows.repartition(BucketedOps.BucketCount, col("user_id"))
@@ -185,6 +182,99 @@ object LayoutMaintenance {
   def compactTokenManifest(s: SparkSession, name: String): Unit =
     republish(s, name, s.table(name),
       Seq("lang", "b"), BucketedOps.BucketCount, Seq("lang", "b", "doc_id"))
+
+  private def insertOnlyRows(feed: DataFrame, what: String,
+      rewrite: String): DataFrame = {
+    val types = feed.groupBy("_change_type").count().collect()
+    val bad = types.filterNot(_.getString(0) == "insert")
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"Constraint Error: $what incremental fold supports INSERT " +
+          "deltas only; feed contains [" +
+          bad.map(r => s"${r.getString(0)}×${r.getLong(1)}").mkString(", ") +
+          s"] — rewrite the layout ($rewrite) or compact")
+    feed.drop("_change_type", "_commit_version")
+  }
+
+  /** Columns of the sort-clustered event layouts, in layout order. */
+  private val EventCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value")
+
+  /** Fold one INSERT-lineage CDC feed of the events table into the
+    * time-sorted layout `name` ([[BucketedOps.eventsByTime]]): the
+    * delta's rows append as their own range-partitioned sorted files.
+    * The new files' ts ranges may overlap the existing files' — but
+    * data skipping is ROW-GROUP min/max stats, so a time-window scan
+    * still prunes to the window inside BOTH generations; what
+    * accumulates over many folds is file count and range overlap,
+    * which [[compactSortedLayout]] (OPTIMIZE) collapses back to
+    * disjoint ranges. O(delta) read and write; the corpus is never
+    * re-scanned. Returns events appended. */
+  def foldTimeSortedDelta(feed: DataFrame, name: String): Long = {
+    val rows = insertOnlyRows(feed, "time-sorted layout",
+      "BucketedOps.eventsByTime")
+      .select(EventCols.map(col): _*).persist()
+    try {
+      val touched = rows.count()
+      BucketedOps.writeSorted(rows, name, col("ts"),
+        deltaFiles(touched), append = true)
+      touched
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Fold one INSERT-lineage CDC feed of the events table into the
+    * Z-ordered layout `name` ([[BucketedOps.eventsZOrder]]). The
+    * delta's z-values are computed against the rank grid RECORDED ON
+    * THE TABLE at layout-write time ([[BucketedOps.zBoundsOf]]) — a
+    * z-value is only comparable within one grid, so the fold must
+    * reuse it verbatim; rows the corpus has since outgrown (a new
+    * user id past the recorded max, a timestamp past the horizon)
+    * clamp to the grid edge ([[graft.functions.Morton.rank16]]):
+    * locally coarser clustering, never wrong pruning, because the
+    * skipping predicate reads the RAW column stats, not z. Returns
+    * events appended. */
+  def foldZOrderDelta(feed: DataFrame, name: String): Long = {
+    val s = feed.sparkSession
+    val grid = BucketedOps.zBoundsOf(s, name)
+    val rows = insertOnlyRows(feed, "Z-order layout",
+      "BucketedOps.eventsZOrder")
+      .select(EventCols.map(col): _*)
+      .withColumn("z", BucketedOps.zOf(grid)).persist()
+    try {
+      val touched = rows.count()
+      BucketedOps.writeSorted(rows, name, col("z"),
+        deltaFiles(touched), append = true)
+      touched
+    } finally { rows.unpersist(); () }
+  }
+
+  /** Delta file count: mirror the ~row-group-sized files of the base
+    * layout rather than fragmenting a small delta across
+    * [[BucketedOps.clusterFiles]] range slots. */
+  private def deltaFiles(rows: Long): Int =
+    math.max(1L, math.min(BucketedOps.clusterFiles.toLong,
+      rows / 100000L)).toInt
+
+  /** OPTIMIZE for a fold-maintained sort-clustered layout: republish
+    * the accumulated generations as one disjoint-range file set
+    * (write-tmp-then-swap), carrying any Z-grid properties across the
+    * swap so later folds keep their curve. */
+  def compactSortedLayout(s: SparkSession, name: String,
+      sortCol: String): Unit = {
+    val zProps = s.sql(s"SHOW TBLPROPERTIES $name").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .filter(_._1.startsWith("graft.z."))
+    val tmp = s"${name}_cmp"
+    BucketedOps.writeSorted(s.table(name), tmp, col(sortCol),
+      BucketedOps.clusterFiles)
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $name")
+    s.catalog.refreshTable(name)
+    if (zProps.nonEmpty)
+      s.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+        zProps.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
+    ()
+  }
 
   private def republish(s: SparkSession, name: String, content: DataFrame,
       keys: Seq[String], buckets: Int, sortCols: Seq[String]): Unit = {

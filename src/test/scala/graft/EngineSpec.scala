@@ -1354,4 +1354,92 @@ class EngineSpec extends SparkSpec {
     Seq(mInc, mFull).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     engine.unregisterTable(t)
   }
+
+  test("layout maintenance LAW: sort-clustered INSERT folds (Z-order + " +
+    "time-sorted) ≡ rewrite on the recorded grid; appended generations " +
+    "keep row-group skipping; compaction restores the disjoint ranges") {
+    import graft.operators.{BucketedOps, LayoutMaintenance}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // sf0.01 (10k events) like ZOrderSpec: at 1k rows file-boundary
+    // quantization would drown the skipping ratios the law pins
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.01", "events")
+      .select(cols.map(col): _*)
+    val t = s"lay_sorted_${System.nanoTime()}"
+    val zInc = s"zlay_inc_${System.nanoTime()}"
+    val zFull = s"zlay_full_${System.nanoTime()}"
+    val tlInc = s"tlay_inc_${System.nanoTime()}"
+    val tlFull = s"tlay_full_${System.nanoTime()}"
+    engine.registerTable(t, ev.filter(col("event_id") % 4 =!= 0))
+    def snap: DataFrame = engine.table(t).select(cols.map(col): _*)
+    val grid = BucketedOps.writeZOrder(snap, zInc)
+    BucketedOps.writeSorted(snap, tlInc, col("ts"), BucketedOps.clusterFiles)
+    engine.insertInto(t, ev.filter(col("event_id") % 4 === 0))      // v1
+    val deltaN = ev.filter(col("event_id") % 4 === 0).count()
+    val touchedZ =
+      LayoutMaintenance.foldZOrderDelta(engine.tableChanges(t, 0), zInc)
+    val touchedT =
+      LayoutMaintenance.foldTimeSortedDelta(engine.tableChanges(t, 0), tlInc)
+    assert(touchedZ == deltaN && touchedT == deltaN && deltaN > 0)
+    // rewrite pinned to the SAME grid ⇒ content identity INCLUDES the
+    // z column (z-values are grid-relative; the fold reused the
+    // table's recorded grid, so the rewrite must too)
+    BucketedOps.writeZOrder(snap, zFull, grid = Some(grid))
+    BucketedOps.writeSorted(snap, tlFull, col("ts"), BucketedOps.clusterFiles)
+    def rows(n: String) = spark.table(n).collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(rows(zInc).nonEmpty && rows(zInc).sameElements(rows(zFull)))
+    assert(rows(tlInc).sameElements(rows(tlFull)))
+    // skipping through the fold: the delta generation appended as ONE
+    // file whose row group spans the whole plane, so a 2-D box reads
+    // at most (pruned base + whole delta) — never the whole table
+    def scanRows(df: DataFrame): Long = {
+      val ss = castToImpl(df).queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }
+      }.flatten
+      df.collect()
+      ss.map(_.metrics("numOutputRows").value).sum
+    }
+    val w = (grid.maxU + 1L) / 8L
+    def box(n: String) = spark.table(n)
+      .filter(col("user_id") >= lit(2L * w) && col("user_id") < lit(3L * w)
+        && col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")
+        && col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val total = spark.table(zInc).count()
+    val foldedRead = scanRows(box(zInc))
+    assert(foldedRead <= deltaN + total / 4,
+      s"folded Z layout read $foldedRead of $total rows — the base " +
+        "generation's row groups stopped pruning")
+    // compaction re-sorts the generations into disjoint ranges: the
+    // ZOrderSpec quarter-law bound applies again, and the grid
+    // properties survive the swap so later folds stay on the curve
+    LayoutMaintenance.compactSortedLayout(spark, zInc, "z")
+    assert(rows(zInc).sameElements(rows(zFull)))
+    assert(BucketedOps.zBoundsOf(spark, zInc) == grid,
+      "compaction dropped the recorded Z grid")
+    val compactRead = scanRows(box(zInc))
+    assert(compactRead * 4 <= total,
+      s"compacted Z layout read $compactRead of $total rows for a " +
+        "~1.2% box")
+    // a purge has no O(delta) per-row fold on either layout: fail loudly
+    engine.deleteFrom(t, col("event_id") === 1)                     // v2
+    Seq(
+      () => LayoutMaintenance.foldZOrderDelta(engine.tableChanges(t, 1), zInc),
+      () => LayoutMaintenance.foldTimeSortedDelta(
+        engine.tableChanges(t, 1), tlInc)
+    ).foreach { f =>
+      val ex = intercept[IllegalStateException](f())
+      assert(ex.getMessage.contains("INSERT deltas only"))
+    }
+    Seq(zInc, zFull, tlInc, tlFull)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    engine.unregisterTable(t)
+  }
 }
