@@ -737,13 +737,72 @@ class Engine private[graft] (val spark: SparkSession) {
     * snapshot reads). Like any row-rewriting verb it breaks the append
     * lineage chain — an MV incremental refresh falls back to one
     * rebuild, then resumes incrementally. */
-  def compact(name: String, numFiles: Int = 0): Unit = withTableLock(name) {
+  def compact(name: String, numFiles: Int = 0): Unit =
+    compactImpl(name, numFiles, None)
+
+  /** `OPTIMIZE t ZORDER BY (c1, c2)`: compaction that additionally
+    * REORDERS the rewritten rows along the Morton interleave of the
+    * two columns' ranks ([[graft.functions.Morton]]), so every
+    * rewritten file/row group covers a small rectangle of the
+    * (c1, c2) plane and later 2-D predicates prune on parquet
+    * min/max stats — the engine-surface spelling of the
+    * [[graft.operators.BucketedOps.eventsZOrder]] layout, with the
+    * same snapshot semantics as plain [[compact]] (history retained,
+    * plan chain reset, append lineage broken). The z key is
+    * scratch — computed, sorted on, dropped — so the table schema is
+    * unchanged. */
+  def compactZOrder(name: String, c1: String, c2: String,
+      numFiles: Int = 0): Unit =
+    compactImpl(name, numFiles, Some((c1, c2)))
+
+  private def zRank(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    df.schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+      s"""Binder Error: ZORDER BY column "$c" does not exist""")
+    ).dataType match {
+      case TimestampType => expr(s"unix_micros(`$c`)")
+      case DateType => expr(s"datediff(`$c`, DATE '1970-01-01')").cast("long")
+      case _: NumericType => col(c).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"Constraint Error: ZORDER BY supports numeric, date, and " +
+          s"timestamp columns; $c is $other")
+    }
+  }
+
+  private def compactImpl(name: String, numFiles: Int,
+      zOrderBy: Option[(String, String)]): Unit = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     val target =
       if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
     val path = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
       s"${ProcessHandle.current.pid}_${name}_v${currentVersion(name)}"
-    e.df.repartition(target).write.mode("overwrite").parquet(path)
+    zOrderBy match {
+      case None =>
+        e.df.repartition(target).write.mode("overwrite").parquet(path)
+      case Some((c1, c2)) =>
+        // one 1-row stats fetch fixes the rank grid (the sanctioned
+        // once-per-snapshot driver aggregate, like the layout writes)
+        val (x, y) = (zRank(e.df, c1), zRank(e.df, c2))
+        val r = e.df.agg(min(x), max(x), min(y), max(y)).head
+        def l(i: Int) = Option(r.get(i))
+          .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+        val z = graft.functions.Morton.zValue(
+          graft.functions.Morton.rank16(x, l(0), l(1)),
+          graft.functions.Morton.rank16(y, l(2), l(3)))
+        // TIMESTAMP_MICROS: INT96 carries no min/max stats, and stats
+        // are the entire point of a Z-ordered rewrite
+        val key = "spark.sql.parquet.outputTimestampType"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try e.df.withColumn("__z", z)
+          .repartitionByRange(target, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite")
+          .option("parquet.block.size", (4L << 20).toString)
+          .parquet(path)
+        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
     // in-session artifacts: one STATIC exit hook over a growing path set
     // (not one hook per compaction), plus eager reclaim below so a
     // long-lived session doesn't hold one fact-table copy per compaction

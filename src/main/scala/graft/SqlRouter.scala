@@ -105,10 +105,11 @@ private[graft] object SqlRouter {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val DropMatViewSql =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
-  // lakehouse maintenance spelling (Delta's OPTIMIZE); engine-only —
-  // fails Spark's parser and reaches the regex routes
+  // lakehouse maintenance spelling (Delta's OPTIMIZE, incl. its
+  // ZORDER BY clause); engine-only — fails Spark's parser and
+  // reaches the regex routes
   private val OptimizeSql =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
 
   /** True iff `route` would intercept this statement — WITHOUT executing
     * anything (explain/plan paths must stay side-effect-free: Spark runs
@@ -160,9 +161,10 @@ private[graft] object SqlRouter {
     case DropMatViewSql(ifEx, name) =>
       e.dropMaterializedAggregate(unq(name), ifExists = ifEx != null)
       Some(emptyOk(e))
-    case OptimizeSql(name, files) =>
-      e.compact(unq(name),
-        Option(files).map(_.toInt).getOrElse(0))
+    case OptimizeSql(name, files, zc1, zc2) =>
+      val n = Option(files).map(_.toInt).getOrElse(0)
+      if (zc1 != null) e.compactZOrder(unq(name), zc1, zc2, n)
+      else e.compact(unq(name), n)
       Some(emptyOk(e))
     case DropTable(ifEx, name) =>
       e.dropTable(unq(name), ifExists = ifEx != null); Some(emptyOk(e))

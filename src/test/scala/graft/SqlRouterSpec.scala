@@ -452,6 +452,57 @@ class SqlRouterSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("OPTIMIZE … ZORDER BY SQL: the rewrite clusters the (user, time) " +
+    "plane so a 2-D box prunes row groups; schema/content unchanged") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val t = s"opt_z_${System.nanoTime()}"
+    // sf0.01 (10k events) for the same quantization reasons as ZOrderSpec
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.01", "events")
+      .select(cols.map(col): _*)
+    engine.registerTable(t, ev)
+    // explain stays side-effect-free on the extended spelling too
+    val exp = engine.explain(s"OPTIMIZE $t ZORDER BY (user_id, ts)").head()
+    assert(exp.getAs[String]("plan") == "routed DDL/DML")
+    engine.sql(s"OPTIMIZE $t INTO 256 FILES ZORDER BY (user_id, ts)")
+    // the scratch z key must not leak into the table schema
+    assert(engine.table(t).columns.toSeq == cols)
+    assert(engine.table(t).collect().map(_.getLong(0)).sorted
+      .sameElements(ev.collect().map(_.getLong(0)).sorted))
+    // skipping law (rows surfaced by the parquet scan, the ZOrderSpec
+    // measurement): a ~1.2% box reads under a quarter of the table
+    def scanRows(df: DataFrame): Long = {
+      val ss = castToImpl(df).queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case s: FileSourceScanExec => s
+        }
+      }.flatten
+      df.collect()
+      ss.map(_.metrics("numOutputRows").value).sum
+    }
+    val maxU = ev.agg(max("user_id")).head.getLong(0)
+    val w = (maxU + 1L) / 8L
+    val total = ev.count()
+    val read = scanRows(engine.table(t)
+      .filter(col("user_id") >= lit(2L * w) && col("user_id") < lit(3L * w)
+        && col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")
+        && col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      .groupBy("event_type").agg(count(lit(1))))
+    assert(read * 4 <= total,
+      s"ZORDER BY rewrite read $read of $total rows for a ~1.2% box")
+    // bad column / unsupported type fail loudly, nothing half-rewritten
+    intercept[IllegalArgumentException](
+      engine.sql(s"OPTIMIZE $t ZORDER BY (no_such, ts)"))
+    intercept[IllegalArgumentException](
+      engine.sql(s"OPTIMIZE $t ZORDER BY (event_type, ts)"))
+    assert(engine.table(t).count() == total)
+    engine.dropTable(t)
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     // 90% of left rows share one key — the shape AQE skew-split targets,
