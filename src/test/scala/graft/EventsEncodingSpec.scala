@@ -64,13 +64,13 @@ class EventsEncodingSpec extends SparkSpec {
   }
 
   test("inventory size law: the basket can never shrink") {
-    // 169 keys as of round 11 (q171 dedup-then-ANN pipeline + q172
-    // audit twin + q173 exact-substring span dedup, on top of r10's
-    // 166) — raise this floor when
-    // queries are added, never lower it: a key that stops
-    // resolving or throws at analysis must fail this suite, not
-    // silently fall out of the driver basket.
-    assert(SparkEntry.queries.size >= 169,
+    // 171 keys as of round 11 (q171 dedup-then-ANN pipeline + q172
+    // audit twin + q173 exact-substring span dedup + q174/q175
+    // sort-clustered layout queries, on top of r10's 166) — raise
+    // this floor when queries are added, never lower it: a key that
+    // stops resolving or throws at analysis must fail this suite,
+    // not silently fall out of the driver basket.
+    assert(SparkEntry.queries.size >= 171,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
