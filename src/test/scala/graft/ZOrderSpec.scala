@@ -137,4 +137,32 @@ class ZOrderSpec extends SparkSpec {
     assert(schema == Set("user_id", "ts", "event_type", "value"),
       s"layout scan reads extra columns: $schema")
   }
+
+  test("Z-order fold CLAMPS out-of-grid rows to the curve's top cell — " +
+    "they must not wrap to low z and teleport across the layout") {
+    import graft.operators.{BucketedOps, LayoutMaintenance}
+    val name = s"zclamp_${System.nanoTime()}"
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val ev = graft.Tables.t(spark, dir, "events").select(cols.map(col): _*)
+    val grid = BucketedOps.writeZOrder(ev, name)
+    // a delta the corpus has outgrown on BOTH dimensions: user ids past
+    // the recorded max, timestamps a decade past the horizon
+    val delta = ev.limit(50)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+      .withColumn("user_id", col("user_id") + lit(grid.maxU + 1000000L))
+      .withColumn("ts", expr("ts + INTERVAL 10 YEARS"))
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(1L))
+    assert(LayoutMaintenance.foldZOrderDelta(delta, name) == 50L)
+    val zs = spark.table(name).filter(col("user_id") > grid.maxU)
+      .select("z").collect().map(_.getLong(0))
+    // both ranks clamp to 65535, so every out-of-grid row lands in the
+    // single top Z-cell 0xFFFFFFFF; a wrapping rank16 (the pre-r11
+    // behavior) would scatter them across low z instead
+    assert(zs.length == 50 && zs.forall(_ == 0xFFFFFFFFL),
+      s"out-of-grid z values: ${zs.distinct.take(5).mkString(",")}")
+    // and the grid the table records is untouched by the fold
+    assert(BucketedOps.zBoundsOf(spark, name) == grid)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
 }
