@@ -1412,6 +1412,38 @@ class Engine private[graft] (val spark: SparkSession) {
     createIndex(indexName, tableName, Seq(embCol), ifNotExists = true)
   }
 
+  /** Incremental refresh of a [[buildAnnIndex]] artifact after new
+    * vectors arrived: only vectors absent from the cells table are
+    * assigned (anti-join on vec_id), against the EXISTING centroids —
+    * the assignment is the zero-exchange broadcast argmax, so the
+    * marginal cost is O(batch) and the corpus is never re-assigned.
+    * Frozen centroids make refresh ≡ a rebuild against the same
+    * quantizer EXACTLY (EngineSpec law); what drifts under appends is
+    * centroid QUALITY, not correctness — recall against the frozen
+    * quantizer degrades only as far as the new data's distribution
+    * departs from the training sample's, the standard IVF production
+    * trade (re-train = [[buildAnnIndex]], the heavy op, on a cadence;
+    * the returned count plus the cells introspection gives the
+    * operator the growth signal to schedule it). Returns vectors
+    * added. */
+  def refreshAnnIndex(indexName: String, tableName: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Long = {
+    import graft.operators.SimilarityOps
+    if (!indexRegistry.contains(indexName))
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Index with name "$indexName" does not exist!""")
+    val cells = table(s"${indexName}_cells")
+    val df = table(tableName)
+      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+    val newVecs =
+      df.join(cells.select("vec_id"), Seq("vec_id"), "left_anti")
+    val added = newVecs.count()
+    if (added > 0)
+      insertInto(s"${indexName}_cells",
+        SimilarityOps.ivfAssign(newVecs, table(s"${indexName}_centroids")))
+    added
+  }
+
   /** Build a DURABLE shingle index over a managed documents table:
     * materialize the df-capped distinct-shingle-hash stage to parquet
     * at `path` and register the COLD read-back as a managed table —

@@ -499,6 +499,45 @@ class EngineSpec extends SparkSpec {
     engine.dropIndex("ann_idx")
   }
 
+  test("ANN index incremental refresh: new vectors assign against the " +
+    "frozen quantizer — refresh ≡ rebuild-on-same-centroids, O(batch) " +
+    "marginal, idempotent, and the probe path finds the new vectors") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val t = s"ann_inc_${System.nanoTime()}"
+    val idx = s"annx_${System.nanoTime()}"
+    engine.registerTable(t, emb.filter(col("vec_id") % 5 =!= 0))
+    engine.buildAnnIndex(idx, t)
+    val cellsBefore = engine.table(s"${idx}_cells").count()
+    engine.insertInto(t, emb.filter(col("vec_id") % 5 === 0)) // day-2 batch
+    val deltaN = emb.filter(col("vec_id") % 5 === 0).count()
+    val added = engine.refreshAnnIndex(idx, t)
+    assert(added == deltaN && deltaN > 0)
+    // idempotent — the anti-join sees them indexed now
+    assert(engine.refreshAnnIndex(idx, t) == 0L)
+    assert(engine.table(s"${idx}_cells").count() == cellsBefore + deltaN)
+    // the LAW: cell-identical to assigning the grown corpus against
+    // the same frozen centroids in one shot
+    val full = graft.operators.SimilarityOps.ivfAssign(
+      engine.table(t).select(col("vec_id"), col("embedding")),
+      engine.table(s"${idx}_centroids"))
+    def canon(df: DataFrame) = df.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(canon(engine.table(s"${idx}_cells")).sameElements(canon(full)))
+    // probe finds a refreshed vector: its own cell is probed, self is
+    // rank 1 at cos 1.0
+    val q = emb.filter(col("vec_id") === 5)
+      .select("embedding").as[Array[Float]].head()
+    val res = engine.annSearch(idx, q, k = 5).collect()
+    assert(res.head.getLong(0) == 5L &&
+      math.abs(res.head.getDouble(1) - 1.0) < 1e-6)
+    intercept[IllegalArgumentException](engine.refreshAnnIndex("nope", t))
+    Seq(t, s"${idx}_centroids", s"${idx}_cells")
+      .foreach(engine.unregisterTable)
+    engine.dropIndex(idx)
+  }
+
   test("engine stays consistent under concurrent DDL/DML/query load") {
     import scala.concurrent._
     import scala.concurrent.duration._
