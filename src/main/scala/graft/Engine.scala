@@ -740,29 +740,41 @@ class Engine private[graft] (val spark: SparkSession) {
   def compact(name: String, numFiles: Int = 0): Unit =
     compactImpl(name, numFiles, None)
 
-  /** `OPTIMIZE t ZORDER BY (c1, c2)`: compaction that additionally
-    * REORDERS the rewritten rows along the Morton interleave of the
-    * two columns' ranks ([[graft.functions.Morton]]), so every
+  /** `OPTIMIZE t ZORDER BY (c1[, c2])`: compaction that additionally
+    * REORDERS the rewritten rows — two columns along the Morton
+    * interleave of their ranks ([[graft.functions.Morton]]), so every
     * rewritten file/row group covers a small rectangle of the
     * (c1, c2) plane and later 2-D predicates prune on parquet
-    * min/max stats — the engine-surface spelling of the
+    * min/max stats; one column as a plain range-sort (the degenerate
+    * but common Delta spelling — single-dimension clustering, the
+    * [[graft.operators.BucketedOps.eventsByTime]] shape). The
+    * engine-surface spelling of the
     * [[graft.operators.BucketedOps.eventsZOrder]] layout, with the
     * same snapshot semantics as plain [[compact]] (history retained,
     * plan chain reset, append lineage broken). The z key is
     * scratch — computed, sorted on, dropped — so the table schema is
     * unchanged. */
-  def compactZOrder(name: String, c1: String, c2: String,
-      numFiles: Int = 0): Unit =
-    compactImpl(name, numFiles, Some((c1, c2)))
+  def compactZOrder(name: String, cols: Seq[String],
+      numFiles: Int = 0): Unit = {
+    if (cols.isEmpty || cols.length > 2)
+      throw new IllegalArgumentException(
+        "Constraint Error: ZORDER BY takes one or two columns " +
+          s"(got ${cols.length}) — the Morton interleave here is 2-D")
+    compactImpl(name, numFiles, Some(cols))
+  }
 
   private def zRank(df: DataFrame, c: String): Column = {
     import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
-    df.schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
-      s"""Binder Error: ZORDER BY column "$c" does not exist""")
-    ).dataType match {
-      case TimestampType => expr(s"unix_micros(`$c`)")
-      case DateType => expr(s"datediff(`$c`, DATE '1970-01-01')").cast("long")
-      case _: NumericType => col(c).cast("long")
+    // resolve case-insensitively, like every other identifier on this
+    // engine's surface (Spark's own default resolution)
+    val f = df.schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"""Binder Error: ZORDER BY column "$c" does not exist"""))
+    f.dataType match {
+      case TimestampType => expr(s"unix_micros(`${f.name}`)")
+      case DateType =>
+        expr(s"datediff(`${f.name}`, DATE '1970-01-01')").cast("long")
+      case _: NumericType => col(f.name).cast("long")
       case other => throw new IllegalArgumentException(
         s"Constraint Error: ZORDER BY supports numeric, date, and " +
           s"timestamp columns; $c is $other")
@@ -770,7 +782,7 @@ class Engine private[graft] (val spark: SparkSession) {
   }
 
   private def compactImpl(name: String, numFiles: Int,
-      zOrderBy: Option[(String, String)]): Unit = withTableLock(name) {
+      zOrderBy: Option[Seq[String]]): Unit = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     val target =
       if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
@@ -779,16 +791,23 @@ class Engine private[graft] (val spark: SparkSession) {
     zOrderBy match {
       case None =>
         e.df.repartition(target).write.mode("overwrite").parquet(path)
-      case Some((c1, c2)) =>
-        // one 1-row stats fetch fixes the rank grid (the sanctioned
-        // once-per-snapshot driver aggregate, like the layout writes)
-        val (x, y) = (zRank(e.df, c1), zRank(e.df, c2))
-        val r = e.df.agg(min(x), max(x), min(y), max(y)).head
-        def l(i: Int) = Option(r.get(i))
-          .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-        val z = graft.functions.Morton.zValue(
-          graft.functions.Morton.rank16(x, l(0), l(1)),
-          graft.functions.Morton.rank16(y, l(2), l(3)))
+      case Some(cs) =>
+        val z = cs match {
+          case Seq(c1) => zRank(e.df, c1)
+          case Seq(c1, c2) =>
+            // one 1-row stats fetch fixes the rank grid (the
+            // sanctioned once-per-snapshot driver aggregate, like the
+            // layout writes)
+            val (x, y) = (zRank(e.df, c1), zRank(e.df, c2))
+            val r = e.df.agg(min(x), max(x), min(y), max(y)).head
+            def l(i: Int) = Option(r.get(i))
+              .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+            graft.functions.Morton.zValue(
+              graft.functions.Morton.rank16(x, l(0), l(1)),
+              graft.functions.Morton.rank16(y, l(2), l(3)))
+          case other => throw new IllegalStateException(
+            s"unreachable: compactZOrder validated arity, got $other")
+        }
         // TIMESTAMP_MICROS: INT96 carries no min/max stats, and stats
         // are the entire point of a Z-ordered rewrite
         val key = "spark.sql.parquet.outputTimestampType"
@@ -1432,16 +1451,29 @@ class Engine private[graft] (val spark: SparkSession) {
     if (!indexRegistry.contains(indexName))
       throw new IllegalArgumentException(
         s"""Catalog Error: Index with name "$indexName" does not exist!""")
+    // the index remembers its base table: refreshing against a
+    // different one would silently merge foreign vectors into the
+    // cells — fail loudly instead
+    val recorded = indexRegistry(indexName)._1
+    if (recorded != tableName)
+      throw new IllegalArgumentException(
+        s"""Binder Error: Index "$indexName" was built over table """ +
+          s""""$recorded", not "$tableName"""")
     val cells = table(s"${indexName}_cells")
     val df = table(tableName)
       .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
     val newVecs =
       df.join(cells.select("vec_id"), Seq("vec_id"), "left_anti")
-    val added = newVecs.count()
-    if (added > 0)
-      insertInto(s"${indexName}_cells",
-        SimilarityOps.ivfAssign(newVecs, table(s"${indexName}_centroids")))
-    added
+        .persist() // one anti-join pass feeds both the count and the
+                   // assignment write (the LayoutMaintenance pattern)
+    try {
+      val added = newVecs.count()
+      if (added > 0)
+        insertInto(s"${indexName}_cells",
+          SimilarityOps.ivfAssign(newVecs,
+            table(s"${indexName}_centroids")))
+      added
+    } finally { newVecs.unpersist(); () }
   }
 
   /** Build a DURABLE shingle index over a managed documents table:

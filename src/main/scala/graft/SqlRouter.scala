@@ -109,7 +109,7 @@ private[graft] object SqlRouter {
   // ZORDER BY clause); engine-only — fails Spark's parser and
   // reaches the regex routes
   private val OptimizeSql =
-    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
 
   /** True iff `route` would intercept this statement — WITHOUT executing
     * anything (explain/plan paths must stay side-effect-free: Spark runs
@@ -161,10 +161,17 @@ private[graft] object SqlRouter {
     case DropMatViewSql(ifEx, name) =>
       e.dropMaterializedAggregate(unq(name), ifExists = ifEx != null)
       Some(emptyOk(e))
-    case OptimizeSql(name, files, zc1, zc2) =>
+    case OptimizeSql(name, files, zcols) =>
       val n = Option(files).map(_.toInt).getOrElse(0)
-      if (zc1 != null) e.compactZOrder(unq(name), zc1, zc2, n)
-      else e.compact(unq(name), n)
+      Option(zcols) match {
+        case Some(cs) =>
+          // arity is validated engine-side (1 or 2 columns) so the
+          // user gets a clear constraint error, not a parse fallthrough
+          e.compactZOrder(unq(name),
+            cs.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).toSeq, n)
+        case None => e.compact(unq(name), n)
+      }
       Some(emptyOk(e))
     case DropTable(ifEx, name) =>
       e.dropTable(unq(name), ifExists = ifEx != null); Some(emptyOk(e))

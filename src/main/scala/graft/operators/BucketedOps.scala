@@ -564,7 +564,11 @@ object BucketedOps {
     val b = grid.getOrElse {
       val r = ev.agg(min("user_id"), max("user_id"),
         expr("unix_micros(min(ts))"), expr("unix_micros(max(ts))")).head
-      def l(i: Int) = r.getAs[Number](i).longValue
+      // null aggregates (empty input) degrade to the degenerate grid
+      // rather than NPE — rank16 maps everything to 0 and the layout
+      // is a valid empty/constant-cell table
+      def l(i: Int) = Option(r.get(i))
+        .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
       ZBounds(l(0), l(1), l(2), l(3))
     }
     writeSorted(ev.withColumn("z", zOf(b)), name, col("z"), clusterFiles)

@@ -62,6 +62,34 @@ import org.apache.spark.sql.functions._
   * write-tmp-then-rename like the persisted shingle index. */
 object LayoutMaintenance {
 
+  // Folds and compactions of the SAME layout are serialized JVM-wide:
+  // compaction is snapshot-read → write-tmp → swap, so a fold landing
+  // mid-compaction would be silently dropped by the swap (lost
+  // update), violating the fail-loudly contract. Same per-name
+  // monitor discipline as the Engine's per-table writer serialization;
+  // monitors are reentrant, so compact* verbs can publish under their
+  // own lock.
+  private val layoutLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def withLayoutLock[A](name: String)(f: => A): A =
+    layoutLocks.getOrElseUpdate(name, new Object).synchronized(f)
+
+  /** Write-tmp-then-swap publish: build the replacement content at
+    * `${name}_cmp` (the callback's argument), then atomically-enough
+    * re-point `name` — never overwrite a table mid-read. The single
+    * copy of the swap ritual every compaction path shares. */
+  private def swapPublish(s: SparkSession, name: String)
+      (writeTmp: String => Unit): Unit = {
+    val tmp = s"${name}_cmp"
+    writeTmp(tmp)
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $name")
+    // the renamed table reuses the dropped table's warehouse path:
+    // drop any cached file listing so the next plan sees the
+    // replacement file set, not the pre-swap one
+    s.catalog.refreshTable(name)
+  }
+
   /** Minute-grain partials of an events-shaped frame — the projection
     * both the full rewrite ([[BucketedOps.eventsMinuteRollup]]) and the
     * delta fold share, so the two paths cannot drift. */
@@ -84,7 +112,8 @@ object LayoutMaintenance {
     * table) into the minute-rollup layout `name` by appending signed
     * minute partials. Returns the number of partial rows appended — the
     * fold's touched-row count, O(distinct delta minutes). */
-  def foldMinuteDelta(feed: DataFrame, name: String): Long = {
+  def foldMinuteDelta(feed: DataFrame, name: String): Long =
+      withLayoutLock(name) {
     val signed = feed.withColumn("_sgn",
       when(col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(lit(-1L)))
@@ -112,7 +141,8 @@ object LayoutMaintenance {
     * updates (no O(delta) fold exists for per-row layouts without
     * merge-on-read; use [[BucketedOps.docsTokens]]' rewrite). Returns
     * manifest rows appended. */
-  def foldManifestDelta(feed: DataFrame, name: String): Long = {
+  def foldManifestDelta(feed: DataFrame, name: String): Long =
+      withLayoutLock(name) {
     val rows = manifestRows(
       insertOnlyRows(feed, "token-manifest", "BucketedOps.docsTokens"))
       .select("doc_id", "lang", "tok", "b")
@@ -138,7 +168,8 @@ object LayoutMaintenance {
     * METADATA returns only after [[compactEventsByUser]] (multi-file
     * buckets get a correct in-memory sort in the meantime — the
     * graceful-degradation contract above). Returns events appended. */
-  def foldEventsDelta(feed: DataFrame, name: String): Long = {
+  def foldEventsDelta(feed: DataFrame, name: String): Long =
+      withLayoutLock(name) {
     val rows = insertOnlyRows(feed, "event-log",
       "BucketedOps.eventsByUser").persist()
     try {
@@ -210,7 +241,8 @@ object LayoutMaintenance {
     * which [[compactSortedLayout]] (OPTIMIZE) collapses back to
     * disjoint ranges. O(delta) read and write; the corpus is never
     * re-scanned. Returns events appended. */
-  def foldTimeSortedDelta(feed: DataFrame, name: String): Long = {
+  def foldTimeSortedDelta(feed: DataFrame, name: String): Long =
+      withLayoutLock(name) {
     val rows = insertOnlyRows(feed, "time-sorted layout",
       "BucketedOps.eventsByTime")
       .select(EventCols.map(col): _*).persist()
@@ -233,7 +265,8 @@ object LayoutMaintenance {
     * locally coarser clustering, never wrong pruning, because the
     * skipping predicate reads the RAW column stats, not z. Returns
     * events appended. */
-  def foldZOrderDelta(feed: DataFrame, name: String): Long = {
+  def foldZOrderDelta(feed: DataFrame, name: String): Long =
+      withLayoutLock(name) {
     val s = feed.sparkSession
     val grid = BucketedOps.zBoundsOf(s, name)
     val rows = insertOnlyRows(feed, "Z-order layout",
@@ -260,16 +293,14 @@ object LayoutMaintenance {
     * (write-tmp-then-swap), carrying any Z-grid properties across the
     * swap so later folds keep their curve. */
   def compactSortedLayout(s: SparkSession, name: String,
-      sortCol: String): Unit = {
+      sortCol: String): Unit = withLayoutLock(name) {
     val zProps = s.sql(s"SHOW TBLPROPERTIES $name").collect()
       .map(r => r.getString(0) -> r.getString(1))
       .filter(_._1.startsWith("graft.z."))
-    val tmp = s"${name}_cmp"
-    BucketedOps.writeSorted(s.table(name), tmp, col(sortCol),
-      BucketedOps.clusterFiles)
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    s.sql(s"ALTER TABLE $tmp RENAME TO $name")
-    s.catalog.refreshTable(name)
+    swapPublish(s, name) { tmp =>
+      BucketedOps.writeSorted(s.table(name), tmp, col(sortCol),
+        BucketedOps.clusterFiles)
+    }
     if (zProps.nonEmpty)
       s.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
         zProps.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
@@ -277,29 +308,23 @@ object LayoutMaintenance {
   }
 
   private def republish(s: SparkSession, name: String, content: DataFrame,
-      keys: Seq[String], buckets: Int, sortCols: Seq[String]): Unit = {
-    val tmp = s"${name}_cmp"
-    // the content plan reads `name`, so publish to a sibling first and
-    // swap names — never overwrite a table mid-read.
-    // autoBucketedScan=false: when `content` is a direct scan of the
-    // bucketed table, the planner elides writeBucketed's repartition
-    // against the scan's bucket distribution AND auto-disables the
-    // bucketed read (no operator "needs" it) — write tasks then hold
-    // mixed buckets and the compaction silently leaves multi-file
-    // buckets, defeating its whole purpose (caught by the event-log
-    // law's plan assertion). Forcing the bucketed scan makes the
-    // elision sound: scan partitions ARE the buckets.
-    graft.operators.NamedQuery.withConf(s, Map(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false")) {
-      BucketedOps.writeBucketed(content, tmp, keys, buckets,
-        sortCols = sortCols)
+      keys: Seq[String], buckets: Int, sortCols: Seq[String]): Unit =
+    withLayoutLock(name) {
+      swapPublish(s, name) { tmp =>
+        // autoBucketedScan=false: when `content` is a direct scan of the
+        // bucketed table, the planner elides writeBucketed's repartition
+        // against the scan's bucket distribution AND auto-disables the
+        // bucketed read (no operator "needs" it) — write tasks then hold
+        // mixed buckets and the compaction silently leaves multi-file
+        // buckets, defeating its whole purpose (caught by the event-log
+        // law's plan assertion). Forcing the bucketed scan makes the
+        // elision sound: scan partitions ARE the buckets.
+        graft.operators.NamedQuery.withConf(s, Map(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled" ->
+            "false")) {
+          BucketedOps.writeBucketed(content, tmp, keys, buckets,
+            sortCols = sortCols)
+        }
+      }
     }
-    s.sql(s"DROP TABLE IF EXISTS $name")
-    s.sql(s"ALTER TABLE $tmp RENAME TO $name")
-    // the renamed table reuses the dropped table's warehouse path:
-    // drop any cached file listing so the next plan sees the compacted
-    // one-file-per-bucket layout, not the pre-compaction file set
-    s.catalog.refreshTable(name)
-    ()
-  }
 }

@@ -533,6 +533,11 @@ class EngineSpec extends SparkSpec {
     assert(res.head.getLong(0) == 5L &&
       math.abs(res.head.getDouble(1) - 1.0) < 1e-6)
     intercept[IllegalArgumentException](engine.refreshAnnIndex("nope", t))
+    // refreshing against a table other than the one the index was
+    // built over fails loudly instead of merging foreign vectors
+    val mm = intercept[IllegalArgumentException](
+      engine.refreshAnnIndex(idx, "some_other_table"))
+    assert(mm.getMessage.contains("was built over"))
     Seq(t, s"${idx}_centroids", s"${idx}_cells")
       .foreach(engine.unregisterTable)
     engine.dropIndex(idx)
@@ -1399,9 +1404,6 @@ class EngineSpec extends SparkSpec {
     "keep row-group skipping; compaction restores the disjoint ranges") {
     import graft.operators.{BucketedOps, LayoutMaintenance}
     import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     // sf0.01 (10k events) like ZOrderSpec: at 1k rows file-boundary
     // quantization would drown the skipping ratios the law pins
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
@@ -1432,19 +1434,10 @@ class EngineSpec extends SparkSpec {
       .map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
     assert(rows(zInc).nonEmpty && rows(zInc).sameElements(rows(zFull)))
     assert(rows(tlInc).sameElements(rows(tlFull)))
-    // skipping through the fold: the delta generation appended as ONE
-    // file whose row group spans the whole plane, so a 2-D box reads
-    // at most (pruned base + whole delta) — never the whole table
-    def scanRows(df: DataFrame): Long = {
-      val ss = castToImpl(df).queryExecution.executedPlan.collect {
-        case s: FileSourceScanExec => Seq(s)
-        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
-          case s: FileSourceScanExec => s
-        }
-      }.flatten
-      df.collect()
-      ss.map(_.metrics("numOutputRows").value).sum
-    }
+    // skipping through the fold (scanRows from SparkSpec): the delta
+    // generation appended as ONE file whose row group spans the whole
+    // plane, so a 2-D box reads at most (pruned base + whole delta) —
+    // never the whole table
     val w = (grid.maxU + 1L) / 8L
     def box(n: String) = spark.table(n)
       .filter(col("user_id") >= lit(2L * w) && col("user_id") < lit(3L * w)

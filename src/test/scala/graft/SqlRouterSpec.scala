@@ -454,10 +454,6 @@ class SqlRouterSpec extends SparkSpec {
 
   test("OPTIMIZE … ZORDER BY SQL: the rewrite clusters the (user, time) " +
     "plane so a 2-D box prunes row groups; schema/content unchanged") {
-    import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val t = s"opt_z_${System.nanoTime()}"
     // sf0.01 (10k events) for the same quantization reasons as ZOrderSpec
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
@@ -472,18 +468,8 @@ class SqlRouterSpec extends SparkSpec {
     assert(engine.table(t).columns.toSeq == cols)
     assert(engine.table(t).collect().map(_.getLong(0)).sorted
       .sameElements(ev.collect().map(_.getLong(0)).sorted))
-    // skipping law (rows surfaced by the parquet scan, the ZOrderSpec
-    // measurement): a ~1.2% box reads under a quarter of the table
-    def scanRows(df: DataFrame): Long = {
-      val ss = castToImpl(df).queryExecution.executedPlan.collect {
-        case s: FileSourceScanExec => Seq(s)
-        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
-          case s: FileSourceScanExec => s
-        }
-      }.flatten
-      df.collect()
-      ss.map(_.metrics("numOutputRows").value).sum
-    }
+    // skipping law (scanRows from SparkSpec — rows surfaced by the
+    // parquet scan): a ~1.2% box reads under a quarter of the table
     val maxU = ev.agg(max("user_id")).head.getLong(0)
     val w = (maxU + 1L) / 8L
     val total = ev.count()
@@ -494,11 +480,23 @@ class SqlRouterSpec extends SparkSpec {
       .groupBy("event_type").agg(count(lit(1))))
     assert(read * 4 <= total,
       s"ZORDER BY rewrite read $read of $total rows for a ~1.2% box")
-    // bad column / unsupported type fail loudly, nothing half-rewritten
+    // identifiers resolve case-insensitively, like the rest of the
+    // engine surface
+    engine.sql(s"OPTIMIZE $t INTO 256 FILES ZORDER BY (USER_ID, TS)")
+    // single-column Delta spelling = plain range-sort clustering
+    engine.sql(s"OPTIMIZE $t INTO 256 FILES ZORDER BY (ts)")
+    assert(engine.table(t).columns.toSeq == cols)
+    assert(engine.table(t).count() == total)
+    // bad column / unsupported type / arity fail loudly with the
+    // engine's own errors (never a parser fallthrough), nothing
+    // half-rewritten
     intercept[IllegalArgumentException](
       engine.sql(s"OPTIMIZE $t ZORDER BY (no_such, ts)"))
     intercept[IllegalArgumentException](
       engine.sql(s"OPTIMIZE $t ZORDER BY (event_type, ts)"))
+    val arity = intercept[IllegalArgumentException](
+      engine.sql(s"OPTIMIZE $t ZORDER BY (user_id, ts, value)"))
+    assert(arity.getMessage.contains("one or two columns"))
     assert(engine.table(t).count() == total)
     engine.dropTable(t)
   }

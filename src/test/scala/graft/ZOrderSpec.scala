@@ -1,9 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.classic.ClassicConversions.castToImpl
-import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.operators.BucketedOps
@@ -26,26 +23,7 @@ class ZOrderSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  private def scansOf(df: DataFrame) =
-    castToImpl(df).queryExecution.executedPlan.collect {
-      case s: FileSourceScanExec => Seq(s)
-      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
-        case s: FileSourceScanExec => s
-      }
-    }.flatten
-
-  /** Rows surfaced by the (single) parquet scan of `df`, post
-    * row-group pruning. Grabs the scan nodes from the INITIAL plan,
-    * then executes: AQE wraps executed subtrees in leaf QueryStage
-    * nodes that `collect` cannot descend into, but it reuses the same
-    * scan node instances, so their metrics populate on execution (the
-    * q137 partition-prune law established this order). */
-  private def scanRows(df: DataFrame): Long = {
-    val ss = scansOf(df)
-    assert(ss.nonEmpty, "no parquet scan in plan")
-    df.collect()
-    ss.map(_.metrics("numOutputRows").value).sum
-  }
+  // scansOf / scanRows (the skipping measurement) come from SparkSpec
 
   private def boxPredicate(maxU: Long): Column = {
     val w = (maxU + 1L) / 8L
