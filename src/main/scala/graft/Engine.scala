@@ -740,15 +740,19 @@ class Engine private[graft] (val spark: SparkSession) {
   def compact(name: String, numFiles: Int = 0): Unit =
     compactImpl(name, numFiles, None)
 
-  /** `OPTIMIZE t ZORDER BY (c1[, c2])`: compaction that additionally
-    * REORDERS the rewritten rows — two columns along the Morton
-    * interleave of their ranks ([[graft.functions.Morton]]), so every
-    * rewritten file/row group covers a small rectangle of the
-    * (c1, c2) plane and later 2-D predicates prune on parquet
-    * min/max stats; one column as a plain range-sort (the degenerate
-    * but common Delta spelling — single-dimension clustering, the
-    * [[graft.operators.BucketedOps.eventsByTime]] shape). The
-    * engine-surface spelling of the
+  /** `OPTIMIZE t ZORDER BY (c1[, …, ck])`: compaction that additionally
+    * REORDERS the rewritten rows — k ≥ 2 columns along the Morton
+    * interleave of their ranks ([[graft.functions.Morton.zValueN]]),
+    * so every rewritten file/row group covers a small box of the
+    * k-dimensional space and later multi-column predicates prune on
+    * parquet min/max stats; one column as a plain range-sort (the
+    * degenerate but common Delta spelling — single-dimension
+    * clustering, the [[graft.operators.BucketedOps.eventsByTime]]
+    * shape). Per-dimension rank width narrows with arity
+    * ([[graft.functions.Morton.bitsFor]]: 16 bits through k=3, 7 at
+    * k=8) — coarser CLUSTERING, never wrong pruning, because skipping
+    * reads the raw column stats; the 8-column cap is where the grid
+    * stops earning its sort. The engine-surface spelling of the
     * [[graft.operators.BucketedOps.eventsZOrder]] layout, with the
     * same snapshot semantics as plain [[compact]] (history retained,
     * plan chain reset, append lineage broken). The z key is
@@ -756,10 +760,11 @@ class Engine private[graft] (val spark: SparkSession) {
     * unchanged. */
   def compactZOrder(name: String, cols: Seq[String],
       numFiles: Int = 0): Unit = {
-    if (cols.isEmpty || cols.length > 2)
+    if (cols.isEmpty || cols.length > 8)
       throw new IllegalArgumentException(
-        "Constraint Error: ZORDER BY takes one or two columns " +
-          s"(got ${cols.length}) — the Morton interleave here is 2-D")
+        "Constraint Error: ZORDER BY takes 1 to 8 columns " +
+          s"(got ${cols.length}) — beyond 8 the per-dimension rank " +
+          "grid (<7 bits) no longer clusters anything")
     compactImpl(name, numFiles, Some(cols))
   }
 
@@ -794,19 +799,22 @@ class Engine private[graft] (val spark: SparkSession) {
       case Some(cs) =>
         val z = cs match {
           case Seq(c1) => zRank(e.df, c1)
-          case Seq(c1, c2) =>
-            // one 1-row stats fetch fixes the rank grid (the
+          case _ =>
+            // one 1-row stats fetch fixes the k rank grids (the
             // sanctioned once-per-snapshot driver aggregate, like the
-            // layout writes)
-            val (x, y) = (zRank(e.df, c1), zRank(e.df, c2))
-            val r = e.df.agg(min(x), max(x), min(y), max(y)).head
+            // layout writes); at k=2 zValueN/rank reproduce the
+            // zValue/rank16 curve bit for bit (ZOrderSpec law)
+            import graft.functions.Morton
+            val xs = cs.map(zRank(e.df, _))
+            val aggs = xs.flatMap(x => Seq(min(x), max(x)))
+            val r = e.df.agg(aggs.head, aggs.tail: _*).head
             def l(i: Int) = Option(r.get(i))
               .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-            graft.functions.Morton.zValue(
-              graft.functions.Morton.rank16(x, l(0), l(1)),
-              graft.functions.Morton.rank16(y, l(2), l(3)))
-          case other => throw new IllegalStateException(
-            s"unreachable: compactZOrder validated arity, got $other")
+            val bits = Morton.bitsFor(xs.length)
+            Morton.zValueN(
+              xs.zipWithIndex.map { case (x, j) =>
+                Morton.rank(x, l(2 * j), l(2 * j + 1), bits) },
+              bits)
         }
         // TIMESTAMP_MICROS: INT96 carries no min/max stats, and stats
         // are the entire point of a Z-ordered rewrite

@@ -41,6 +41,43 @@ object Morton {
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Rank bit-width for a k-dimensional interleave: 16 bits per
+    * dimension while the z value fits a non-negative long, narrower
+    * grids beyond (k=4 → 15 bits, k=8 → 7). Coarser ranks only bound
+    * clustering granularity — pruning reads the RAW column stats. */
+  def bitsFor(k: Int): Int = math.min(16, 63 / k)
+
+  /** Interleave k `bits`-bit ranks into a k·bits-bit Z-value:
+    * bit i of rank j lands at position i·k + j (dimension 0 gets the
+    * lowest lane, matching [[zValue]]'s x-even/y-odd layout at k=2).
+    * The general-arity form of [[zValue]]: a plain bit-gather loop —
+    * k·bits shift/mask/or terms, still ordinary codegen'd column
+    * arithmetic — because the magic-number doubling trick is
+    * per-stride and two-dimension-specific. Used once per OPTIMIZE
+    * rewrite projection, so expression size (≤ 16·k nodes) is
+    * irrelevant next to the sort it feeds. */
+  def zValueN(ranks: Seq[Column], bits: Int): Column = {
+    require(ranks.nonEmpty && bits >= 1 && ranks.length * bits <= 63,
+      s"z interleave of ${ranks.length} × $bits bits exceeds a long")
+    val k = ranks.length
+    val terms = for {
+      (r, j) <- ranks.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(r, i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Scale a value of known [min, max] onto the 0..2^bits-1 rank
+    * grid — [[rank16]] at general width, same monotonicity, clamp,
+    * and degenerate-range semantics. */
+  def rank(v: Column, min: Long, max: Long, bits: Int): Column = {
+    val top = (1L << bits) - 1L
+    val span = math.max(1L, max - min)
+    least(greatest(
+      ((v - lit(min)).cast("double") * lit(top.toDouble) /
+        lit(span.toDouble)).cast("long"), lit(0L)), lit(top))
+  }
+
   /** Scale a value of known [min, max] onto the 0..65535 rank grid.
     * Monotonic, so Z-order on ranks preserves locality of the raw
     * values; the raw columns (not the ranks) are what parquet stats

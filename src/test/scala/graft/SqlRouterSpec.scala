@@ -487,6 +487,21 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"OPTIMIZE $t INTO 256 FILES ZORDER BY (ts)")
     assert(engine.table(t).columns.toSeq == cols)
     assert(engine.table(t).count() == total)
+    // k > 2 columns: the general zValueN interleave (16-bit grids
+    // through k=3) — content identity, and the SAME 2-D box still
+    // prunes (a third dimension coarsens clustering, never disables
+    // skipping on the first two)
+    engine.sql(s"OPTIMIZE $t INTO 256 FILES ZORDER BY (user_id, ts, value)")
+    assert(engine.table(t).columns.toSeq == cols)
+    assert(engine.table(t).collect().map(_.getLong(0)).sorted
+      .sameElements(ev.collect().map(_.getLong(0)).sorted))
+    val read3 = scanRows(engine.table(t)
+      .filter(col("user_id") >= lit(2L * w) && col("user_id") < lit(3L * w)
+        && col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")
+        && col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      .groupBy("event_type").agg(count(lit(1))))
+    assert(read3 * 2 <= total,
+      s"3-D ZORDER read $read3 of $total rows for the 2-D box")
     // bad column / unsupported type / arity fail loudly with the
     // engine's own errors (never a parser fallthrough), nothing
     // half-rewritten
@@ -494,9 +509,9 @@ class SqlRouterSpec extends SparkSpec {
       engine.sql(s"OPTIMIZE $t ZORDER BY (no_such, ts)"))
     intercept[IllegalArgumentException](
       engine.sql(s"OPTIMIZE $t ZORDER BY (event_type, ts)"))
-    val arity = intercept[IllegalArgumentException](
-      engine.sql(s"OPTIMIZE $t ZORDER BY (user_id, ts, value)"))
-    assert(arity.getMessage.contains("one or two columns"))
+    val arity = intercept[IllegalArgumentException](engine.sql(
+      s"OPTIMIZE $t ZORDER BY (${Seq.fill(9)("user_id").mkString(",")})"))
+    assert(arity.getMessage.contains("1 to 8 columns"))
     assert(engine.table(t).count() == total)
     engine.dropTable(t)
   }

@@ -32,6 +32,37 @@ class ZOrderSpec extends SparkSpec {
       col("ts") < lit("2024-01-13 00:00:00").cast("timestamp")
   }
 
+  test("Morton zValueN/rank generalize zValue/rank16: bit-identical " +
+    "curve at k=2, in-bounds interleave and clamped ranks at k=3") {
+    import graft.functions.Morton
+    // pseudo-random 2-D points (hash-derived, deterministic)
+    val pts = spark.range(4096).select(
+      pmod(xxhash64(col("id")), lit(100000L)).as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(100000L)).as("y"),
+      pmod(xxhash64(col("id"), lit(2)), lit(100000L)).as("z3"))
+    assert(Morton.bitsFor(2) == 16 && Morton.bitsFor(3) == 16 &&
+      Morton.bitsFor(4) == 15 && Morton.bitsFor(8) == 7)
+    val mismatch2 = pts.select(
+      Morton.zValue(Morton.rank16(col("x"), 0L, 99999L),
+        Morton.rank16(col("y"), 0L, 99999L)).as("a"),
+      Morton.zValueN(Seq(Morton.rank(col("x"), 0L, 99999L, 16),
+        Morton.rank(col("y"), 0L, 99999L, 16)), 16).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch2 == 0L, "k=2 zValueN diverged from the 2-D fast path")
+    // k=3 at 16 bits: z fits 48 bits, non-negative; clamp law — values
+    // outside the recorded grid land at the edge, never wrap
+    val r3 = pts.select(Morton.zValueN(Seq(
+      Morton.rank(col("x"), 0L, 99999L, 16),
+      Morton.rank(col("y"), 0L, 99999L, 16),
+      Morton.rank(col("z3"), 0L, 99999L, 16)), 16).as("z"))
+      .agg(min("z"), max("z")).head
+    assert(r3.getLong(0) >= 0L && r3.getLong(1) < (1L << 48))
+    val clamped = spark.range(1).select(
+      Morton.rank(lit(-5L), 0L, 99L, 8).as("lo"),
+      Morton.rank(lit(1000L), 0L, 99L, 8).as("hi")).head
+    assert(clamped.getLong(0) == 0L && clamped.getLong(1) == 255L)
+  }
+
   test("q174 on the Z-order layout ≡ the same box on the raw events") {
     val viaLayout = SparkEntry.queries("q174_zorder_box")(spark, dir)
       .collect().map(_.toSeq).toSet
