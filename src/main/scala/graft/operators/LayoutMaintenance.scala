@@ -71,19 +71,31 @@ object LayoutMaintenance {
   // own lock.
   private val layoutLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
-  private def withLayoutLock[A](name: String)(f: => A): A =
+  private[graft] def withLayoutLock[A](name: String)(f: => A): A =
     layoutLocks.getOrElseUpdate(name, new Object).synchronized(f)
 
   /** Write-tmp-then-swap publish: build the replacement content at
     * `${name}_cmp` (the callback's argument), then atomically-enough
     * re-point `name` — never overwrite a table mid-read. The single
-    * copy of the swap ritual every compaction path shares. */
+    * copy of the swap ritual every compaction path shares. Engine
+    * metadata — every `graft.`-prefixed table property (the Z-grid,
+    * the streaming-fold ledger) — is carried across the swap: the
+    * rewritten table is the same layout, so its grid and its
+    * exactly-once high-water must survive an OPTIMIZE. */
   private def swapPublish(s: SparkSession, name: String)
       (writeTmp: String => Unit): Unit = {
+    val props =
+      if (!s.catalog.tableExists(name)) Array.empty[(String, String)]
+      else s.sql(s"SHOW TBLPROPERTIES $name").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+        .filter(_._1.startsWith("graft."))
     val tmp = s"${name}_cmp"
     writeTmp(tmp)
     s.sql(s"DROP TABLE IF EXISTS $name")
     s.sql(s"ALTER TABLE $tmp RENAME TO $name")
+    if (props.nonEmpty)
+      s.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+        props.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
     // the renamed table reuses the dropped table's warehouse path:
     // drop any cached file listing so the next plan sees the
     // replacement file set, not the pre-swap one
@@ -290,21 +302,14 @@ object LayoutMaintenance {
 
   /** OPTIMIZE for a fold-maintained sort-clustered layout: republish
     * the accumulated generations as one disjoint-range file set
-    * (write-tmp-then-swap), carrying any Z-grid properties across the
-    * swap so later folds keep their curve. */
+    * (write-tmp-then-swap; Z-grid properties ride the swap's generic
+    * `graft.` carry so later folds keep their curve). */
   def compactSortedLayout(s: SparkSession, name: String,
       sortCol: String): Unit = withLayoutLock(name) {
-    val zProps = s.sql(s"SHOW TBLPROPERTIES $name").collect()
-      .map(r => r.getString(0) -> r.getString(1))
-      .filter(_._1.startsWith("graft.z."))
     swapPublish(s, name) { tmp =>
       BucketedOps.writeSorted(s.table(name), tmp, col(sortCol),
         BucketedOps.clusterFiles)
     }
-    if (zProps.nonEmpty)
-      s.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
-        zProps.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
-    ()
   }
 
   private def republish(s: SparkSession, name: String, content: DataFrame,
