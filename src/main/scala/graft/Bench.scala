@@ -99,11 +99,21 @@ object Bench {
     // five late-basket rows printed as uncertifiable 2.4-5.2× apparent
     // regressions. The artifact now defends itself: every query carries
     // the max of its two bracketing sentinel readings as a per-query
-    // load stamp, and rows stamped >2× the quietest sentinel observed
-    // anywhere in the run are RE-MEASURED on additional passes (keeping
-    // whichever measurement came from the quieter window) until the
-    // whole basket is certified quiet or the pass budget is exhausted —
-    // only then does the artifact print contended:true.
+    // load stamp, and rows stamped above the certification threshold ×
+    // the quietest sentinel observed anywhere in the run are
+    // RE-MEASURED on additional passes (keeping whichever measurement
+    // came from the quieter window) until the whole basket is certified
+    // quiet or the pass budget is exhausted — only then does the
+    // artifact print contended:true.
+    //
+    // The threshold is 1.25× (was 2× through r11). The r11 artifact
+    // proved 2× too loose: its own end sentinel ran 2.9× the floor —
+    // inside the old gate's tolerance — and four unchanged rows
+    // committed +35-50% above the same-round recertified medians while
+    // still stamping contended:false. 1.25× admits scheduler jitter
+    // but rejects a real ramp; the pass budget rises to 6 (re-run
+    // passes only repeat the uncertified rows, so extra passes are
+    // cheap when the host is mostly quiet).
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries("q05_agg_global")(spark, "/root/testdata/sf0.001")
@@ -150,7 +160,8 @@ object Bench {
     val chosen = scala.collection.mutable.Map
       .empty[String, (Vector[Double], Double)]
     val allCals = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "6").toInt
+    val certify = sys.env.getOrElse("SPARK_GRAFT_BENCH_CERTIFY", "1.25").toDouble
     var pass = 0
     var calStart = 0.0; var calMid = 0.0; var calEnd = 0.0
     var quiet = false
@@ -159,7 +170,7 @@ object Bench {
       val floor = if (allCals.isEmpty) Double.MaxValue else allCals.min
       val toRun =
         if (pass == 1) benchSet
-        else benchSet.filter(n => chosen(n)._2 > 2.0 * floor)
+        else benchSet.filter(n => chosen(n)._2 > certify * floor)
       var prevCal = calibrate(); allCals += prevCal
       if (pass == 1) calStart = prevCal
       val mid = toRun.size / 2
@@ -187,10 +198,10 @@ object Bench {
       }
       if (pass == 1) calEnd = prevCal
       val fl = allCals.min
-      quiet = benchSet.forall(n => chosen(n)._2 <= 2.0 * fl)
+      quiet = benchSet.forall(n => chosen(n)._2 <= certify * fl)
       if (!quiet && pass < maxPasses)
         System.err.println(s"[bench] pass $pass contended (floor=$fl, " +
-          s"loud=${benchSet.count(n => chosen(n)._2 > 2.0 * fl)}); re-running")
+          s"loud=${benchSet.count(n => chosen(n)._2 > certify * fl)}); re-running")
     }
     val results = benchSet.map(n => n -> chosen(n)._1)
     def r3(v: Double) = math.round(v * 1000) / 1000.0
@@ -210,7 +221,8 @@ object Bench {
       .mkString("{", ",", "}")
     val calibration =
       s"""{"start":${r3(calStart)},"mid":${r3(calMid)},"end":${r3(calEnd)},""" +
-        s""""floor":${r3(calFloor)},"passes":$pass,"contended":$contended}"""
+        s""""floor":${r3(calFloor)},"passes":$pass,"certify":$certify,""" +
+        s""""contended":$contended}"""
     val stages = stageFirst.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val stagesMin = stageMin.toSeq.sortBy(_._1)

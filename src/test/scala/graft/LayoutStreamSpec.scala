@@ -11,8 +11,10 @@ import graft.streaming.LayoutStream
 /** Contract of continuous layout maintenance: after each drain the
   * layout is content-equivalent to a full rewrite over everything fed
   * so far (the fold ≡ rewrite law, now driven by file arrival), the
-  * ledger makes replays no-ops and survives compaction, and the
-  * crash-window ambiguity is detected, never silently double-counted. */
+  * ledger makes replays no-ops and survives compaction, and the fold
+  * commit is ATOMIC under replay — a kill at any point of the commit
+  * window (post-stage, mid-rename, pre-stamp) replays to exactly the
+  * committed-once content, never a rebuild, never a double-count. */
 class LayoutStreamSpec extends SparkSpec {
 
   private def normFeed(paths: String*): DataFrame = {
@@ -63,8 +65,6 @@ class LayoutStreamSpec extends SparkSpec {
         .collectFirst { case r if r.getString(0) == k => r.getString(1) }
     val hw = prop(LayoutStream.LastBatchProp)
     assert(hw.nonEmpty, "high-water ledger stamp missing after drains")
-    assert(prop(LayoutStream.InflightProp).isEmpty,
-      "inflight marker must clear after a committed fold")
     // no new files: a re-drain folds nothing and moves no ledger
     LayoutStream.maintainMinuteRollup(spark, feed, layout, ckpt)
     assertSameRollup(layout, all, "after empty re-drain")
@@ -99,31 +99,61 @@ class LayoutStreamSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $layout")
   }
 
-  test("ledger protocol: replays skip without folding, a failed fold " +
-      "clears inflight for retry, a dead fold's window raises") {
-    val t = s"ls_ledger_${System.nanoTime()}"
-    spark.range(3).write.saveAsTable(t)
-    assert(LayoutStream.foldGuarded(spark, t, 1L)(5L) == 5L)
-    // replay at/below the high-water: skipped, the fold body never runs
-    assert(LayoutStream.foldGuarded(spark, t, 1L)(
-      fail("replayed fold must not run")) == 0L)
-    assert(LayoutStream.foldGuarded(spark, t, 0L)(
-      fail("stale fold must not run")) == 0L)
-    // a FAILED fold (job aborted, files rolled back) clears the
-    // marker so the stream's retry of the same batch proceeds
-    val boom = intercept[RuntimeException](
-      LayoutStream.foldGuarded(spark, t, 2L)(
-        throw new RuntimeException("boom")))
-    assert(boom.getMessage == "boom")
-    assert(LayoutStream.foldGuarded(spark, t, 2L)(7L) == 7L)
-    // a process KILL inside the fold-to-stamp window leaves the
-    // marker set: ambiguous appends, so the next drain fails loudly
-    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
-      s"('${LayoutStream.InflightProp}'='9')")
-    val dead = intercept[IllegalStateException](
-      LayoutStream.foldGuarded(spark, t, 10L)(
-        fail("ambiguous-window fold must not run")))
-    assert(dead.getMessage.contains("unfinished streaming fold"))
-    spark.sql(s"DROP TABLE IF EXISTS $t")
+  test("atomic fold commit: replays skip without folding, and a kill " +
+      "at ANY point of the commit window replays to exactly-once " +
+      "content — no rebuild, no double-count") {
+    import graft.operators.BucketedOps
+    val layout = s"ls_atomic_${System.nanoTime()}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.normalizeEvents(spark.read.parquet(s"$sf/events.parquet"))
+    val b0 = raw.filter(col("event_id") % 2 === 0)
+    val b1 = raw.filter(col("event_id") % 2 === 1)
+    def partials(df: DataFrame): DataFrame =
+      LayoutMaintenance.minutePartials(df).select("event_type", "m", "n", "sv")
+    def commit(id: Long, df: DataFrame): Long =
+      LayoutMaintenance.commitStreamFold(spark, layout, id, partials(df),
+        Seq("event_type"), BucketedOps.RollupBuckets,
+        Seq("event_type", "m"), LayoutStream.LastBatchProp)
+    // batch 0 creates + commits
+    assert(commit(0L, b0) > 0L)
+    assertSameRollup(layout, b0, "after batch 0")
+    // replay at/below the high-water: skipped, nothing refolds
+    assert(commit(0L, b0) == 0L)
+    assertSameRollup(layout, b0, "after batch-0 replay")
+    // crash injection: kill the commit of batch 1 after k renames —
+    // k=0 (staged but nothing moved), k=1 (mid-rename: a TORN set of
+    // tagged files is on disk), k=MaxValue (all renames done, stamp
+    // never written: the exact window the r11 protocol could only
+    // detect). Each replay must land on exactly-once content.
+    for (k <- Seq(0, 1, Int.MaxValue)) {
+      LayoutMaintenance.crashAfterRenames = k
+      val dead = intercept[RuntimeException](commit(1L, b1))
+      assert(dead.getMessage.contains("injected crash"), s"k=$k")
+      LayoutMaintenance.crashAfterRenames = -1
+      // the dead fold left batch-1 work in unknown partial state;
+      // the replay recovers deterministically and commits once
+      assert(commit(1L, b1) > 0L, s"k=$k replay")
+      assertSameRollup(layout, b0.union(b1), s"after k=$k crash+replay")
+      // roll the ledger back so the next k replays the same batch
+      // (content must also roll back: drop the batch's tagged files,
+      // exactly what a replay's recovery step does)
+      if (k != Int.MaxValue) {
+        val dir = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(layout)).location)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(dir).filter(_.getPath.getName.startsWith("gb1-"))
+          .foreach(f => fs.delete(f.getPath, false))
+        spark.sql(s"ALTER TABLE $layout SET TBLPROPERTIES " +
+          s"('${LayoutStream.LastBatchProp}'='0')")
+        spark.catalog.refreshTable(layout)
+        assertSameRollup(layout, b0, s"after k=$k rollback")
+      }
+    }
+    // post-crash-matrix: replay of the committed batch is a no-op
+    assert(commit(1L, b1) == 0L)
+    assertSameRollup(layout, b0.union(b1), "final")
+    spark.sql(s"DROP TABLE IF EXISTS $layout")
+    spark.sql(s"DROP TABLE IF EXISTS ${layout}_stage")
   }
 }
