@@ -1425,9 +1425,18 @@ class Engine private[graft] (val spark: SparkSession) {
     * sampled-k-means centroids and cell assignments land as managed
     * tables (`<index>_centroids`, `<index>_cells`), so the training
     * cost amortizes across every later [[annSearch]]. The index is
-    * listed in `indexes` introspection like any other. */
+    * listed in `indexes` introspection like any other.
+    *
+    * With `pq = true` the index is IVF-PQ: residual product-quantizer
+    * codebooks train per subspace (`<index>_codebooks`) and the cells
+    * table carries (cell, norm, m code bytes) per vector INSTEAD of
+    * raw floats — ~13× smaller, the memory bound that keeps a 100 TB
+    * corpus's index resident. [[annSearch]] then scores candidates
+    * from codes (ADC) and rescores its shortlist on raw floats fetched
+    * from the BASE table, so reported similarities stay exact. */
   def buildAnnIndex(indexName: String, tableName: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      pq: Boolean = false): Unit = {
     import graft.operators.SimilarityOps
     val df = table(tableName)
       .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
@@ -1435,8 +1444,35 @@ class Engine private[graft] (val spark: SparkSession) {
     val cents = SimilarityOps.ivfCentroids(spark, df,
       SimilarityOps.ivfNlist(n))
     put(s"${indexName}_centroids", cents)
-    put(s"${indexName}_cells", SimilarityOps.ivfAssign(df, cents), n)
+    if (pq) {
+      val assigned = SimilarityOps.ivfAssign(df, cents)
+      val books = SimilarityOps.pqTrain(spark, assigned, cents)
+      put(s"${indexName}_codebooks", booksToDf(books))
+      put(s"${indexName}_cells",
+        SimilarityOps.pqEncode(assigned, cents, books), n)
+    } else
+      put(s"${indexName}_cells", SimilarityOps.ivfAssign(df, cents), n)
+    annMeta.put(indexName, (idCol, embCol))
     createIndex(indexName, tableName, Seq(embCol), ifNotExists = true)
+  }
+
+  /** (idCol, embCol) an ANN index was built with — needed by the PQ
+    * search path's raw-float rescoring fetch against the base table. */
+  private val annMeta = TrieMap.empty[String, (String, String)]
+
+  private def booksToDf(
+      books: Array[Array[Array[Float]]]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cb, c) => (j, c, cb) }
+    }.toSeq.toDF("subspace", "code", "cb")
+  }
+
+  private def booksOf(indexName: String): Array[Array[Array[Float]]] = {
+    import spark.implicits._
+    table(s"${indexName}_codebooks").as[(Int, Int, Array[Float])]
+      .collect().groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
   }
 
   /** Incremental refresh of a [[buildAnnIndex]] artifact after new
@@ -1476,10 +1512,17 @@ class Engine private[graft] (val spark: SparkSession) {
                    // assignment write (the LayoutMaintenance pattern)
     try {
       val added = newVecs.count()
-      if (added > 0)
+      if (added > 0) {
+        val assigned = SimilarityOps.ivfAssign(newVecs,
+          table(s"${indexName}_centroids"))
+        // a PQ index refreshes by encoding against the FROZEN
+        // codebooks — same frozen-quantizer law as the centroids
         insertInto(s"${indexName}_cells",
-          SimilarityOps.ivfAssign(newVecs,
-            table(s"${indexName}_centroids")))
+          if (registry.contains(s"${indexName}_codebooks"))
+            SimilarityOps.pqEncode(assigned,
+              table(s"${indexName}_centroids"), booksOf(indexName))
+          else assigned)
+      }
       added
     } finally { newVecs.unpersist(); () }
   }
@@ -1701,9 +1744,29 @@ class Engine private[graft] (val spark: SparkSession) {
 
   /** Probe an [[buildAnnIndex]] index: rank cells against the query on
     * the driver (centroids are metadata-scale, ≈√N rows), then scan
-    * only the probed cells — per-query work O(nprobe·N/nlist). */
+    * only the probed cells — per-query work O(nprobe·N/nlist). On a PQ
+    * index the cell scan reads code bytes (ADC) and the shortlist is
+    * rescored on raw floats from the base table, so the returned
+    * `cos_sim` is exact either way. */
   def annSearch(indexName: String, query: Array[Float], k: Int = 10,
       nprobe: Int = 4): DataFrame = {
+    if (registry.contains(s"${indexName}_codebooks")) {
+      import graft.operators.SimilarityOps
+      import spark.implicits._
+      val (idCol, embCol) = annMeta.getOrElse(indexName,
+        ("vec_id", "embedding"))
+      val base = indexRegistry.getOrElse(indexName,
+        throw new IllegalArgumentException(
+          s"""Catalog Error: Index with name "$indexName" does not exist!"""))._1
+      val raw = table(base)
+        .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+      val queries = Seq((-1L, query)).toDF("qid", "q_emb")
+      return SimilarityOps.pqSearch(queries, table(s"${indexName}_cells"),
+        table(s"${indexName}_centroids"), booksOf(indexName), raw,
+        k = k, nprobe = nprobe, shortlist = math.max(4 * k, 40))
+        .select(col("neighbor").as("vec_id"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    }
     val cents = table(s"${indexName}_centroids").collect()
     def cos(v: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

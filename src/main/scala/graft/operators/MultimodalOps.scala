@@ -1,137 +1,190 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
 
-/** Multimodal-column plumbing: media as opaque `binary` payloads with
-  * typed metadata, decoded/feature-extracted per partition.
+/** Multimodal-column plumbing over REAL image bytes: media as opaque
+  * `binary` payloads ingested through `spark.read.format("binaryFile")`
+  * and decoded per partition with [[ImageCodec]] — spec-valid PNG
+  * (full pixel decode: chunk walk, CRC verify, inflate, five-filter
+  * reconstruction), GIF (logical screen + per-frame container walk over
+  * real LZW-coded frames), and JPEG (SOF dimension probe).
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB — but the Spark-side shape is real:
-  * binary column, typed output schema, partition-wise (mapPartitions)
-  * batch processing with no driver materialization, which is how a codec
-  * UDF runs against 100 TB of media.
-  */
+  * Fixtures: the container ships no media, so each `documents` row is
+  * materialized once per scale dir as a real image FILE whose format
+  * and content are deterministic functions of `doc_id` (PNG pixels
+  * v(k) = (doc_id + k) mod 256, GIF frame geometry from small moduli).
+  * That determinism is what makes every query oracle-checkable: DuckDB
+  * recomputes the expected dimensions / pixel sums / frame tables from
+  * `doc_id` alone, so a decoder that misreads a single header byte,
+  * mis-inverts a scanline filter, or drops a frame hash-mismatches.
+  * The encode side is independently pinned against public reference
+  * bytes (the canonical 1×1 PNG) in MediaDecodeSpec, so encoder and
+  * decoder cannot be compensatingly wrong about the chunk layout.
+  *
+  * Scale shape: one file per document here; at 100 TB the same decode
+  * runs over binary columns or an object-store manifest, still
+  * partition-wise with no driver materialization — `binaryFile` is the
+  * ingestion spelling of that path (each task reads only its files'
+  * bytes; the decode is O(payload) per row, embarrassingly parallel). */
 object MultimodalOps {
 
-  /** Metadata extraction over the binary payload — pure SQL, oracle-checked. */
-  val meta: NamedQuery = NamedQuery("q52_multimodal_meta",
-    Some("""SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
-           |CAST(octet_length(CAST(text AS BLOB)) % 320 + 32 AS BIGINT) AS fake_width,
-           |CAST(octet_length(CAST(text AS BLOB)) % 200 + 32 AS BIGINT) AS fake_height
-           |FROM documents""".stripMargin),
-    (s, d) => {
-      val nb = octet_length(col("text").cast("binary")).cast("bigint")
-      t(s, d, "documents").select(
-        col("doc_id"), nb.as("n_bytes"),
-        (nb % 320 + 32).as("fake_width"),
-        (nb % 200 + 32).as("fake_height"))
+  /** Deterministic per-doc fixture parameters — the single source the
+    * Scala encoder and the DuckDB oracle SQL both derive from. */
+  private def pngDims(id: Long): (Int, Int) =
+    ((id % 48 + 8).toInt, (id % 32 + 8).toInt)
+  private def screenDims(id: Long): (Int, Int) =
+    ((id % 300 + 16).toInt, (id % 200 + 16).toInt)
+
+  private val memoFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Materialize the media fixture directory for scale dir `d` (once
+    * per JVM): one real image file per document, format by
+    * `doc_id % 3` (png / gif / jpeg). Written partition-wise — on a
+    * cluster this lands on shared storage, exactly like a fixture
+    * corpus would. */
+  private[graft] def mediaFixtures(s: SparkSession, d: String): String =
+    memoFixtures.getOrElseUpdate(d, {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_media_${ProcessHandle.current.pid}_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_"))
+      java.nio.file.Files.createDirectories(dir)
+      val dirStr = dir.toString
+      val spark = s
+      import spark.implicits._
+      t(s, d, "documents").select("doc_id").as[Long]
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val (name, bytes) = (id % 3) match {
+              case 0 =>
+                val (w, h) = pngDims(id)
+                (s"doc$id.png",
+                  ImageCodec.encodePng(w, h, k => ((id + k) % 256).toInt))
+              case 1 =>
+                val (w, h) = screenDims(id)
+                val frames = (0 until (id % 5 + 1).toInt).map { k =>
+                  (k % 4, k % 3, ((id + k) % 10 + 2).toInt,
+                    ((id + 2L * k) % 9 + 2).toInt,
+                    ((id * 3 + k) % 100).toInt, ((id + k) % 128).toInt)
+                }
+                (s"doc$id.gif", ImageCodec.encodeGif(w, h, frames))
+              case _ =>
+                val (w, h) = screenDims(id)
+                (s"doc$id.jpg", ImageCodec.encodeJpegHeader(w, h))
+            }
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dirStr, name), bytes)
+          }
+        }
+      dirStr
     })
 
-  /** Partition-wise "decode": binary payload → (doc_id, width, height,
-    * resize dims, mean luma). STUB decode — a real deployment swaps the
-    * byte arithmetic for a codec call; everything around it (schema,
-    * batching, distribution) is the production shape. The stub is
-    * deterministic byte arithmetic, so it IS oracle-checkable: DuckDB
-    * recomputes the same features from the characters (the ASCII guard
-    * keeps byte and character views identical on both engines; luma is
-    * exact integer arithmetic — x100 fixed-point, half-up — so no
-    * float-rounding dialect can split the hash). */
-  val decode: NamedQuery = NamedQuery("q53_multimodal_decode",
-    Some("""WITH a AS (SELECT doc_id, text,
-           |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
-           |  FROM documents
-           |  WHERE octet_length(CAST(text AS BLOB)) = length(text) AND text <> ''),
-           |s AS (SELECT doc_id, n,
-           |    CAST(list_sum(list_transform(range(1, CAST(n + 1 AS INT)),
-           |      i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS sm
-           |  FROM a)
-           |SELECT doc_id, n % 320 + 32 AS width, n % 200 + 32 AS height,
-           |  CAST(224 AS BIGINT) AS resized_w,
-           |  CAST(greatest(1, floor((n % 200 + 32) * 224.0
-           |    / (n % 320 + 32) + 0.5)) AS BIGINT) AS resized_h,
-           |  (200 * sm + n) // (2 * n) AS luma_x100
-           |FROM s""".stripMargin),
+  private def docId(path: String): Long = {
+    val m = "doc(\\d+)\\.".r.findFirstMatchIn(path)
+    m.fold(throw new IllegalArgumentException(s"unparseable path $path"))(
+      _.group(1).toLong)
+  }
+
+  /** Media corpus as a binary-column frame: (doc_id, content). */
+  private def mediaBytes(s: SparkSession, d: String) = {
+    val spark = s
+    import spark.implicits._
+    s.read.format("binaryFile").load(mediaFixtures(s, d))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) => (docId(p), bytes) }
+  }
+
+  /** Header-level metadata over the binary payloads: format sniff +
+    * dimension probe (PNG IHDR / GIF logical screen / JPEG SOF) — the
+    * O(header-bytes) fast path a 100 TB media pipeline runs before any
+    * pixel work. Oracle: DuckDB recomputes the expected triple from
+    * doc_id (the fixtures' generating functions). */
+  val meta: NamedQuery = NamedQuery("q52_multimodal_meta",
+    Some("""SELECT doc_id,
+           |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+           |       WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+           |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 48 + 8
+           |       ELSE doc_id % 300 + 16 END AS width,
+           |  CASE WHEN doc_id % 3 = 0 THEN doc_id % 32 + 8
+           |       ELSE doc_id % 200 + 16 END AS height
+           |FROM documents""".stripMargin),
     (s, d) => {
       val spark = s
       import spark.implicits._
-      val payloads = t(s, d, "documents")
-        // ASCII-only guard: keeps the byte-level stub oracle-checkable
-        // (SQL sees characters; bytes == characters only under ASCII)
-        .filter(octet_length(col("text").cast("binary")) === length(col("text"))
-          && col("text") =!= "")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-      val targetW = 224L // resize target (vision-model input size)
-      payloads.mapPartitions { it =>
+      mediaBytes(s, d).mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // STUB: deterministic fake of an image decode. Real impl: hand
-          // `bytes` to a codec and emit true dimensions + features.
-          val n = bytes.length.toLong
-          val w = n % 320 + 32
-          val h = n % 200 + 32
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-          // resize stub: aspect-preserving scale to targetW wide — the
-          // arithmetic a real resampler applies, minus the pixels
-          val rh = math.max(1L, math.round(h * targetW.toDouble / w))
-          // mean luma as exact x100 fixed-point (half-up): identical
-          // integer arithmetic on both engines, no float rounding
-          val lumaX100 = (200L * sum + n) / (2L * n)
-          (id, w, h, targetW, rh, lumaX100)
+          val (fmt, w, h) = ImageCodec.probe(bytes)
+          (id, fmt, w.toLong, h.toLong)
         }
-      }.toDF("doc_id", "width", "height", "resized_w", "resized_h",
-        "luma_x100")
+      }.toDF("doc_id", "format", "width", "height")
     })
 
-  /** Frame sampling: treat the payload as a "video" of fixed-size frames
-    * and emit every k-th frame as its own row with a feature stub — the
-    * one-to-many partition-wise expansion a video pipeline runs (decode
-    * stubbed; schema/batching/distribution real). Output is bounded by
-    * maxFrames per document, so row explosion is controlled. Like q53,
-    * the stub arithmetic is deterministic and oracle-checked exactly
-    * (ASCII guard + x100 fixed-point frame luma). */
+  /** Full PNG decode over the binary payloads: signature + chunk walk
+    * with CRC32 verification, zlib inflate, five-filter scanline
+    * reconstruction, then real pixel statistics (integer Rec.601 luma,
+    * ×100 fixed-point) and the aspect-preserving resize arithmetic.
+    * Oracle: DuckDB recomputes dimensions AND the exact pixel sum from
+    * the generating function — a wrong defilter or a dropped scanline
+    * hash-mismatches. */
+  val decode: NamedQuery = NamedQuery("q53_multimodal_decode",
+    Some("""WITH p AS (SELECT doc_id, doc_id % 48 + 8 AS w,
+           |    doc_id % 32 + 8 AS h
+           |  FROM documents WHERE doc_id % 3 = 0)
+           |SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+           |  CAST(224 AS BIGINT) AS resized_w,
+           |  CAST(greatest(1, floor(h * 224.0 / w + 0.5)) AS BIGINT)
+           |    AS resized_h,
+           |  (200 * CAST(list_sum(list_transform(
+           |       range(0, CAST(w * h AS INT)),
+           |       k -> (doc_id + k) % 256)) AS BIGINT) + w * h)
+           |    // (2 * w * h) AS luma_x100
+           |FROM p""".stripMargin),
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val targetW = 224L // resize target (vision-model input size)
+      mediaBytes(s, d)
+        .filter(kv => kv._1 % 3 == 0)
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val img = ImageCodec.decodePng(bytes)
+            val w = img.width.toLong; val h = img.height.toLong
+            val rh = math.max(1L, math.round(h * targetW.toDouble / w))
+            (id, w, h, w * h, targetW, rh, ImageCodec.meanLumaX100(img))
+          }
+        }.toDF("doc_id", "width", "height", "n_pixels", "resized_w",
+          "resized_h", "luma_x100")
+    })
+
+  /** Frame sampling over the GIF payloads: the container-structure walk
+    * (descriptors, control extensions, LZW sub-block skip) that emits
+    * one row per frame — the one-to-many expansion a video pipeline's
+    * frame sampler runs at the container level. Oracle: the fixtures'
+    * frame table regenerated from doc_id. */
   val frameSample: NamedQuery = NamedQuery("q54b_multimodal_frames",
-    // frames: every 4th 64-byte window, capped at 8 frames → frame_idx
-    // in range(0, least(n//64, 29), 4); each sampled frame is full-width
-    Some("""WITH a AS (SELECT doc_id, text,
-           |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
-           |  FROM documents
-           |  WHERE octet_length(CAST(text AS BLOB)) = length(text)),
-           |f AS (SELECT doc_id, text,
-           |    unnest(range(0, CAST(least(n // 64, 29) AS INT), 4)) AS fi
-           |  FROM a)
-           |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
-           |  CAST(64 AS BIGINT) AS frame_bytes,
-           |  (200 * CAST(list_sum(list_transform(range(1, 65),
-           |     i -> ascii(substr(text, CAST(fi * 64 + i AS INT), 1))))
-           |   AS BIGINT) + 64) // 128 AS luma_x100
+    Some("""WITH g AS (SELECT doc_id, CAST(doc_id % 5 + 1 AS INT) AS nf
+           |  FROM documents WHERE doc_id % 3 = 1),
+           |f AS (SELECT doc_id, unnest(range(0, nf)) AS k FROM g)
+           |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+           |  CAST(k % 4 AS BIGINT) AS x, CAST(k % 3 AS BIGINT) AS y,
+           |  (doc_id + k) % 10 + 2 AS w, (doc_id + 2 * k) % 9 + 2 AS h,
+           |  (doc_id * 3 + k) % 100 AS delay_cs
            |FROM f""".stripMargin),
     (s, d) => {
       val spark = s
       import spark.implicits._
-      val frameBytes = 64
-      val stride = 4
-      val maxFrames = 8
-      t(s, d, "documents")
-        .filter(octet_length(col("text").cast("binary")) === length(col("text")))
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
+      mediaBytes(s, d)
+        .filter(kv => kv._1 % 3 == 1)
         .flatMap { case (id, bytes) =>
-          // STUB decode: fixed-size byte windows stand in for frames
-          val nFrames = bytes.length / frameBytes
-          (0 until nFrames by stride).take(maxFrames).map { f =>
-            val frame = bytes.slice(f * frameBytes, (f + 1) * frameBytes)
-            var sum = 0L
-            var i = 0
-            while (i < frame.length) { sum += frame(i) & 0xff; i += 1 }
-            (id, f.toLong, frame.length.toLong,
-              (200L * sum + frame.length) / (2L * frame.length))
-          }
-        }
-        .toDF("doc_id", "frame_idx", "frame_bytes", "luma_x100")
+          val (_, _, frames) = ImageCodec.parseGif(bytes)
+          frames.map(f => (id, f.index.toLong, f.x.toLong, f.y.toLong,
+            f.width.toLong, f.height.toLong, f.delayCs.toLong))
+        }.toDF("doc_id", "frame_idx", "x", "y", "w", "h", "delay_cs")
     })
 
   def defs: Seq[NamedQuery] = Seq(meta, decode, frameSample)

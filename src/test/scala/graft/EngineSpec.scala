@@ -543,6 +543,69 @@ class EngineSpec extends SparkSpec {
     engine.dropIndex(idx)
   }
 
+  test("IVF-PQ index: cells carry codes not floats (memory law), " +
+    "search rescores exactly, refresh encodes against the frozen " +
+    "quantizer — refresh ≡ rebuild-on-same-codebooks") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val t = s"pq_base_${System.nanoTime()}"
+    val idx = s"pqx_${System.nanoTime()}"
+    engine.registerTable(t, emb.filter(col("vec_id") % 5 =!= 0))
+    engine.buildAnnIndex(idx, t, pq = true)
+    // memory law: the cells table has NO raw embedding column, and
+    // its payload (codes + norm + 2-byte cell) is ≤ 1/8 of raw floats
+    val cells = engine.table(s"${idx}_cells")
+    assert(!cells.columns.contains("embedding"))
+    val idxBytes = cells
+      .agg(sum(octet_length(col("codes")) + lit(6L))).head().getLong(0)
+    val rawBytes = engine.table(t)
+      .agg(sum(size(col("embedding")) * 4L)).head().getLong(0)
+    assert(idxBytes * 8 <= rawBytes,
+      s"index $idxBytes bytes vs raw $rawBytes")
+    // search: self is rank 1 at EXACT cos 1.0 (rescored on raw floats)
+    val q = emb.filter(col("vec_id") === 1)
+      .select("embedding").as[Array[Float]].head()
+    val res = engine.annSearch(idx, q, k = 5).collect()
+    assert(res.length == 5)
+    assert(res.head.getLong(0) == 1L &&
+      math.abs(res.head.getDouble(1) - 1.0) < 1e-6)
+    val sims = res.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sortBy(-(_: Double))))
+    // refresh law: day-2 vectors encode against the FROZEN centroids
+    // AND codebooks; the refreshed cells are row-identical to encoding
+    // the grown corpus in one shot against the same quantizer
+    engine.insertInto(t, emb.filter(col("vec_id") % 5 === 0))
+    val added = engine.refreshAnnIndex(idx, t)
+    assert(added == emb.filter(col("vec_id") % 5 === 0).count())
+    assert(engine.refreshAnnIndex(idx, t) == 0L) // idempotent
+    val full = graft.operators.SimilarityOps.pqEncode(
+      graft.operators.SimilarityOps.ivfAssign(
+        engine.table(t).select(col("vec_id"), col("embedding")),
+        engine.table(s"${idx}_centroids")),
+      engine.table(s"${idx}_centroids"),
+      {
+        import spark.implicits._
+        engine.table(s"${idx}_codebooks").as[(Int, Int, Array[Float])]
+          .collect().groupBy(_._1).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3))
+      })
+    def canon(df: DataFrame) = df
+      .select("vec_id", "cell", "norm", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getFloat(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    assert(canon(engine.table(s"${idx}_cells")).sameElements(canon(full)))
+    // a refreshed vector is findable, self at exact 1.0
+    val q0 = emb.filter(col("vec_id") === 5)
+      .select("embedding").as[Array[Float]].head()
+    val r5 = engine.annSearch(idx, q0, k = 3).collect()
+    assert(r5.head.getLong(0) == 5L &&
+      math.abs(r5.head.getDouble(1) - 1.0) < 1e-6)
+    Seq(t, s"${idx}_centroids", s"${idx}_cells", s"${idx}_codebooks")
+      .foreach(engine.unregisterTable)
+    engine.dropIndex(idx)
+  }
+
   test("engine stays consistent under concurrent DDL/DML/query load") {
     import scala.concurrent._
     import scala.concurrent.duration._

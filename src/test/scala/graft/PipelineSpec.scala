@@ -255,12 +255,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("multimodal decode emits one row per ASCII document with stub features") {
+  test("multimodal decode emits one row per PNG document with real " +
+      "decoded dimensions") {
     val d = run("q53_multimodal_decode")
-    val ascii = Tables.t(spark, sf, "documents")
-      .filter(octet_length(col("text").cast("binary")) === length(col("text"))
-        && col("text") =!= "")
-    assert(d.count() == ascii.count())
-    assert(d.filter(col("width") < 32 || col("height") < 32).count() == 0)
+    val pngs = Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") % 3 === 0)
+    assert(d.count() == pngs.count())
+    // decoded dims must equal the fixtures' generating functions
+    assert(d.filter(col("width") =!= col("doc_id") % 48 + 8 ||
+      col("height") =!= col("doc_id") % 32 + 8).count() == 0)
+    assert(d.filter(col("n_pixels") =!= col("width") * col("height"))
+      .count() == 0)
   }
 }
