@@ -22,6 +22,24 @@ import graft.plans.PlanClassifier
 case class MatViewDef(name: String, base: String, dims: Seq[String],
     measures: Seq[String], path: String)
 
+/** Registry entry. The row count is lazy: DDL verbs (register/alter/
+  * insert) must not scan the table — at 100 TB an ALTER TABLE ADD COLUMN
+  * must stay metadata-only. The count materializes on first classifier
+  * or introspection use, and DML verbs that already counted pass the
+  * number forward. */
+private[graft] final class TableEntry(val df: DataFrame, known: Long = -1L,
+    val appendOf: Option[(TableEntry, DataFrame)] = None) {
+  @volatile private var cached = known
+  /** The count if it has materialized; -1 otherwise (lets verbs that
+    * rewrite the table carry a known count forward without forcing
+    * one that was never needed). */
+  def rowsIfKnown: Long = cached
+  lazy val rows: Long = {
+    if (cached < 0L) cached = df.count()
+    cached
+  }
+}
+
 /** The engine facade — the Spark-native analog of the reference's
   * client + driver + worker topology collapsed into one in-process API.
   *
@@ -49,39 +67,21 @@ case class MatViewDef(name: String, base: String, dims: Seq[String],
   * would materialize matched rows on the driver, which is exactly the
   * anti-pattern to avoid at 100 TB.
   */
-class Engine private[graft] (val spark: SparkSession) {
-
-  // ---- table registry -------------------------------------------------
-
-  /** Registry entry. The row count is lazy: DDL verbs (register/alter/
-    * insert) must not scan the table — at 100 TB an ALTER TABLE ADD COLUMN
-    * must stay metadata-only. The count materializes on first classifier
-    * or introspection use, and DML verbs that already counted pass the
-    * number forward. */
-  private final class TableEntry(val df: DataFrame, known: Long = -1L,
-      val appendOf: Option[(TableEntry, DataFrame)] = None) {
-    @volatile private var cached = known
-    /** The count if it has materialized; -1 otherwise (lets verbs that
-      * rewrite the table carry a known count forward without forcing
-      * one that was never needed). */
-    def rowsIfKnown: Long = cached
-    lazy val rows: Long = {
-      if (cached < 0L) cached = df.count()
-      cached
-    }
-  }
-  private val registry = TrieMap.empty[String, TableEntry]
+class Engine private[graft] (val spark: SparkSession)
+    extends EngineVersioning with EngineSqlStats with EngineLayout
+    with EngineDdl with EngineDml with EngineIndexes with EngineViews {
+  private[graft] val registry = TrieMap.empty[String, TableEntry]
   // ENUM type catalog — per-engine, like one DuckDB database instance's
   // type catalog (a second Engine on the same JVM gets a fresh catalog;
   // the session-level optimizer rule resolves through Engine.forSession)
   private[graft] val enums = TrieMap.empty[String, Seq[String]]
-  private val indexRegistry = TrieMap.empty[String, (String, Seq[String])]
+  private[graft] val indexRegistry = TrieMap.empty[String, (String, Seq[String])]
   // column-level constraint metadata (ref ALTER matrix,
   // catalog_utils.cpp:59-78): (table, column) → default SQL expression /
   // NOT NULL flag. Enforced lazily inside insert plans — never an eager
   // table scan.
-  private val defaults = TrieMap.empty[(String, String), String]
-  private val notNullCols = TrieMap.empty[(String, String), Unit]
+  private[graft] val defaults = TrieMap.empty[(String, String), String]
+  private[graft] val notNullCols = TrieMap.empty[(String, String), Unit]
   // columns declared with a registered ENUM type (CREATE TABLE t (c mood))
   // — per-engine; the EnumOrderRewrite rule resolves attributes to these
   // through the table they bind to in the analyzed plan
@@ -187,7 +187,7 @@ class Engine private[graft] (val spark: SparkSession) {
     * ([[refreshMaterializedAggregate]]). Verbs that rewrite rows
     * (DELETE/MERGE/ALTER) leave it unset, which breaks the chain and
     * forces those refreshes back to a full rebuild. */
-  private def put(name: String, df: DataFrame, knownRows: Long = -1L,
+  private[graft] def put(name: String, df: DataFrame, knownRows: Long = -1L,
       appendDelta: Option[DataFrame] = None): Unit =
     putLock.synchronized {
       // snapshot the outgoing version (lazy plans — a version is a plan
@@ -203,325 +203,6 @@ class Engine private[graft] (val spark: SparkSession) {
       versionSeq.put(name, versionSeq.getOrElse(name, -1L) + 1L)
       df.createOrReplaceTempView(name)
     }
-
-  /** Retained prior versions per table (time travel over the
-    * copy-on-write DML path — what Delta/Iceberg snapshots give a
-    * lakehouse table, scoped to the bounded in-session history).
-    * Entries (not bare plans) are retained so the append lineage each
-    * snapshot carries stays addressable — [[tableChanges]] walks it. */
-  private val versions = TrieMap.empty[String, Vector[TableEntry]]
-
-  /** Monotone per-table version number: 0 at registration, +1 per
-    * mutation (the absolute numbering `VERSION AS OF` addresses —
-    * what a lakehouse snapshot id is). Follows the same lifecycle as
-    * [[versions]]: DROP/rename restarts history. */
-  private val versionSeq = TrieMap.empty[String, Long]
-
-  /** The table's current absolute version number. */
-  def currentVersion(name: String): Long = {
-    registry.getOrElse(name, missing(name))
-    versionSeq.getOrElse(name, 0L)
-  }
-
-  /** Absolute-version time travel — the `FROM t VERSION AS OF v` verb,
-    * layered on [[tableAt]]'s relative back-steps. Raises on a future
-    * version or one beyond the bounded retention. */
-  def tableAtVersion(name: String, v: Long): DataFrame = {
-    val cur = currentVersion(name)
-    if (v < 0 || v > cur)
-      throw new IllegalArgumentException(
-        s"Catalog Error: table $name is at version $cur, " +
-          s"asked for version $v")
-    tableAt(name, (cur - v).toInt)
-  }
-
-  /** Version catalog for a managed table: one row per addressable
-    * snapshot within the bounded retention (what a lakehouse `DESCRIBE
-    * HISTORY` lists). Metadata-only — never scans the table. */
-  def tableHistory(name: String): DataFrame = {
-    import spark.implicits._
-    val cur = currentVersion(name)
-    (0 to versionCount(name)).map(back =>
-      (cur - back, back, back == 0))
-      .toDF("version", "versions_back", "is_current")
-  }
-
-  /** Entry (plan + lineage) at an absolute version within retention. */
-  private def entryAtVersion(name: String, v: Long): TableEntry = {
-    val cur = currentVersion(name)
-    if (v == cur) registry.getOrElse(name, missing(name))
-    else {
-      val vs = versions.getOrElse(name, Vector.empty)
-      val back = (cur - v).toInt
-      if (back < 0 || back > vs.size)
-        throw new IllegalArgumentException(
-          s"Catalog Error: table $name is at version $cur with " +
-            s"${vs.size} retained versions, asked for version $v")
-      vs(vs.size - back)
-    }
-  }
-
-  /** Change-data feed between two retained snapshots (what
-    * `table_changes` reads on a lakehouse table): the table's columns
-    * plus `_change_type` and `_commit_version` (the version the change
-    * landed in).
-    *
-    * CONVENTION — `fromVersion` is the EXCLUSIVE base snapshot: the
-    * feed carries the commits `fromVersion+1 .. toVersion`, i.e. "the
-    * changes that took the table FROM version `fromVersion` TO
-    * `toVersion`". Note this differs from Delta's `table_changes`,
-    * whose starting version is inclusive — a caller porting Delta
-    * semantics passes `deltaStart - 1` here.
-    *
-    * Each version step is resolved independently:
-    *
-    *  - a step whose snapshot declared itself `previous ∪ delta` (the
-    *    INSERT append lineage) contributes its delta directly — the
-    *    production cadence reads O(delta), the corpus is never scanned;
-    *  - a row-rewriting step (DELETE/MERGE/ALTER leave lineage unset)
-    *    is reconstructed from the two adjacent snapshots. With no
-    *    `idColumns` that is a multiset diff (`exceptAll` both ways,
-    *    full-row hash) emitting 'insert'/'delete' pairs; with
-    *    `idColumns` declared (single or composite key — e.g. lineitem's
-    *    (l_orderkey, l_linenumber)) it is ONE equi-join on the identity
-    *    key emitting 'insert' / 'delete' /
-    *    'update_preimage' / 'update_postimage' (the Delta CDF tags) —
-    *    only rows whose content actually changed are emitted, so an
-    *    UPDATE-shaped MERGE yields O(delta) change rows off a single
-    *    key-partitioned shuffle instead of two full-row hash diffs.
-    *
-    * Schema drift inside the range (ALTER ADD/DROP/RENAME COLUMN) is
-    * aligned by name over the union of the two step schemas: columns
-    * absent at a given version read NULL, shared columns take the
-    * newer version's type. A RENAME therefore reads as a full
-    * rewrite (old column deleted, new column inserted) — the honest
-    * answer when no column lineage is recorded. */
-  def tableChanges(name: String, fromVersion: Long,
-      toVersion: Long = -1L, idColumns: Seq[String] = Nil): DataFrame = {
-    val cur = currentVersion(name)
-    val toV = if (toVersion < 0) cur else toVersion
-    if (fromVersion < 0 || fromVersion > toV || toV > cur)
-      throw new IllegalArgumentException(
-        s"Catalog Error: invalid change range [$fromVersion, $toV] " +
-          s"for table $name at version $cur")
-    // resolves retention too: entryAtVersion raises past the window
-    val steps = (fromVersion until toV).map { v =>
-      val prev = entryAtVersion(name, v)
-      val next = entryAtVersion(name, v + 1)
-      val tagged = next.appendOf match {
-        case Some((parent, delta)) if parent eq prev =>
-          delta.withColumn("_change_type", lit("insert"))
-        case _ =>
-          // by-name union of the step's two schemas (newer type wins)
-          val merged = next.df.schema.fields.toSeq ++
-            prev.df.schema.fields.filterNot(f =>
-              next.df.columns.contains(f.name))
-          def align(df: DataFrame): DataFrame =
-            df.select(merged.map { f =>
-              if (df.columns.contains(f.name))
-                col(f.name).cast(f.dataType).as(f.name)
-              else lit(null).cast(f.dataType).as(f.name)
-            }: _*)
-          val p = align(prev.df)
-          val n = align(next.df)
-          idColumns match {
-            case ids if ids.nonEmpty =>
-              ids.filterNot(id => merged.exists(_.name == id)) match {
-                case Nil => ()
-                case bad => throw new IllegalArgumentException(
-                  s"Catalog Error: identity column(s) ${bad.mkString(", ")}" +
-                    s" not in table $name's schema at versions $v/${v + 1}")
-              }
-              // one full-outer equi-join on the (possibly composite)
-              // identity key classifies every row in a single
-              // key-shuffle; unchanged rows are dropped, so the emitted
-              // feed is O(changed rows).
-              // PRECONDITION: the identity key is unique per snapshot —
-              // duplicates would make the join fan out and the feed
-              // would be corrupt. Guarded lazily: a per-key count rides
-              // the same key partitioning the join needs and
-              // raise_error()s at execution instead of emitting a wrong
-              // feed (callers with genuinely duplicate keys omit
-              // idColumns for multiset exceptAll semantics).
-              val keyW = org.apache.spark.sql.expressions.Window
-                .partitionBy(ids.map(col): _*)
-              val pm = p.withColumn("_kdup", count(lit(1)).over(keyW) > 1)
-                .withColumn("_p_present", lit(true)).alias("p")
-              val nm = n.withColumn("_kdup", count(lit(1)).over(keyW) > 1)
-                .withColumn("_n_present", lit(true)).alias("n")
-              val joined = nm.join(pm,
-                ids.map(id => col(s"n.$id") <=> col(s"p.$id"))
-                  .reduce(_ && _), "full_outer")
-              def side(pre: String, tag: String) = struct(
-                merged.map(f =>
-                  col(s"$pre.${f.name}").as(f.name)) :+
-                  lit(tag).as("_change_type"): _*)
-              val differs = merged.filterNot(f => ids.contains(f.name))
-                .map(f => !(col(s"n.${f.name}") <=> col(s"p.${f.name}")))
-                .reduceOption(_ || _).getOrElse(lit(false))
-              val both = col("_n_present").isNotNull &&
-                col("_p_present").isNotNull
-              val changes = array(
-                when(col("_p_present").isNull, side("n", "insert")),
-                when(col("_n_present").isNull, side("p", "delete")),
-                when(both && differs, side("p", "update_preimage")),
-                when(both && differs, side("n", "update_postimage")))
-              val dup = coalesce(col("p._kdup"), lit(false)) ||
-                coalesce(col("n._kdup"), lit(false))
-              val dupMsg = "Constraint Error: identity key (" +
-                ids.mkString(", ") + s") is not unique in table $name " +
-                s"at versions $v/${v + 1}; the table_changes " +
-                "identity-key path requires a unique key — omit " +
-                "idColumns for multiset semantics"
-              // the guard lives in the element filter so EVERY joined
-              // row of a duplicated key trips it — including fan-out
-              // pairs that would otherwise be dropped as "unchanged"
-              joined
-                .select(explode(filter(changes, c =>
-                  when(dup, raise_error(lit(dupMsg)).isNull)
-                    .otherwise(c.isNotNull))).as("_c"))
-                .select("_c.*")
-            case _ =>
-              val ins = n.exceptAll(p)
-                .withColumn("_change_type", lit("insert"))
-              val del = p.exceptAll(n)
-                .withColumn("_change_type", lit("delete"))
-              ins.unionByName(del)
-          }
-      }
-      tagged.withColumn("_commit_version", lit(v + 1))
-    }
-    if (steps.isEmpty) {
-      val e = registry.getOrElse(name, missing(name))
-      e.df.limit(0).withColumn("_change_type", lit(""))
-        .withColumn("_commit_version", lit(0L))
-    } else steps.reduce(_.unionByName(_, allowMissingColumns = true))
-  }
-
-  /** `SELECT … FROM table_changes('t', start[, end[, idColumns]])` — the
-    * lakehouse CDC spelling (Delta's TVF of the same name); `idColumns`
-    * is a comma-separated identity key, composite allowed. The SQL form
-    * follows Delta's INCLUSIVE-start convention: `start` is the first
-    * commit whose changes appear, so it maps to
-    * `tableChanges(t, start - 1, end)` over the exclusive-base API.
-    * Spark's parser yields an UnresolvedTableValuedFunction no catalog
-    * answers; the engine splices the resolved feed's plan in before
-    * analysis, so the TVF composes with WHERE/joins/aggregates like any
-    * relation. */
-  private def tableChangesSql(q2: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    def argStr(e: org.apache.spark.sql.catalyst.expressions.Expression,
-        what: String): String = e match {
-      case Literal(v, _) if v != null => v.toString
-      case other => throw new IllegalArgumentException(
-        s"Parser Error: table_changes expects a literal $what, got $other")
-    }
-    def argLong(e: org.apache.spark.sql.catalyst.expressions.Expression,
-        what: String): Long =
-      try argStr(e, what).toLong
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"Parser Error: table_changes expects an integer $what")
-      }
-    val parsed = spark.sessionState.sqlParser.parsePlan(q2)
-    var touched = false
-    val rewritten = parsed.transformDownWithSubqueries {
-      case tvf: UnresolvedTableValuedFunction
-          if tvf.name.map(_.toLowerCase(java.util.Locale.ROOT)) ==
-            Seq("table_changes") =>
-        val args = tvf.functionArgs
-        if (args.size < 2 || args.size > 4)
-          throw new IllegalArgumentException("Parser Error: " +
-            "table_changes(table, startVersion[, endVersion[, idColumns]])")
-        val name = argStr(args(0), "table name")
-        if (!registry.contains(name))
-          throw new IllegalArgumentException(
-            s"Catalog Error: table $name does not exist")
-        val start = argLong(args(1), "startVersion")
-        val end = if (args.size >= 3) argLong(args(2), "endVersion") else -1L
-        val idCol =
-          if (args.size == 4)
-            argStr(args(3), "idColumns").split(",").map(_.trim)
-              .filter(_.nonEmpty).toSeq
-          else Nil
-        touched = true
-        // Delta's INCLUSIVE start=0 reaches the creation commit: emit
-        // the version-0 snapshot as 'insert' rows at _commit_version 0
-        // (the exclusive-base API has no base older than version 0).
-        // entryAtVersion raises a targeted error if version 0 has
-        // fallen out of the retention window.
-        val feed =
-          if (start == 0L) {
-            val creation = entryAtVersion(name, 0L).df
-              .withColumn("_change_type", lit("insert"))
-              .withColumn("_commit_version", lit(0L))
-            creation.unionByName(tableChanges(name, 0L, end, idCol),
-              allowMissingColumns = true)
-          } else tableChanges(name, start - 1, end, idCol)
-        castToImpl(feed).queryExecution.analyzed
-    }
-    if (touched)
-      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten)
-    else spark.sql(q2)
-  }
-
-  /** `SELECT … FROM t VERSION AS OF v` over managed tables: Spark's
-    * parser produces [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]]
-    * nodes (temp views cannot answer them), so the engine substitutes
-    * the retained snapshot's plan before analysis. Unmanaged relations
-    * fall through to Spark untouched; TIMESTAMP AS OF on a managed
-    * table raises (in-session snapshots are version-numbered). */
-  private def timeTravelSql(q2: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-    val parsed = spark.sessionState.sqlParser.parsePlan(q2)
-    var touched = false
-    val rewritten = parsed.transformDownWithSubqueries {
-      case RelationTimeTravel(r: UnresolvedRelation, ts, ver)
-          if registry.contains(r.multipartIdentifier.mkString(".")) =>
-        val name = r.multipartIdentifier.mkString(".")
-        if (ts.nonEmpty)
-          throw new IllegalArgumentException("Parser Error: TIMESTAMP " +
-            s"AS OF is not supported on managed table $name — " +
-            "in-session snapshots are version-numbered; use " +
-            "VERSION AS OF <n>")
-        val v = ver.getOrElse(throw new IllegalArgumentException(
-          s"Parser Error: missing version for time travel on $name"))
-        val vNum =
-          try v.toLong
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException("Parser Error: VERSION " +
-              s"AS OF expects an integer version, got '$v'")
-          }
-        touched = true
-        castToImpl(tableAtVersion(name, vNum)).queryExecution.analyzed
-    }
-    if (touched)
-      org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten)
-    else spark.sql(q2)
-  }
-
-  /** Number of retained PRIOR versions (current is not counted). */
-  def versionCount(name: String): Int = {
-    registry.getOrElse(name, missing(name))
-    versions.get(name).map(_.size).getOrElse(0)
-  }
-
-  /** Time travel: `versionsBack = 0` is the current table, 1 the state
-    * before the latest DML, … up to [[versionCount]]. */
-  def tableAt(name: String, versionsBack: Int): DataFrame = {
-    val cur = registry.getOrElse(name, missing(name)).df
-    if (versionsBack == 0) cur
-    else {
-      val vs = versions.getOrElse(name, Vector.empty)
-      if (versionsBack < 0 || versionsBack > vs.size)
-        throw new IllegalArgumentException(
-          s"Catalog Error: table $name has ${vs.size} retained " +
-            s"versions, asked for $versionsBack back")
-      vs(vs.size - versionsBack).df
-    }
-  }
-
   def table(name: String): DataFrame =
     registry.getOrElse(name, missing(name)).df
 
@@ -538,592 +219,10 @@ class Engine private[graft] (val spark: SparkSession) {
       .toDF("table_name", "row_count", "column_count")
   }
 
-  private def missing(name: String): Nothing =
+  private[graft] def missing(name: String): Nothing =
     throw new IllegalArgumentException(
       s"Catalog Error: Table with name $name does not exist!")
 
-  // ---- SQL with stats capture -----------------------------------------
-
-  private case class StatRow(sql: String, mode: String, merge: String,
-      durationMs: Long, workers: Long, tasks: Long, start: Timestamp)
-  private val stats = new ConcurrentLinkedQueue[StatRow]()
-  private val history = new ConcurrentLinkedQueue[(String, Long)]()
-  // engine.sql() parks (query text, its own QueryExecution) here; the
-  // listener matches when an action executes the plan (stats are
-  // per-execution, like the reference's RecordQueryExecution). Actions
-  // like count() wrap the query in their own plan, so matching is by
-  // semantic hash over the action plan's subtrees — and classification
-  // uses the original query's plan, not the action wrapper.
-  private val pending = TrieMap.empty[Long, (String, QueryExecution)]
-
-  private val listener = new QueryExecutionListener {
-    override def onSuccess(funcName: String, qe: QueryExecution,
-        durationNs: Long): Unit = {
-      val subtreeHashes = qe.analyzed.collect {
-        case p => p.semanticHash().toLong
-      }.toSet
-      // remove on match: un-evicted entries accumulate over a long
-      // session and a colliding 32-bit hash could mis-attribute stats
-      subtreeHashes.iterator
-        .flatMap(h => pending.remove(h).iterator).take(1).foreach {
-        case (sqlText, origQe) =>
-          record(sqlText, origQe, durationNs)
-          history.add((sqlText, durationNs / 1000L))
-      }
-    }
-    override def onFailure(funcName: String, qe: QueryExecution,
-        exception: Exception): Unit = ()
-  }
-  spark.listenerManager.register(listener)
-
-  private def record(sqlText: String, qe: QueryExecution, durNs: Long): Unit = {
-    val rows = scanRows(qe)
-    val workers = workerCount
-    val mode = PlanClassifier.executionMode(qe, rows, workers)
-    val tasks = PlanClassifier.numTasks(mode, rows, workers)
-    stats.add(StatRow(
-      sqlText,
-      mode,
-      PlanClassifier.mergeStrategy(qe),
-      durNs / 1000000L,
-      math.min(workers.toLong, tasks),
-      tasks,
-      new Timestamp(System.currentTimeMillis() - durNs / 1000000L)))
-  }
-
-  /** Largest registered-table cardinality referenced by the plan — the
-    * analog of the reference's table-scan cardinality estimate
-    * (query_plan_analyzer.cpp:58-71). */
-  private def scanRows(qe: QueryExecution): Long = {
-    // registered tables are temp views; after analysis each appears as a
-    // SubqueryAlias carrying its identifier — exact-match those instead
-    // of substring-scanning the plan text (a table named `t` would match
-    // every plan containing the letter)
-    val names = qe.analyzed.collect {
-      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
-        a.identifier.name.toLowerCase(java.util.Locale.ROOT)
-    }.toSet
-    val hit = registry.filter { case (n, _) =>
-      names.contains(n.toLowerCase(java.util.Locale.ROOT))
-    }
-    if (hit.isEmpty) 0L else hit.values.map(_.rows).max
-  }
-
-  /** Run SQL against the engine catalog, recording execution stats when an
-    * action executes the plan. DDL/DML statements route to the engine
-    * catalog (the reference drives its whole surface through SQL —
-    * duckherder_schema_catalog_entry.cpp intercepts the same verbs). */
-  def sql(q: String): DataFrame = {
-    val t0 = System.nanoTime()
-    SqlRouter.route(this, q) match {
-      case Some(df) =>
-        // DDL/DML execute eagerly on the driver — recorded as LOCAL,
-        // like the reference's HandleExecuteSQL path
-        // (distributed_flight_server.cpp:281-340 → RecordQueryExecution).
-        val durNs = System.nanoTime() - t0
-        stats.add(StatRow(q, "LOCAL", "CONCATENATE", durNs / 1000000L,
-          1L, 1L, new Timestamp(System.currentTimeMillis() - durNs / 1000000L)))
-        history.add((q, durNs / 1000L))
-        df
-      case None =>
-        val df0 = parseStatement(q)
-        // engine plan rewrites run on the ANALYZED plan — after the main
-        // optimizer they would miss filters it already collapsed into
-        // literal relations: (1) covered aggregates re-target fresh
-        // materialized aggregates; (2) enum declaration-order semantics
-        // (ORDER BY / MIN / MAX / comparisons)
-        val analyzed0 = castToImpl(df0).queryExecution.analyzed
-        var plan = analyzed0
-        if (freshMatViews.nonEmpty)
-          plan = graft.plans.MatViewRewrite.rewrite(plan, this)
-        if (!(enumCols.isEmpty && typeOrigins.isEmpty))
-          plan = graft.plans.EnumOrderRewrite.rewrite(plan, this)
-        val df =
-          if (plan eq analyzed0) df0
-          else org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
-        val qe = castToImpl(df).queryExecution
-        pending.put(qe.analyzed.semanticHash().toLong, (q, qe))
-        df
-    }
-  }
-
-  /** Parse a non-routed statement to a (lazy) DataFrame, applying the
-    * engine's literal-spelling rewrites and relation substitutions
-    * (time travel, `table_changes`) — shared by [[sql]] and [[explain]]
-    * so classification sees exactly the surface execution sees.
-    * DuckDB literal spellings Spark's parser rejects: hex-escape BLOB
-    * casts, ::UUID, >38-digit integer literals; multi-unit INTERVAL
-    * literals only when the engine actually owns interval columns. */
-  private def parseStatement(q: String): DataFrame = {
-    var q2 = DuckSyntax.rewriteCasts(q)
-    if (typeOrigins.values.exists(_ == "INTERVAL"))
-      q2 = DuckSyntax.rewriteIntervals(q2)
-    if (q2.toUpperCase.contains("ASOF"))
-      q2 = DuckSyntax.rewriteAsofJoin(q2)
-    if (q2.toUpperCase.contains(" AS OF ")) timeTravelSql(q2)
-    else if (q2.toUpperCase.contains("TABLE_CHANGES")) tableChangesSql(q2)
-    else spark.sql(q2)
-  }
-
-  /** ≈ duckherder_get_query_execution_stats() — identical 7-col schema. */
-  def executionStats: DataFrame = {
-    // listener callbacks arrive on the async bus; drain before reading
-    org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
-    val rows = stats.asScala.toSeq.map(s =>
-      (s.sql, s.mode, s.merge, s.durationMs, s.workers, s.tasks, s.start))
-    import spark.implicits._
-    rows.toDF("sql", "execution_mode", "merge_strategy", "query_duration_ms",
-      "num_workers_used", "num_tasks_generated", "execution_start_time")
-  }
-
-  /** ≈ duckherder_get_query_history(): (query, latencies), sorted by
-    * query like the reference (query_history_query_function.cpp:45-47).
-    * The reference stores latencies as TIME[]; under this engine's §1.2
-    * TIME mapping (TIME ↦ microseconds-since-midnight LONG) `latencies`
-    * is µs LONG[], and `latencies_time` renders the reference's display
-    * form (HH:MM:SS[.ffffff]) for output parity. */
-  def queryHistory: DataFrame = {
-    org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
-    import spark.implicits._
-    history.asScala.toSeq.groupBy(_._1).view
-      .mapValues(_.map(_._2)).toSeq.sortBy(_._1)
-      .toDF("query", "latencies")
-      .withColumn("latencies_time", transform(col("latencies"),
-        u => graft.operators.TypeOps.timeString(u)))
-  }
-
-  /** ≈ duckherder_clear_query_recorder_stats(). Drains in-flight
-    * listener events first so a query finishing *before* the clear can't
-    * resurface *after* it. */
-  def clearStats(): Unit = {
-    org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
-    stats.clear(); history.clear()
-  }
-
-  /** Classify a query WITHOUT executing it: execution mode + merge
-    * strategy (the reference's QueryPlanAnalyzer surface, exposed
-    * up-front instead of only in post-hoc stats). */
-  def explain(q: String): DataFrame = {
-    // routed DDL/DML executes eagerly on the driver (and Spark itself
-    // runs command statements at sql()): classify WITHOUT executing
-    if (SqlRouter.wouldRoute(this, q)) {
-      import spark.implicits._
-      return Seq((q, "LOCAL", "CONCATENATE", 1L, "routed DDL/DML"))
-        .toDF("sql", "execution_mode", "merge_strategy",
-          "num_tasks", "plan")
-    }
-    val qe = castToImpl(parseStatement(q)).queryExecution
-    val rows = scanRows(qe)
-    val workers = workerCount
-    val mode = PlanClassifier.executionMode(qe, rows, workers)
-    import spark.implicits._
-    Seq((q, mode, PlanClassifier.mergeStrategy(qe),
-      PlanClassifier.numTasks(mode, rows, workers),
-      qe.optimizedPlan.toString))
-      .toDF("sql", "execution_mode", "merge_strategy",
-        "num_tasks", "plan")
-  }
-
-  /** Compaction: PHYSICALLY rewrite a managed table into `numFiles`
-    * balanced parquet files and re-root the live snapshot at the
-    * rewritten data — the 100 TB maintenance verb (lakehouse OPTIMIZE).
-    * Beyond file sizing, this is the copy-on-write chain's safety
-    * valve: every DML verb layers plan nodes over the previous
-    * snapshot, so a long-lived table's analysis cost grows one
-    * union/filter/join layer per commit; compaction collapses the live
-    * plan to a plain scan. Retained history still addresses the
-    * pre-compaction plans (the artifact path carries the version so a
-    * later compaction can never clobber data an older retained
-    * snapshot reads). Like any row-rewriting verb it breaks the append
-    * lineage chain — an MV incremental refresh falls back to one
-    * rebuild, then resumes incrementally. */
-  def compact(name: String, numFiles: Int = 0): Unit =
-    compactImpl(name, numFiles, None)
-
-  /** `OPTIMIZE t ZORDER BY (c1[, …, ck])`: compaction that additionally
-    * REORDERS the rewritten rows — k ≥ 2 columns along the Morton
-    * interleave of their ranks ([[graft.functions.Morton.zValueN]]),
-    * so every rewritten file/row group covers a small box of the
-    * k-dimensional space and later multi-column predicates prune on
-    * parquet min/max stats; one column as a plain range-sort (the
-    * degenerate but common Delta spelling — single-dimension
-    * clustering, the [[graft.operators.BucketedOps.eventsByTime]]
-    * shape). Per-dimension rank width narrows with arity
-    * ([[graft.functions.Morton.bitsFor]]: 16 bits through k=3, 7 at
-    * k=8) — coarser CLUSTERING, never wrong pruning, because skipping
-    * reads the raw column stats; the 8-column cap is where the grid
-    * stops earning its sort. The engine-surface spelling of the
-    * [[graft.operators.BucketedOps.eventsZOrder]] layout, with the
-    * same snapshot semantics as plain [[compact]] (history retained,
-    * plan chain reset, append lineage broken). The z key is
-    * scratch — computed, sorted on, dropped — so the table schema is
-    * unchanged. */
-  def compactZOrder(name: String, cols: Seq[String],
-      numFiles: Int = 0): Unit = {
-    if (cols.isEmpty || cols.length > 8)
-      throw new IllegalArgumentException(
-        "Constraint Error: ZORDER BY takes 1 to 8 columns " +
-          s"(got ${cols.length}) — beyond 8 the per-dimension rank " +
-          "grid (<7 bits) no longer clusters anything")
-    compactImpl(name, numFiles, Some(cols))
-  }
-
-  private def zRank(df: DataFrame, c: String): Column = {
-    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
-    // resolve case-insensitively, like every other identifier on this
-    // engine's surface (Spark's own default resolution)
-    val f = df.schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
-      throw new IllegalArgumentException(
-        s"""Binder Error: ZORDER BY column "$c" does not exist"""))
-    f.dataType match {
-      case TimestampType => expr(s"unix_micros(`${f.name}`)")
-      case DateType =>
-        expr(s"datediff(`${f.name}`, DATE '1970-01-01')").cast("long")
-      case _: NumericType => col(f.name).cast("long")
-      case other => throw new IllegalArgumentException(
-        s"Constraint Error: ZORDER BY supports numeric, date, and " +
-          s"timestamp columns; $c is $other")
-    }
-  }
-
-  private def compactImpl(name: String, numFiles: Int,
-      zOrderBy: Option[Seq[String]]): Unit = withTableLock(name) {
-    val e = registry.getOrElse(name, missing(name))
-    val target =
-      if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
-    val path = s"${sys.props("java.io.tmpdir")}/graft_compact_" +
-      s"${ProcessHandle.current.pid}_${name}_v${currentVersion(name)}"
-    zOrderBy match {
-      case None =>
-        e.df.repartition(target).write.mode("overwrite").parquet(path)
-      case Some(cs) =>
-        val z = cs match {
-          case Seq(c1) => zRank(e.df, c1)
-          case _ =>
-            // one 1-row stats fetch fixes the k rank grids (the
-            // sanctioned once-per-snapshot driver aggregate, like the
-            // layout writes); at k=2 zValueN/rank reproduce the
-            // zValue/rank16 curve bit for bit (ZOrderSpec law)
-            import graft.functions.Morton
-            val xs = cs.map(zRank(e.df, _))
-            val aggs = xs.flatMap(x => Seq(min(x), max(x)))
-            val r = e.df.agg(aggs.head, aggs.tail: _*).head
-            def l(i: Int) = Option(r.get(i))
-              .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
-            val bits = Morton.bitsFor(xs.length)
-            Morton.zValueN(
-              xs.zipWithIndex.map { case (x, j) =>
-                Morton.rank(x, l(2 * j), l(2 * j + 1), bits) },
-              bits)
-        }
-        // TIMESTAMP_MICROS: INT96 carries no min/max stats, and stats
-        // are the entire point of a Z-ordered rewrite
-        val key = "spark.sql.parquet.outputTimestampType"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "TIMESTAMP_MICROS")
-        try e.df.withColumn("__z", z)
-          .repartitionByRange(target, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
-          .write.mode("overwrite")
-          .option("parquet.block.size", (4L << 20).toString)
-          .parquet(path)
-        finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-    }
-    // in-session artifacts: one STATIC exit hook over a growing path set
-    // (not one hook per compaction), plus eager reclaim below so a
-    // long-lived session doesn't hold one fact-table copy per compaction
-    Engine.trackTmpArtifact(path)
-    put(name, spark.read.parquet(path), e.rowsIfKnown)
-    compactPaths.put(name,
-      compactPaths.getOrElse(name, Vector.empty) :+ path)
-    reclaimCompactArtifacts(name)
-  }
-
-  // per-table compaction artifact paths, newest last
-  private val compactPaths = TrieMap.empty[String, Vector[String]]
-
-  /** Every parquet root path any REACHABLE plan in this engine still
-    * reads: registry entries, retained time-travel versions, MV stamps,
-    * and the append-lineage chains hanging off all of those (their
-    * parents and delta plans — an MV refresh replays deltas, and a
-    * delta built by `INSERT … SELECT` over a managed table can scan a
-    * compaction artifact). The reclaim pass deletes an old artifact
-    * only when it appears in none of these. */
-  private def referencedRootPaths(): Set[String] = {
-    import org.apache.spark.sql.execution.datasources.{
-      HadoopFsRelation, LogicalRelation}
-    val seen = new java.util.IdentityHashMap[TableEntry, Unit]()
-    val dfs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def addEntry(en: TableEntry): Unit =
-      if (!seen.containsKey(en)) {
-        seen.put(en, ())
-        dfs += en.df
-        en.appendOf.foreach { case (parent, delta) =>
-          dfs += delta; addEntry(parent)
-        }
-      }
-    registry.values.foreach(addEntry)
-    versions.values.foreach(_.foreach(addEntry))
-    matViews.values.foreach { case (_, stamp) => addEntry(stamp) }
-    dfs.iterator.flatMap { df =>
-      castToImpl(df).queryExecution.analyzed.collectWithSubqueries {
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString).toSeq
-          case _ => Nil
-        }
-      }.flatten
-    }.toSet
-  }
-
-  /** Delete compaction artifacts no retained snapshot (or MV lineage)
-    * reads anymore. `keepLast=false` (table dropped → history gone)
-    * makes even the newest artifact a candidate; reachability is still
-    * plan-checked, so an artifact another table's plan somehow reads
-    * survives. */
-  private def reclaimCompactArtifacts(name: String,
-      keepLast: Boolean = true): Unit = {
-    val paths = compactPaths.getOrElse(name, Vector.empty)
-    val candidates = if (keepLast) paths.dropRight(1) else paths
-    if (candidates.isEmpty) return
-    // exact normalized comparison: `_v1` is a substring of `_v13`, so
-    // anything looser than path equality would pin old artifacts forever
-    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
-    val live = referencedRootPaths().map(norm)
-    val (kept, dead) = candidates.partition(p => live.contains(norm(p)))
-    dead.foreach(Engine.untrackAndDeleteTmpArtifact)
-    val rest = if (keepLast) kept ++ paths.takeRight(1) else kept
-    if (rest.isEmpty) compactPaths.remove(name)
-    else compactPaths.put(name, rest)
-  }
-
-  // ---- dynamic worker registration ------------------------------------
-  // ≈ duckherder_register_worker / duckherder_register_or_replace_driver
-  // (reference: src/server/driver/distributed_server_function.cpp:35-281).
-  // Two pool views: by default the worker pool IS Spark's executor
-  // parallelism (a static cluster); once explicit registration is enabled
-  // the pool is what has REGISTERED — the dynamic-allocation view, where
-  // workers join after the server is up and the count observably grows.
-  private val namedWorkers =
-    scala.collection.mutable.LinkedHashMap[String, String]()
-  private var explicitRegistration = false
-  private var driverNode: Option[(String, String)] = None
-
-  /** Switch `workerCount` to the explicit registry (starts empty — a
-    * freshly started server with standalone workers not yet registered
-    * reports 0, as the reference does). */
-  def enableWorkerRegistry(): Unit = explicitRegistration = true
-
-  /** Register a named worker endpoint; re-registering a name replaces
-    * its address (endpoint restart), not a second worker. */
-  def registerWorker(name: String, address: String): Unit = {
-    explicitRegistration = true
-    namedWorkers(name) = address
-  }
-
-  /** Idempotent by construction: the driver slot holds one node and
-    * each call replaces it — registering the current driver again or a
-    * successor both succeed, and the worker pool is untouched. */
-  def registerOrReplaceDriver(name: String, address: String): Unit =
-    driverNode = Some(name -> address)
-
-  def registeredDriver: Option[(String, String)] = driverNode
-
-  /** ≈ duckherder_get_worker_count(): the explicit registry when
-    * registration is live, executor parallelism otherwise. */
-  def workerCount: Int =
-    if (explicitRegistration) namedWorkers.size
-    else spark.sparkContext.defaultParallelism
-
-  /** ≈ duckherder_stop_local_server(). */
-  def stop(): Unit = spark.stop()
-
-  // ---- DDL -------------------------------------------------------------
-
-  def createTable(name: String, schemaDdl: String): Unit = {
-    if (registry.contains(name))
-      throw new IllegalArgumentException(
-        s"Catalog Error: Table with name \"$name\" already exists!")
-    // normalize only the TYPE position of each `name type` pair — a column
-    // merely NAMED like a type keyword (docs(text VARCHAR)) keeps its name;
-    // degraded-carry types record their origin for rewrite/canonicalization
-    var (ddl, origins) = Engine.normalizeColumns(schemaDdl)
-    origins.foreach { case (c, o) => typeOrigins.put((name, c), o) }
-    // columns typed with a registered ENUM map to STRING (SURVEY §1.2) and
-    // are recorded so enum_ord / introspection can recover the type
-    enums.keys.foreach { en =>
-      val p = s"(?i)(\\b\\w+\\s+)${java.util.regex.Pattern.quote(en)}\\b".r
-      p.findAllMatchIn(ddl).foreach { m =>
-        enumCols.put((name, m.group(1).trim), en)
-      }
-      ddl = p.replaceAllIn(ddl, "$1STRING")
-    }
-    val schema = StructType.fromDDL(ddl)
-    put(name, spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-  }
-
-  def createTableAs(name: String, df: DataFrame): Unit = {
-    if (registry.contains(name))
-      throw new IllegalArgumentException(
-        s"Catalog Error: Table with name \"$name\" already exists!")
-    put(name, df)
-  }
-
-  def dropTable(name: String, ifExists: Boolean = false): Unit = {
-    if (!registry.contains(name)) {
-      if (ifExists) return else missing(name)
-    }
-    indexRegistry.filterInPlace { case (_, (t, _)) => t != name }
-    defaults.filterInPlace { case ((t, _), _) => t != name }
-    notNullCols.filterInPlace { case ((t, _), _) => t != name }
-    enumCols.filterInPlace { case ((t, _), _) => t != name }
-    typeOrigins.filterInPlace { case ((t, _), _) => t != name }
-    matViews.remove(name)
-    unregisterTable(name)
-    // drop restarts history: no retained snapshot can reach this
-    // table's compaction artifacts anymore — reclaim them all
-    reclaimCompactArtifacts(name, keepLast = false)
-  }
-
-  // ALTER TABLE matrix (ref: catalog_utils.cpp:23-84 regenerates these as
-  // SQL; here they are DataFrame rewrites on the managed table). Each
-  // verb is a read-modify-write of the registry entry, so it runs under
-  // the same per-table writer lock as the DML verbs — the single-table
-  // writer serialization guarantee covers the WHOLE mutation surface,
-  // not just INSERT/MERGE/DELETE.
-  def addColumn(name: String, col: String, typeDdl: String,
-      default: Option[Any] = None, ifNotExists: Boolean = false): Unit =
-      withTableLock(name) {
-    val e = registry.getOrElse(name, missing(name))
-    if (e.df.columns.contains(col)) {
-      if (!ifNotExists)
-        throw new IllegalArgumentException(
-          s"Catalog Error: Column with name $col already exists!")
-    } else {
-      Engine.detectOrigin(typeDdl).foreach(o =>
-        typeOrigins.put((name, col), o))
-      val v = default.map(lit).getOrElse(lit(null))
-        .cast(Engine.normalizeType(typeDdl))
-      put(name, e.df.withColumn(col, v))
-    }
-  }
-
-  def dropColumn(name: String, col: String, ifExists: Boolean = false):
-      Unit = withTableLock(name) {
-    val e = registry.getOrElse(name, missing(name))
-    if (!e.df.columns.contains(col)) {
-      if (!ifExists)
-        throw new IllegalArgumentException(
-          s"Catalog Error: Column with name $col does not exist!")
-    } else {
-      rekeyColumnMeta(name, col, None)
-      put(name, e.df.drop(col))
-    }
-  }
-
-  def renameColumn(name: String, from: String, to: String): Unit =
-      withTableLock(name) {
-    val e = registry.getOrElse(name, missing(name))
-    if (!e.df.columns.contains(from))
-      throw new IllegalArgumentException(
-        s"Catalog Error: Column with name $from does not exist!")
-    rekeyColumnMeta(name, from, Some(to))
-    put(name, e.df.withColumnRenamed(from, to))
-  }
-
-  /** Locks the SOURCE name: a racing DML on `from` serializes with the
-    * rename; the destination-exists probe runs inside the critical
-    * section. */
-  def renameTable(from: String, to: String): Unit = withTableLock(from) {
-    val e = registry.getOrElse(from, missing(from))
-    if (registry.contains(to))
-      throw new IllegalArgumentException(
-        s"Catalog Error: Table with name \"$to\" already exists!")
-    def rekey[V](m: TrieMap[(String, String), V]): Unit =
-      m.keys.filter(_._1 == from).foreach { k =>
-        m.remove(k).foreach(v => m.put((to, k._2), v))
-      }
-    rekey(defaults); rekey(notNullCols); rekey(enumCols); rekey(typeOrigins)
-    unregisterTable(from)
-    put(to, e.df)
-  }
-
-  /** ALTER COLUMN c TYPE t (catalog_utils.cpp:59-62): in-place cast
-    * preserving column position. */
-  def alterColumnType(name: String, colName: String, typeDdl: String):
-      Unit = withTableLock(name) {
-    val e = registry.getOrElse(name, missing(name))
-    if (!e.df.columns.contains(colName))
-      throw new IllegalArgumentException(
-        s"Catalog Error: Column with name $colName does not exist!")
-    Engine.detectOrigin(typeDdl) match {
-      case Some(o) => typeOrigins.put((name, colName), o)
-      case None => typeOrigins.remove((name, colName))
-    }
-    put(name, e.df.withColumn(colName,
-      e.df.col(colName).cast(Engine.normalizeType(typeDdl))))
-  }
-
-  /** ALTER COLUMN c SET DEFAULT expr (catalog_utils.cpp:63-68): the
-    * default applies to later INSERTs that omit the column. */
-  def setDefault(name: String, colName: String, exprSql: String): Unit = {
-    requireColumn(name, colName)
-    defaults.put((name, colName), exprSql)
-  }
-
-  def dropDefault(name: String, colName: String): Unit = {
-    requireColumn(name, colName)
-    defaults.remove((name, colName))
-  }
-
-  /** Default expression for a column, if one was SET. */
-  def columnDefault(name: String, colName: String): Option[String] =
-    defaults.get((name, colName))
-
-  /** ALTER COLUMN c SET NOT NULL (catalog_utils.cpp:69-73). Existing rows
-    * are validated with an early-terminating probe; future inserts carry
-    * the check inside the insert plan (distributed, lazy — no extra
-    * scan pass). */
-  def setNotNull(name: String, colName: String): Unit = {
-    val e = registry.getOrElse(name, missing(name))
-    requireColumn(name, colName)
-    if (e.df.filter(e.df.col(colName).isNull).head(1).nonEmpty)
-      throw new IllegalArgumentException(
-        s"Constraint Error: column $colName contains NULL values")
-    notNullCols.put((name, colName), ())
-  }
-
-  def dropNotNull(name: String, colName: String): Unit = {
-    requireColumn(name, colName)
-    notNullCols.remove((name, colName))
-  }
-
-  def isNotNull(name: String, colName: String): Boolean =
-    notNullCols.contains((name, colName))
-
-  /** ENUM type declared for a column at CREATE TABLE, if any. */
-  def enumTypeOf(name: String, colName: String): Option[String] =
-    enumCols.get((name, colName))
-
-  private def requireColumn(name: String, colName: String): Unit = {
-    val e = registry.getOrElse(name, missing(name))
-    if (!e.df.columns.contains(colName))
-      throw new IllegalArgumentException(
-        s"Catalog Error: Column with name $colName does not exist!")
-  }
-
-  private def rekeyColumnMeta(table: String, from: String,
-      to: Option[String]): Unit = {
-    def rekey[V](m: TrieMap[(String, String), V]): Unit =
-      m.remove((table, from)).foreach { v =>
-        to.foreach(t => m.put((table, t), v))
-      }
-    rekey(defaults); rekey(notNullCols); rekey(enumCols); rekey(typeOrigins)
-  }
-
-  // ---- DML -------------------------------------------------------------
 
   // Per-table WRITER lock: every DML verb is a read-modify-write of the
   // table's plan (read current df → build new df → put); without
@@ -1135,719 +234,8 @@ class Engine private[graft] (val spark: SparkSession) {
   // Delta/Iceberg provide via optimistic commit-retry. Readers are
   // never blocked (they hold a plan reference).
   private val tableLocks = TrieMap.empty[String, Object]
-  private def withTableLock[A](name: String)(f: => A): A =
+  private[graft] def withTableLock[A](name: String)(f: => A): A =
     tableLocks.getOrElseUpdate(name, new Object).synchronized(f)
-
-  /** INSERT: the reference buffers all rows driver-side then replays one
-    * giant VALUES statement (distributed_insert.cpp:26-100); here appended
-    * data stays distributed (unionByName of DataFrames). */
-  def insertInto(name: String, df: DataFrame): Unit = withTableLock(name) {
-    val e = registry.getOrElse(name, missing(name))
-    val delta = coerceAndValidate(name, e, df)
-    put(name, e.df.unionByName(delta), appendDelta = Some(delta))
-  }
-
-  /** Shared INSERT/MERGE ingress path: positional column alignment, the
-    * implicit DuckDB-style coercions, and the delta-bounded NOT NULL +
-    * ENUM constraint probes. Throws (table untouched) on violation. */
-  private def coerceAndValidate(name: String, e: TableEntry,
-      df: DataFrame): DataFrame = {
-    val aligned0 = df.toDF(e.df.columns.toIndexedSeq: _*)
-    // degraded-carry columns first: ANSI interval input → comparable
-    // struct (cast cannot), before the generic cast pass below
-    val pre = e.df.schema.fields.foldLeft(aligned0) { (acc, f) =>
-      (typeOrigins.get((name, f.name)), acc.schema(f.name).dataType) match {
-        case (Some("INTERVAL"),
-            _: org.apache.spark.sql.types.YearMonthIntervalType) =>
-          acc.withColumn(f.name,
-            Engine.intervalToStruct(acc.col(f.name), yearMonth = true))
-        case (Some("INTERVAL"),
-            _: org.apache.spark.sql.types.DayTimeIntervalType) =>
-          acc.withColumn(f.name,
-            Engine.intervalToStruct(acc.col(f.name), yearMonth = false))
-        case _ => acc
-      }
-    }
-    // implicit insert coercion (DuckDB casts VALUES to the column type:
-    // '2023-01-01' into DATE[], [] into a typed empty list, …)
-    val cast = e.df.schema.fields.foldLeft(pre) { (acc, f) =>
-      if (acc.schema(f.name).dataType == f.dataType) acc
-      else acc.withColumn(f.name, acc.col(f.name).cast(f.dataType))
-    }
-    // canonicalize degraded text carries so rendering and string ordering
-    // match DuckDB: temporal text drops trailing fraction zeros, hugeint
-    // text drops leading zeros
-    val aligned = e.df.schema.fields.foldLeft(cast) { (acc, f) =>
-      typeOrigins.get((name, f.name)) match {
-        case Some("TIME") | Some("TIMESTAMP_NS") =>
-          acc.withColumn(f.name, Engine.canonTemporalText(acc.col(f.name)))
-        case Some("HUGEINT") | Some("UHUGEINT") =>
-          acc.withColumn(f.name, Engine.canonIntegerText(acc.col(f.name)))
-        case _ => acc
-      }
-    }
-    // NOT NULL enforcement probes only the incoming delta (bounded by the
-    // insert, early-terminating) so a rejected insert leaves the table
-    // untouched — atomic like the reference's per-row constraint check
-    val nn = e.df.columns.filter(c => notNullCols.contains((name, c)))
-    if (nn.nonEmpty) {
-      val anyNull = nn.map(aligned.col(_).isNull).reduce(_ || _)
-      if (aligned.filter(anyNull).head(1).nonEmpty)
-        throw new IllegalArgumentException(
-          s"Constraint Error: NOT NULL constraint failed: " +
-            s"$name(${nn.mkString(",")})")
-    }
-    // ENUM domain check (DuckDB raises a Conversion Error for a value
-    // outside the type) — same bounded delta-only probe
-    e.df.columns.foreach { c =>
-      enumCols.get((name, c)).foreach { en =>
-        val values = enums.getOrElse(en, Seq.empty)
-        val bad = aligned.filter(aligned.col(c).isNotNull &&
-          !aligned.col(c).isin(values: _*)).select(c).head(1)
-        if (bad.nonEmpty)
-          throw new IllegalArgumentException(
-            s"Conversion Error: Could not convert string '${bad.head.get(0)}'" +
-              s" to enum type $en")
-      }
-    }
-    aligned
-  }
-
-  /** MERGE (upsert) as copy-on-write — beyond the reference's DML verb
-    * set (INSERT/DELETE only): source rows matching the target on `keys`
-    * REPLACE the matched rows whole-row; unmatched source rows append.
-    * One left-anti join keeps the untouched target rows, one union
-    * appends the source — shuffles on the key columns, never a driver
-    * collect; at file-table scale this is the per-file rewrite
-    * Delta/Iceberg perform. Standard MERGE forbids updating one target
-    * row twice, so a source with duplicate NON-NULL keys raises (NULL
-    * key values never equal anything under SQL join semantics — such
-    * source rows always insert, and two NULL-key source rows are NOT
-    * duplicates of each other). If the TARGET contains duplicate key
-    * values (key uniqueness is not enforced on managed tables), all N
-    * matched target rows are replaced by the single matching source row
-    * — an explicit N-to-1 whole-row collapse, counted as ONE updated
-    * source row. Returns (updated = matched source rows, inserted =
-    * unmatched source rows); both counters and the duplicate probe come
-    * from ONE aggregation action (group source by key, left-join the
-    * distinct target keys, fold to a single row) so a MERGE in a loop
-    * pays one job, not three. */
-  def mergeInto(name: String, source: DataFrame,
-      keys: Seq[String]): (Long, Long) = withTableLock(name) {
-    require(keys.nonEmpty, "MERGE requires at least one key column")
-    val e = registry.getOrElse(name, missing(name))
-    keys.foreach { k =>
-      if (!e.df.columns.contains(k))
-        throw new IllegalArgumentException(
-          s"Binder Error: key column $k not in table $name")
-    }
-    val src = coerceAndValidate(name, e, source)
-    val (updated, inserted) = mergeStats(e, src, keys)
-    val untouched = e.df.join(src, keys, "left_anti")
-    put(name, untouched.unionByName(src))
-    (updated, inserted)
-  }
-
-  /** Shared MERGE statistics: (matched source rows, unmatched source
-    * rows) from ONE aggregation action. When `forbidDupMatches`, a
-    * source with duplicate non-NULL keys raises — one target row would
-    * otherwise be updated twice (nondeterministically). */
-  private def mergeStats(e: TableEntry, src: DataFrame, keys: Seq[String],
-      forbidDupMatches: Boolean = true): (Long, Long) = {
-    // keysNonNull evaluated AFTER the groupBy: all rows in a group share
-    // the key values, so the group-level predicate is well-defined
-    val keysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
-    val perKey = src.groupBy(keys.map(src.col): _*)
-      .agg(count(lit(1)).as("__n"))
-    val tgtKeys = e.df.select(keys.map(e.df.col): _*).distinct()
-      .withColumn("__m", lit(1))
-    val stats = perKey.join(tgtKeys, keys, "left_outer").agg(
-      // duplicate probe: only non-NULL-key groups can collide on a target
-      max(when(keysNonNull && col("__n") > 1, col("__n"))).as("__dup"),
-      coalesce(sum(when(col("__m").isNotNull, col("__n"))), lit(0L))
-        .as("__upd"),
-      coalesce(sum(when(col("__m").isNull, col("__n"))), lit(0L))
-        .as("__ins")).head()
-    if (forbidDupMatches && !stats.isNullAt(0)) {
-      // failure path only: re-probe for the offending key value so the
-      // error is actionable (mirrors the reference's constraint message)
-      val bad = perKey.filter(keysNonNull && col("__n") > 1).head()
-      throw new IllegalArgumentException(
-        "Constraint Error: MERGE source matches the same target row " +
-          s"more than once (key ${bad.toSeq.init.mkString(",")})")
-    }
-    (stats.getLong(1), stats.getLong(2))
-  }
-
-  /** Column-wise MERGE — the `UPDATE SET c = expr, …` / `INSERT (cols)
-    * VALUES (…)` SQL form. Matched target rows keep every column NOT
-    * named in `updateSet` and take the assignment expressions (evaluated
-    * over the joined row; target columns resolve under alias `ta`,
-    * source columns under `sa`) for those that are. Unmatched source
-    * rows insert via `insertSpec` (column list + value expressions over
-    * the source row); unnamed columns fill from their SET DEFAULT
-    * expression, NULL otherwise. Either clause may be absent: no
-    * MATCHED clause leaves matched target rows untouched, no NOT
-    * MATCHED clause drops unmatched source rows. Distributed shape
-    * matches [[mergeInto]] — one anti-join for the untouched rows, one
-    * equi-join for the updates, unions for assembly, all shuffling on
-    * the key columns only; the counters come from the same single
-    * aggregation action. Unlike the whole-row form, N target rows
-    * sharing a key are EACH updated (standard per-target-row MERGE
-    * semantics) rather than collapsed. NOT NULL / ENUM constraint
-    * probes run on the changed delta only, before the table is
-    * swapped — a rejected MERGE leaves the table untouched. */
-  def mergeIntoColumns(name: String, source: DataFrame, keys: Seq[String],
-      ta: String, sa: String,
-      updateSet: Option[Seq[(String, String)]],
-      insertSpec: Option[(Seq[String], Seq[String])]): (Long, Long) =
-      withTableLock(name) {
-    require(keys.nonEmpty, "MERGE requires at least one key column")
-    require(updateSet.isDefined || insertSpec.isDefined,
-      "MERGE requires at least one WHEN clause")
-    val e = registry.getOrElse(name, missing(name))
-    // resolve user-written column names against the target schema
-    // case-insensitively, like Spark's own identifier resolution
-    def canon(c: String): String =
-      e.df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
-        throw new IllegalArgumentException(
-          s"Binder Error: column $c not in table $name"))
-    keys.foreach { k =>
-      canon(k)
-      if (!source.columns.exists(_.equalsIgnoreCase(k)))
-        throw new IllegalArgumentException(
-          s"Binder Error: key column $k not in MERGE source")
-    }
-    insertSpec.foreach { case (cols, vals) =>
-      if (cols.size != vals.size)
-        throw new IllegalArgumentException(
-          "Parser Error: MERGE INSERT column list and VALUES arity differ")
-    }
-    val updMap = updateSet.getOrElse(Nil)
-      .map { case (c, ex) => canon(c) -> ex }.toMap
-    val insMap = insertSpec.map { case (cols, vals) =>
-      cols.map(canon).zip(vals).toMap }.getOrElse(Map.empty)
-    // dup-source probe only matters when matched rows are rewritten;
-    // an insert-only MERGE legitimately inserts duplicate-key sources
-    val (updated, inserted) =
-      mergeStats(e, source, keys, forbidDupMatches = updateSet.isDefined)
-    val t = e.df.alias(ta)
-    val s = source.alias(sa)
-    val joinCond = keys.map(k => col(s"$ta.$k") === col(s"$sa.$k"))
-      .reduce(_ && _)
-    def assigned(c: String, ex: String): Column =
-      expr(ex).cast(e.df.schema(c).dataType).as(c)
-    val (untouched, updatedRows) = updateSet match {
-      case Some(_) =>
-        // NULL-key target rows never equi-match — they stay untouched,
-        // same as the whole-row path
-        (e.df.join(source.select(keys.map(source.col): _*), keys,
-          "left_anti"),
-          t.join(s, joinCond, "inner").select(e.df.columns.map { c =>
-            updMap.get(c).map(assigned(c, _))
-              .getOrElse(col(s"$ta.$c").as(c))
-          }.toIndexedSeq: _*))
-      case None => (e.df, e.df.limit(0))
-    }
-    val insertedRows = insertSpec match {
-      case Some(_) =>
-        s.join(t, joinCond, "left_anti").select(e.df.columns.map { c =>
-          insMap.get(c).map(assigned(c, _)).getOrElse {
-            // omitted columns fill like an explicit-column INSERT:
-            // SET DEFAULT expression when registered, NULL otherwise
-            columnDefault(name, c).map(expr).getOrElse(lit(null))
-              .cast(e.df.schema(c).dataType).as(c)
-          }
-        }.toIndexedSeq: _*)
-      case None => e.df.limit(0)
-    }
-    // constraint probes on the changed delta only (the untouched rows
-    // were valid already); coerceAndValidate also re-canonicalizes any
-    // degraded text-carry columns the assignments produced
-    val delta = coerceAndValidate(name, e,
-      updatedRows.unionByName(insertedRows))
-    put(name, untouched.unionByName(delta))
-    (if (updateSet.isDefined) updated else 0L,
-      if (insertSpec.isDefined) inserted else 0L)
-  }
-
-  def insertValues(name: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
-    val e = registry.getOrElse(name, missing(name))
-    insertInto(name, spark.createDataFrame(rows.asJava, e.df.schema))
-  }
-
-  /** Exact dedup of a managed table (beyond-reference pipeline verb):
-    * keeps one row per key set — hash groupBy underneath (dropDuplicates),
-    * one shuffle on the key columns. Returns rows removed. */
-  def dedupTable(name: String, keys: Seq[String] = Seq.empty): Long =
-      withTableLock(name) {
-    val e = registry.getOrElse(name, missing(name))
-    val deduped =
-      if (keys.isEmpty) e.df.dropDuplicates() else e.df.dropDuplicates(keys)
-    val kept = deduped.count()
-    val before = e.rows
-    put(name, deduped, kept)
-    before - kept
-  }
-
-  /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
-    * (what Delta/Iceberg do per-file), never a driver-side row collect. */
-  def deleteFrom(name: String, cond: Column): Long = withTableLock(name) {
-    val e = registry.getOrElse(name, missing(name))
-    // SQL DELETE removes only rows where the predicate is TRUE; a row
-    // where it evaluates NULL must be KEPT (plain `!cond` would drop it)
-    val remaining = e.df.filter(!coalesce(cond, lit(false)))
-    val kept = remaining.count()
-    val before = e.rows
-    put(name, remaining, kept)
-    before - kept
-  }
-
-  // ---- index registry (metadata-only, ≈ duckherder_index_catalog_entry) --
-
-  def createIndex(indexName: String, tableName: String, cols: Seq[String],
-      ifNotExists: Boolean = false): Unit = {
-    registry.getOrElse(tableName, missing(tableName))
-    if (indexRegistry.contains(indexName)) {
-      if (ifNotExists) return
-      throw new IllegalArgumentException(
-        s"Catalog Error: Index with name \"$indexName\" already exists!")
-    }
-    indexRegistry.put(indexName, (tableName, cols))
-  }
-
-  def dropIndex(indexName: String, ifExists: Boolean = false): Unit =
-    if (indexRegistry.remove(indexName).isEmpty && !ifExists)
-      throw new IllegalArgumentException(
-        s"Catalog Error: Index with name \"$indexName\" does not exist!")
-
-  /** Build a persisted IVF index over a table's embedding column:
-    * sampled-k-means centroids and cell assignments land as managed
-    * tables (`<index>_centroids`, `<index>_cells`), so the training
-    * cost amortizes across every later [[annSearch]]. The index is
-    * listed in `indexes` introspection like any other.
-    *
-    * With `pq = true` the index is IVF-PQ: residual product-quantizer
-    * codebooks train per subspace (`<index>_codebooks`) and the cells
-    * table carries (cell, norm, m code bytes) per vector INSTEAD of
-    * raw floats — ~13× smaller, the memory bound that keeps a 100 TB
-    * corpus's index resident. [[annSearch]] then scores candidates
-    * from codes (ADC) and rescores its shortlist on raw floats fetched
-    * from the BASE table, so reported similarities stay exact. */
-  def buildAnnIndex(indexName: String, tableName: String,
-      idCol: String = "vec_id", embCol: String = "embedding",
-      pq: Boolean = false): Unit = {
-    import graft.operators.SimilarityOps
-    val df = table(tableName)
-      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-    val n = df.count() // index build is a heavy op; an exact N is fine
-    val cents = SimilarityOps.ivfCentroids(spark, df,
-      SimilarityOps.ivfNlist(n))
-    put(s"${indexName}_centroids", cents)
-    if (pq) {
-      val assigned = SimilarityOps.ivfAssign(df, cents)
-      val books = SimilarityOps.pqTrain(spark, assigned, cents)
-      put(s"${indexName}_codebooks", booksToDf(books))
-      put(s"${indexName}_cells",
-        SimilarityOps.pqEncode(assigned, cents, books), n)
-    } else
-      put(s"${indexName}_cells", SimilarityOps.ivfAssign(df, cents), n)
-    annMeta.put(indexName, (idCol, embCol))
-    createIndex(indexName, tableName, Seq(embCol), ifNotExists = true)
-  }
-
-  /** (idCol, embCol) an ANN index was built with — needed by the PQ
-    * search path's raw-float rescoring fetch against the base table. */
-  private val annMeta = TrieMap.empty[String, (String, String)]
-
-  private def booksToDf(
-      books: Array[Array[Array[Float]]]): org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
-    books.zipWithIndex.flatMap { case (book, j) =>
-      book.zipWithIndex.map { case (cb, c) => (j, c, cb) }
-    }.toSeq.toDF("subspace", "code", "cb")
-  }
-
-  private def booksOf(indexName: String): Array[Array[Array[Float]]] = {
-    import spark.implicits._
-    table(s"${indexName}_codebooks").as[(Int, Int, Array[Float])]
-      .collect().groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
-  }
-
-  /** Incremental refresh of a [[buildAnnIndex]] artifact after new
-    * vectors arrived: only vectors absent from the cells table are
-    * assigned (anti-join on vec_id), against the EXISTING centroids —
-    * the assignment is the zero-exchange broadcast argmax, so the
-    * marginal cost is O(batch) and the corpus is never re-assigned.
-    * Frozen centroids make refresh ≡ a rebuild against the same
-    * quantizer EXACTLY (EngineSpec law); what drifts under appends is
-    * centroid QUALITY, not correctness — recall against the frozen
-    * quantizer degrades only as far as the new data's distribution
-    * departs from the training sample's, the standard IVF production
-    * trade (re-train = [[buildAnnIndex]], the heavy op, on a cadence;
-    * the returned count plus the cells introspection gives the
-    * operator the growth signal to schedule it). Returns vectors
-    * added. */
-  def refreshAnnIndex(indexName: String, tableName: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): Long = {
-    import graft.operators.SimilarityOps
-    if (!indexRegistry.contains(indexName))
-      throw new IllegalArgumentException(
-        s"""Catalog Error: Index with name "$indexName" does not exist!""")
-    // the index remembers its base table: refreshing against a
-    // different one would silently merge foreign vectors into the
-    // cells — fail loudly instead
-    val recorded = indexRegistry(indexName)._1
-    if (recorded != tableName)
-      throw new IllegalArgumentException(
-        s"""Binder Error: Index "$indexName" was built over table """ +
-          s""""$recorded", not "$tableName"""")
-    val cells = table(s"${indexName}_cells")
-    val df = table(tableName)
-      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-    val newVecs =
-      df.join(cells.select("vec_id"), Seq("vec_id"), "left_anti")
-        .persist() // one anti-join pass feeds both the count and the
-                   // assignment write (the LayoutMaintenance pattern)
-    try {
-      val added = newVecs.count()
-      if (added > 0) {
-        val assigned = SimilarityOps.ivfAssign(newVecs,
-          table(s"${indexName}_centroids"))
-        // a PQ index refreshes by encoding against the FROZEN
-        // codebooks — same frozen-quantizer law as the centroids
-        insertInto(s"${indexName}_cells",
-          if (registry.contains(s"${indexName}_codebooks"))
-            SimilarityOps.pqEncode(assigned,
-              table(s"${indexName}_centroids"), booksOf(indexName))
-          else assigned)
-      }
-      added
-    } finally { newVecs.unpersist(); () }
-  }
-
-  /** Build a DURABLE shingle index over a managed documents table:
-    * materialize the df-capped distinct-shingle-hash stage to parquet
-    * at `path` and register the COLD read-back as a managed table —
-    * every consumer (the q145-shaped incremental dedup of a daily
-    * batch) plans a fresh scan over storage, so index cost amortizes
-    * across snapshots while the marginal batch stays O(batch).
-    * Registry round-trip semantics follow
-    * `duckherder_register_remote_table`
-    * (src/client/duckherder_pragmas.cpp:16-60): the catalog entry
-    * points at the persisted artifact, not a session cache. */
-  def buildShingleIndex(indexName: String, docsTable: String,
-      path: String, maxDf: Int = 1000): Unit = withTableLock(indexName) {
-    val docs = table(docsTable)
-    graft.operators.DedupOps.shingleTokens(docs, maxDf)
-      .write.mode("overwrite").parquet(path)
-    put(indexName, spark.read.parquet(path))
-    createIndex(indexName, docsTable, Seq("text"), ifNotExists = true)
-  }
-
-  /** Incremental refresh of a [[buildShingleIndex]] artifact after new
-    * documents arrived: ONLY the docs absent from the index are
-    * shingled (anti-join on doc_id) — the existing corpus is never
-    * re-shingled, so the daily-crawl marginal cost is O(batch). The
-    * hot-shingle df-cap stays EXACT under refresh because document
-    * frequency is monotone under appends: a shingle the old build
-    * dropped (df already > maxDf) can only be hotter in the grown
-    * corpus, so its absence is correct; a shingle the new batch pushes
-    * over the cap is swept from the whole artifact (a parquet-level
-    * filter rewrite on the rare refresh that needs it — still far
-    * cheaper than re-shingling text). The refreshed artifact is
-    * row-identical to a from-scratch build over the grown corpus
-    * (EngineSpec law). The parquet swap invalidates time-travel
-    * versions of the index table (their plans reference replaced
-    * files) — the index is a derived artifact, rebuildable, not a
-    * versioned source of truth. Returns newly indexed doc count. */
-  def refreshShingleIndex(indexName: String, docsTable: String,
-      path: String, maxDf: Int = 1000): Long = withTableLock(indexName) {
-    val docs = table(docsTable)
-    val known = table(indexName).select("doc_id").distinct()
-    val newDocs = docs.join(known, Seq("doc_id"), "left_anti")
-    val added = newDocs.count()
-    if (added > 0) {
-      // cap NOT applied batch-locally — it is re-derived over the
-      // combined corpus below, where it is exact
-      val newSh = graft.operators.DedupOps.shingleTokens(newDocs,
-        maxDf = Int.MaxValue)
-      val old = spark.read.parquet(path)
-      val combined = old.unionByName(newSh)
-      val hotDelta = combined.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("s")
-      if (hotDelta.isEmpty) {
-        newSh.write.mode("append").parquet(path)
-      } else {
-        val tmp = path + "_refresh_tmp"
-        // the using-column join fronts `s` — restore the (doc_id, s)
-        // artifact schema before writing
-        combined.join(hotDelta, Seq("s"), "left_anti")
-          .select("doc_id", "s")
-          .write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(path))
-      }
-      put(indexName, spark.read.parquet(path))
-    }
-    added
-  }
-
-  /** Curation report verb: per-(source, rule) C4-gate kill rates over
-    * a managed documents-shaped table (columns `text`, `source`) — the
-    * operational readout of the q151 gate. One corpus pass, one
-    * |sources|·4-group aggregation ([[graft.operators.TextOps.c4Report]]). */
-  def curationReport(docsTable: String): DataFrame =
-    graft.operators.TextOps.c4Report(table(docsTable))
-
-  // ---- materialized aggregates ----------------------------------------
-  // (name → (definition, base registry entry at build time)); the entry
-  // identity is the staleness stamp — any DML/ALTER swaps the base's
-  // entry, which silently disables the rewrite until refresh.
-  private val matViews = TrieMap.empty[String, (MatViewDef, TableEntry)]
-
-  /** Materialize the distributive partials (per measure m: sum_m, min_m,
-    * max_m, cnt_m; plus n_rows) of `base` grouped by `dims`, store to
-    * parquet at `path`, and register the cold read-back as managed table
-    * `name`. SQL aggregates over `base` covered by (dims, measures) are
-    * then rewritten to re-aggregate this artifact
-    * ([[graft.plans.MatViewRewrite]]) — at 100 TB the fact scan+shuffle
-    * collapses to a dims-cardinality parquet scan. The MV is built from
-    * the registry plan directly (no temp-view alias), so its own build
-    * and refresh can never match the rewrite pattern. */
-  def createMaterializedAggregate(name: String, base: String,
-      dims: Seq[String], measures: Seq[String], path: String): Unit =
-    withTableLock(name) {
-      val entry = registry.getOrElse(base, missing(base))
-      val have = entry.df.columns.map(_.toLowerCase).toSet
-      (dims ++ measures).find(c => !have.contains(c.toLowerCase)).foreach(c =>
-        throw new IllegalArgumentException(
-          s"Binder Error: column $c not found in table $base"))
-      val overlap = dims.map(_.toLowerCase).toSet
-        .intersect(measures.map(_.toLowerCase).toSet)
-      if (overlap.nonEmpty)
-        throw new IllegalArgumentException("Binder Error: a column " +
-          s"cannot be both dimension and measure: ${overlap.mkString(", ")}")
-      val aggs = measures.flatMap(mcol => Seq(
-        sum(col(mcol)).as(s"sum_$mcol"), min(col(mcol)).as(s"min_$mcol"),
-        max(col(mcol)).as(s"max_$mcol"),
-        count(col(mcol)).as(s"cnt_$mcol"))) :+ count(lit(1)).as("n_rows")
-      entry.df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
-        .write.mode("overwrite").parquet(path)
-      put(name, spark.read.parquet(path))
-      matViews.put(name, (MatViewDef(name, base, dims, measures, path),
-        entry))
-    }
-
-  /** Storage path for SQL-created MVs (`CREATE MATERIALIZED VIEW`) —
-    * per-JVM so concurrent benches never collide, same discipline as
-    * the persisted shingle index. */
-  private[graft] def defaultMvPath(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_mv_" +
-      s"${ProcessHandle.current.pid}_$name"
-
-  /** Drop an MV by name; raises unless `ifExists` when the name is not
-    * a registered materialized aggregate (a plain table stays guarded
-    * behind DROP TABLE). */
-  def dropMaterializedAggregate(name: String,
-      ifExists: Boolean = false): Unit = {
-    if (!matViews.contains(name)) {
-      if (ifExists) return
-      throw new IllegalArgumentException(
-        s"Catalog Error: materialized aggregate $name does not exist")
-    }
-    dropTable(name)
-  }
-
-  /** Bring an MV up to the CURRENT base state and re-arm the rewrite
-    * (the daily-ingest cadence: DML lands, MVs refresh). INCREMENTAL
-    * when every base mutation since the MV's stamp was a pure INSERT
-    * (the [[put]] append-lineage chain reaches the stamp): the deltas'
-    * partials merge into the stored artifact — sums/counts add,
-    * mins/maxes combine — so the refresh scans the DELTA plus the
-    * dims-cardinality artifact, never the corpus. At 100 TB with a
-    * daily append that is the difference between a corpus rescan and a
-    * seconds-long merge. Any row-rewriting verb (DELETE/MERGE/ALTER)
-    * breaks the chain and the refresh falls back to a full rebuild
-    * (min/max are not differentiable under deletion).
-    * @return the path taken: "noop" | "incremental" | "rebuild" */
-  def refreshMaterializedAggregate(name: String): String = {
-    val (d, stamp) = matViews.getOrElse(name,
-      throw new IllegalArgumentException(
-        s"Catalog Error: materialized aggregate $name does not exist"))
-    val current = registry.getOrElse(d.base, missing(d.base))
-    if (current eq stamp) return "noop"
-    @annotation.tailrec
-    def deltasBackTo(e: TableEntry, acc: List[DataFrame])
-        : Option[List[DataFrame]] =
-      if (e eq stamp) Some(acc)
-      else e.appendOf match {
-        case Some((parent, delta)) => deltasBackTo(parent, delta :: acc)
-        case None => None
-      }
-    deltasBackTo(current, Nil) match {
-      case Some(deltas) => withTableLock(name) {
-        val deltaDf = deltas.reduce(_ unionByName _)
-        val aggs = d.measures.flatMap(m => Seq(
-          sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
-          max(col(m)).as(s"max_$m"),
-          count(col(m)).as(s"cnt_$m"))) :+ count(lit(1)).as("n_rows")
-        val deltaPart = deltaDf.groupBy(d.dims.map(col): _*)
-          .agg(aggs.head, aggs.tail: _*)
-        val old = spark.read.parquet(d.path)
-        val merge = d.measures.flatMap(m => Seq(
-          sum(col(s"sum_$m")).as(s"sum_$m"),
-          min(col(s"min_$m")).as(s"min_$m"),
-          max(col(s"max_$m")).as(s"max_$m"),
-          sum(col(s"cnt_$m")).as(s"cnt_$m"))) :+
-          sum(col("n_rows")).as("n_rows")
-        // cast back to the artifact's exact schema: re-summing a sum
-        // widens decimals, and the rewrite must keep producing the same
-        // result types as the direct plan
-        val merged = old.unionByName(deltaPart)
-          .groupBy(d.dims.map(col): _*).agg(merge.head, merge.tail: _*)
-          .select(old.schema.fields.toIndexedSeq
-            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-        val tmp = d.path + "_refresh_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-          spark.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(d.path), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(d.path))
-        put(name, spark.read.parquet(d.path))
-        matViews.put(name, (d, current))
-        "incremental"
-      }
-      case None =>
-        createMaterializedAggregate(name, d.base, d.dims, d.measures,
-          d.path)
-        "rebuild"
-    }
-  }
-
-  /** MVs whose base is untouched since their build — the only ones the
-    * rewrite may use. Correctness never depends on freshness. */
-  private[graft] def freshMatViews: Seq[MatViewDef] =
-    matViews.values.collect {
-      case (d, stamp) if registry.get(d.base).exists(_ eq stamp) => d
-    }.toSeq
-
-  private[graft] def analyzedPlanOf(name: String)
-      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    castToImpl(table(name)).queryExecution.analyzed
-
-  /** Probe an [[buildAnnIndex]] index: rank cells against the query on
-    * the driver (centroids are metadata-scale, ≈√N rows), then scan
-    * only the probed cells — per-query work O(nprobe·N/nlist). On a PQ
-    * index the cell scan reads code bytes (ADC) and the shortlist is
-    * rescored on raw floats from the base table, so the returned
-    * `cos_sim` is exact either way. */
-  def annSearch(indexName: String, query: Array[Float], k: Int = 10,
-      nprobe: Int = 4): DataFrame = {
-    if (registry.contains(s"${indexName}_codebooks")) {
-      import graft.operators.SimilarityOps
-      import spark.implicits._
-      val (idCol, embCol) = annMeta.getOrElse(indexName,
-        ("vec_id", "embedding"))
-      val base = indexRegistry.getOrElse(indexName,
-        throw new IllegalArgumentException(
-          s"""Catalog Error: Index with name "$indexName" does not exist!"""))._1
-      val raw = table(base)
-        .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-      val queries = Seq((-1L, query)).toDF("qid", "q_emb")
-      return SimilarityOps.pqSearch(queries, table(s"${indexName}_cells"),
-        table(s"${indexName}_centroids"), booksOf(indexName), raw,
-        k = k, nprobe = nprobe, shortlist = math.max(4 * k, 40))
-        .select(col("neighbor").as("vec_id"), col("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-    }
-    val cents = table(s"${indexName}_centroids").collect()
-    def cos(v: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val m = math.min(v.length, query.length)
-      while (i < m) {
-        dot += v(i).toDouble * query(i)
-        na += v(i).toDouble * v(i); nb += query(i).toDouble * query(i)
-        i += 1
-      }
-      dot / math.max(1e-12, math.sqrt(na) * math.sqrt(nb))
-    }
-    val probed = cents
-      .map(r => (r.getLong(0), cos(r.getSeq[Float](1).toArray)))
-      .sortBy(-_._2).take(nprobe).map(_._1)
-    table(s"${indexName}_cells")
-      .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id"),
-        graft.functions.CosineSimilarity.cosineSim(col("embedding"),
-          typedLit(query)).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
-  }
-
-  /** ≈ duckdb_indexes() introspection (index_operations.test:50-58). */
-  def indexes: DataFrame = {
-    import spark.implicits._
-    indexRegistry.toSeq.map { case (i, (t, c)) => (i, t, c.mkString(",")) }
-      .toDF("index_name", "table_name", "columns")
-  }
-
-  // ---- extension registry (duckdb_extensions() observable parity) -------
-  // Loading a NATIVE extension binary is n/a on Spark (format handlers
-  // are built-in sources), but the reference's observable contract
-  // (test_extension_loading.test: pre-load listing shows loaded=false,
-  // the load verb flips loaded+installed) is catalog state, which
-  // replays exactly. Spark's natively-shipped formats list as already
-  // loaded — the honest translation of "this capability is available".
-  private val extensionRegistry =
-    TrieMap[String, (Boolean, Boolean)](
-      "azure" -> ((false, false)), "aws" -> ((false, false)),
-      "httpfs" -> ((false, false)), "iceberg" -> ((false, false)),
-      "json" -> ((true, true)), "parquet" -> ((true, true)))
-
-  /** ≈ duckherder_load_extension → server-side LoadExtension
-    * (distributed_server_function.cpp): records the extension as
-    * loaded+installed; the native dlopen is n/a by design. */
-  def loadExtension(name: String): Unit =
-    extensionRegistry.put(name, (true, true))
-
-  /** ≈ duckdb_extensions() introspection (test_extension_loading.test). */
-  def extensions: DataFrame = {
-    import spark.implicits._
-    extensionRegistry.toSeq.sortBy(_._1)
-      .map { case (n, (l, i)) => (n, l, i) }
-      .toDF("extension_name", "loaded", "installed")
-  }
-
-  // ---- ENUM types (declaration-order semantics) -------------------------
-
-  def createEnum(name: String, values: Seq[String]): Unit = {
-    if (enums.contains(name))
-      throw new IllegalArgumentException(
-        s"Catalog Error: Type with name $name already exists!")
-    enums.put(name, values)
-  }
-
-  def dropEnum(name: String, ifExists: Boolean = false): Unit =
-    if (enums.remove(name).isEmpty && !ifExists)
-      throw new IllegalArgumentException(
-        s"Catalog Error: Type with name $name does not exist!")
-
-  /** Declaration-order rank of an enum column — ORDER BY / MIN / MAX over
-    * `enumOrd` reproduces DuckDB's enum comparison semantics
-    * (enum_type_support.test:62-81). */
-  def enumOrd(enumName: String, c: Column): Column = {
-    val values = enums.getOrElse(enumName, throw new IllegalArgumentException(
-      s"Catalog Error: Type with name $enumName does not exist!"))
-    array_position(lit(values.toArray), c)
-  }
-
-  def enumValues(name: String): Seq[String] = enums.getOrElse(name, Seq.empty)
 }
 
 object Engine {
@@ -2008,3 +396,4 @@ object Engine {
     e
   }
 }
+

@@ -1,0 +1,280 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DML verbs on managed tables — INSERT (distributed append, ≈
+  * distributed_insert.cpp), whole-row and column-wise MERGE,
+  * DELETE-as-predicate-inversion (≈ distributed_delete.cpp, minus the
+  * driver collect), and exact dedup. All copy-on-write under the
+  * per-table writer lock. Split from Engine.scala along its section
+  * seam; state and semantics unchanged. */
+private[graft] trait EngineDml { self: Engine =>
+
+  /** INSERT: the reference buffers all rows driver-side then replays one
+    * giant VALUES statement (distributed_insert.cpp:26-100); here appended
+    * data stays distributed (unionByName of DataFrames). */
+  def insertInto(name: String, df: DataFrame): Unit = withTableLock(name) {
+    val e = registry.getOrElse(name, missing(name))
+    val delta = coerceAndValidate(name, e, df)
+    put(name, e.df.unionByName(delta), appendDelta = Some(delta))
+  }
+
+  /** Shared INSERT/MERGE ingress path: positional column alignment, the
+    * implicit DuckDB-style coercions, and the delta-bounded NOT NULL +
+    * ENUM constraint probes. Throws (table untouched) on violation. */
+  private def coerceAndValidate(name: String, e: TableEntry,
+      df: DataFrame): DataFrame = {
+    val aligned0 = df.toDF(e.df.columns.toIndexedSeq: _*)
+    // degraded-carry columns first: ANSI interval input → comparable
+    // struct (cast cannot), before the generic cast pass below
+    val pre = e.df.schema.fields.foldLeft(aligned0) { (acc, f) =>
+      (typeOrigins.get((name, f.name)), acc.schema(f.name).dataType) match {
+        case (Some("INTERVAL"),
+            _: org.apache.spark.sql.types.YearMonthIntervalType) =>
+          acc.withColumn(f.name,
+            Engine.intervalToStruct(acc.col(f.name), yearMonth = true))
+        case (Some("INTERVAL"),
+            _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+          acc.withColumn(f.name,
+            Engine.intervalToStruct(acc.col(f.name), yearMonth = false))
+        case _ => acc
+      }
+    }
+    // implicit insert coercion (DuckDB casts VALUES to the column type:
+    // '2023-01-01' into DATE[], [] into a typed empty list, …)
+    val cast = e.df.schema.fields.foldLeft(pre) { (acc, f) =>
+      if (acc.schema(f.name).dataType == f.dataType) acc
+      else acc.withColumn(f.name, acc.col(f.name).cast(f.dataType))
+    }
+    // canonicalize degraded text carries so rendering and string ordering
+    // match DuckDB: temporal text drops trailing fraction zeros, hugeint
+    // text drops leading zeros
+    val aligned = e.df.schema.fields.foldLeft(cast) { (acc, f) =>
+      typeOrigins.get((name, f.name)) match {
+        case Some("TIME") | Some("TIMESTAMP_NS") =>
+          acc.withColumn(f.name, Engine.canonTemporalText(acc.col(f.name)))
+        case Some("HUGEINT") | Some("UHUGEINT") =>
+          acc.withColumn(f.name, Engine.canonIntegerText(acc.col(f.name)))
+        case _ => acc
+      }
+    }
+    // NOT NULL enforcement probes only the incoming delta (bounded by the
+    // insert, early-terminating) so a rejected insert leaves the table
+    // untouched — atomic like the reference's per-row constraint check
+    val nn = e.df.columns.filter(c => notNullCols.contains((name, c)))
+    if (nn.nonEmpty) {
+      val anyNull = nn.map(aligned.col(_).isNull).reduce(_ || _)
+      if (aligned.filter(anyNull).head(1).nonEmpty)
+        throw new IllegalArgumentException(
+          s"Constraint Error: NOT NULL constraint failed: " +
+            s"$name(${nn.mkString(",")})")
+    }
+    // ENUM domain check (DuckDB raises a Conversion Error for a value
+    // outside the type) — same bounded delta-only probe
+    e.df.columns.foreach { c =>
+      enumCols.get((name, c)).foreach { en =>
+        val values = enums.getOrElse(en, Seq.empty)
+        val bad = aligned.filter(aligned.col(c).isNotNull &&
+          !aligned.col(c).isin(values: _*)).select(c).head(1)
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"Conversion Error: Could not convert string '${bad.head.get(0)}'" +
+              s" to enum type $en")
+      }
+    }
+    aligned
+  }
+
+  /** MERGE (upsert) as copy-on-write — beyond the reference's DML verb
+    * set (INSERT/DELETE only): source rows matching the target on `keys`
+    * REPLACE the matched rows whole-row; unmatched source rows append.
+    * One left-anti join keeps the untouched target rows, one union
+    * appends the source — shuffles on the key columns, never a driver
+    * collect; at file-table scale this is the per-file rewrite
+    * Delta/Iceberg perform. Standard MERGE forbids updating one target
+    * row twice, so a source with duplicate NON-NULL keys raises (NULL
+    * key values never equal anything under SQL join semantics — such
+    * source rows always insert, and two NULL-key source rows are NOT
+    * duplicates of each other). If the TARGET contains duplicate key
+    * values (key uniqueness is not enforced on managed tables), all N
+    * matched target rows are replaced by the single matching source row
+    * — an explicit N-to-1 whole-row collapse, counted as ONE updated
+    * source row. Returns (updated = matched source rows, inserted =
+    * unmatched source rows); both counters and the duplicate probe come
+    * from ONE aggregation action (group source by key, left-join the
+    * distinct target keys, fold to a single row) so a MERGE in a loop
+    * pays one job, not three. */
+  def mergeInto(name: String, source: DataFrame,
+      keys: Seq[String]): (Long, Long) = withTableLock(name) {
+    require(keys.nonEmpty, "MERGE requires at least one key column")
+    val e = registry.getOrElse(name, missing(name))
+    keys.foreach { k =>
+      if (!e.df.columns.contains(k))
+        throw new IllegalArgumentException(
+          s"Binder Error: key column $k not in table $name")
+    }
+    val src = coerceAndValidate(name, e, source)
+    val (updated, inserted) = mergeStats(e, src, keys)
+    val untouched = e.df.join(src, keys, "left_anti")
+    put(name, untouched.unionByName(src))
+    (updated, inserted)
+  }
+
+  /** Shared MERGE statistics: (matched source rows, unmatched source
+    * rows) from ONE aggregation action. When `forbidDupMatches`, a
+    * source with duplicate non-NULL keys raises — one target row would
+    * otherwise be updated twice (nondeterministically). */
+  private def mergeStats(e: TableEntry, src: DataFrame, keys: Seq[String],
+      forbidDupMatches: Boolean = true): (Long, Long) = {
+    // keysNonNull evaluated AFTER the groupBy: all rows in a group share
+    // the key values, so the group-level predicate is well-defined
+    val keysNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val perKey = src.groupBy(keys.map(src.col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val tgtKeys = e.df.select(keys.map(e.df.col): _*).distinct()
+      .withColumn("__m", lit(1))
+    val stats = perKey.join(tgtKeys, keys, "left_outer").agg(
+      // duplicate probe: only non-NULL-key groups can collide on a target
+      max(when(keysNonNull && col("__n") > 1, col("__n"))).as("__dup"),
+      coalesce(sum(when(col("__m").isNotNull, col("__n"))), lit(0L))
+        .as("__upd"),
+      coalesce(sum(when(col("__m").isNull, col("__n"))), lit(0L))
+        .as("__ins")).head()
+    if (forbidDupMatches && !stats.isNullAt(0)) {
+      // failure path only: re-probe for the offending key value so the
+      // error is actionable (mirrors the reference's constraint message)
+      val bad = perKey.filter(keysNonNull && col("__n") > 1).head()
+      throw new IllegalArgumentException(
+        "Constraint Error: MERGE source matches the same target row " +
+          s"more than once (key ${bad.toSeq.init.mkString(",")})")
+    }
+    (stats.getLong(1), stats.getLong(2))
+  }
+
+  /** Column-wise MERGE — the `UPDATE SET c = expr, …` / `INSERT (cols)
+    * VALUES (…)` SQL form. Matched target rows keep every column NOT
+    * named in `updateSet` and take the assignment expressions (evaluated
+    * over the joined row; target columns resolve under alias `ta`,
+    * source columns under `sa`) for those that are. Unmatched source
+    * rows insert via `insertSpec` (column list + value expressions over
+    * the source row); unnamed columns fill from their SET DEFAULT
+    * expression, NULL otherwise. Either clause may be absent: no
+    * MATCHED clause leaves matched target rows untouched, no NOT
+    * MATCHED clause drops unmatched source rows. Distributed shape
+    * matches [[mergeInto]] — one anti-join for the untouched rows, one
+    * equi-join for the updates, unions for assembly, all shuffling on
+    * the key columns only; the counters come from the same single
+    * aggregation action. Unlike the whole-row form, N target rows
+    * sharing a key are EACH updated (standard per-target-row MERGE
+    * semantics) rather than collapsed. NOT NULL / ENUM constraint
+    * probes run on the changed delta only, before the table is
+    * swapped — a rejected MERGE leaves the table untouched. */
+  def mergeIntoColumns(name: String, source: DataFrame, keys: Seq[String],
+      ta: String, sa: String,
+      updateSet: Option[Seq[(String, String)]],
+      insertSpec: Option[(Seq[String], Seq[String])]): (Long, Long) =
+      withTableLock(name) {
+    require(keys.nonEmpty, "MERGE requires at least one key column")
+    require(updateSet.isDefined || insertSpec.isDefined,
+      "MERGE requires at least one WHEN clause")
+    val e = registry.getOrElse(name, missing(name))
+    // resolve user-written column names against the target schema
+    // case-insensitively, like Spark's own identifier resolution
+    def canon(c: String): String =
+      e.df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Binder Error: column $c not in table $name"))
+    keys.foreach { k =>
+      canon(k)
+      if (!source.columns.exists(_.equalsIgnoreCase(k)))
+        throw new IllegalArgumentException(
+          s"Binder Error: key column $k not in MERGE source")
+    }
+    insertSpec.foreach { case (cols, vals) =>
+      if (cols.size != vals.size)
+        throw new IllegalArgumentException(
+          "Parser Error: MERGE INSERT column list and VALUES arity differ")
+    }
+    val updMap = updateSet.getOrElse(Nil)
+      .map { case (c, ex) => canon(c) -> ex }.toMap
+    val insMap = insertSpec.map { case (cols, vals) =>
+      cols.map(canon).zip(vals).toMap }.getOrElse(Map.empty)
+    // dup-source probe only matters when matched rows are rewritten;
+    // an insert-only MERGE legitimately inserts duplicate-key sources
+    val (updated, inserted) =
+      mergeStats(e, source, keys, forbidDupMatches = updateSet.isDefined)
+    val t = e.df.alias(ta)
+    val s = source.alias(sa)
+    val joinCond = keys.map(k => col(s"$ta.$k") === col(s"$sa.$k"))
+      .reduce(_ && _)
+    def assigned(c: String, ex: String): Column =
+      expr(ex).cast(e.df.schema(c).dataType).as(c)
+    val (untouched, updatedRows) = updateSet match {
+      case Some(_) =>
+        // NULL-key target rows never equi-match — they stay untouched,
+        // same as the whole-row path
+        (e.df.join(source.select(keys.map(source.col): _*), keys,
+          "left_anti"),
+          t.join(s, joinCond, "inner").select(e.df.columns.map { c =>
+            updMap.get(c).map(assigned(c, _))
+              .getOrElse(col(s"$ta.$c").as(c))
+          }.toIndexedSeq: _*))
+      case None => (e.df, e.df.limit(0))
+    }
+    val insertedRows = insertSpec match {
+      case Some(_) =>
+        s.join(t, joinCond, "left_anti").select(e.df.columns.map { c =>
+          insMap.get(c).map(assigned(c, _)).getOrElse {
+            // omitted columns fill like an explicit-column INSERT:
+            // SET DEFAULT expression when registered, NULL otherwise
+            columnDefault(name, c).map(expr).getOrElse(lit(null))
+              .cast(e.df.schema(c).dataType).as(c)
+          }
+        }.toIndexedSeq: _*)
+      case None => e.df.limit(0)
+    }
+    // constraint probes on the changed delta only (the untouched rows
+    // were valid already); coerceAndValidate also re-canonicalizes any
+    // degraded text-carry columns the assignments produced
+    val delta = coerceAndValidate(name, e,
+      updatedRows.unionByName(insertedRows))
+    put(name, untouched.unionByName(delta))
+    (if (updateSet.isDefined) updated else 0L,
+      if (insertSpec.isDefined) inserted else 0L)
+  }
+
+  def insertValues(name: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    insertInto(name, spark.createDataFrame(rows.asJava, e.df.schema))
+  }
+
+  /** Exact dedup of a managed table (beyond-reference pipeline verb):
+    * keeps one row per key set — hash groupBy underneath (dropDuplicates),
+    * one shuffle on the key columns. Returns rows removed. */
+  def dedupTable(name: String, keys: Seq[String] = Seq.empty): Long =
+      withTableLock(name) {
+    val e = registry.getOrElse(name, missing(name))
+    val deduped =
+      if (keys.isEmpty) e.df.dropDuplicates() else e.df.dropDuplicates(keys)
+    val kept = deduped.count()
+    val before = e.rows
+    put(name, deduped, kept)
+    before - kept
+  }
+
+  /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
+    * (what Delta/Iceberg do per-file), never a driver-side row collect. */
+  def deleteFrom(name: String, cond: Column): Long = withTableLock(name) {
+    val e = registry.getOrElse(name, missing(name))
+    // SQL DELETE removes only rows where the predicate is TRUE; a row
+    // where it evaluates NULL must be KEPT (plain `!cond` would drop it)
+    val remaining = e.df.filter(!coalesce(cond, lit(false)))
+    val kept = remaining.count()
+    val before = e.rows
+    put(name, remaining, kept)
+    before - kept
+  }
+}
