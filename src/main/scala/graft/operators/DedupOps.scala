@@ -134,10 +134,27 @@ object DedupOps {
            |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5""".stripMargin),
     (s, d) => {
       val sh = sharedShingles(s, d)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // repartition the raw 16-byte index rows on doc_id BEFORE the
+      // per-doc size count: the index comes out of the hot-shingle
+      // anti-join partitioned by SHINGLE, so each doc's ~50 rows
+      // scatter across every partition and the partial aggregate
+      // builds a doc-cardinality hash map per partition that reduces
+      // nothing (the q42-sf100 signature law; Q41Probe measured the
+      // un-exchanged form at 35.3 s for this stage at sf100)
+      val sz = sh.repartition(col("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.toDF("id_a", "s")
       val b = sh.toDF("id_b", "s")
+      // same law on the pair stream: the co-occurrence rows are ~91%
+      // DISTINCT pairs (431 M rows → 395 M groups at sf100, avg 1.09 —
+      // Q41Probe), so the fused partial aggregate reduces nothing;
+      // exchange the raw 16-byte pair rows and aggregate clustered
+      // (sf10: 7.6 → 6.3 s for this stage, Q41Probe2). q42's
+      // verification pairs are candidate-restricted with ~50×
+      // multiplicity — THERE the partial aggregate earns its keep.
       val pairs = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .repartition(col("id_a"), col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
       val jac = col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
       pairs
@@ -145,7 +162,15 @@ object DedupOps {
         .join(sz.toDF("id_b", "nb"), "id_b")
         .filter(jac >= 0.5)
         .select(col("id_a"), col("id_b"), round(jac, 3).as("jaccard"))
-    })
+    }, conf = Map(
+      // the per-doc size table is 16 B × n_docs — 7.5 MB at sf10 but
+      // 78 MB at sf100, where it falls off AQE's 10 MB broadcast cliff
+      // and the two size joins re-shuffle the ~400 M-row pair stream
+      // TWICE (Q41Probe: the decade superlinearity). Raising the
+      // runtime threshold keeps the joins broadcast through the decade
+      // tiers while staying size-gated: a corpus whose size table
+      // outgrows 256 MB falls back to shuffle joins automatically.
+      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
 
   /** Candidate generation for q42, STAGED to parquet: signatures →
     * banding → banded bucket equi-join → distinct pairs, written as a
@@ -225,7 +250,10 @@ object DedupOps {
         .union(cand.select(col("id_b").as("doc_id"))).distinct()
       val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
         .select("doc_id", "s")
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // doc-clustered exchange before the per-doc count — q41's law
+      // (the shingle-partitioned index defeats the partial aggregate)
+      val sz = sh.repartition(col("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
       // AGGREGATE the co-occurrence stream BEFORE intersecting with the
       // candidate set: the r10 formulation semi-joined the raw pair
       // stream first, which shuffles every (id_a, id_b, shingle)
