@@ -12,17 +12,47 @@ private[graft] object DuckSyntax {
   private val HugeLiteral =
     "(?<![\\w.'])(-?\\d{39,})(?![\\w.'])".r
 
+  /** Apply `f` to the segments of `s` OUTSIDE single-quoted string
+    * literals (with `''` as the escaped quote), leaving literal bodies
+    * byte-identical — so a document text mentioning `::UUID` or a
+    * VALUES string containing digits is never rewritten. The literal
+    * scan is the same tokenization SqlRouter uses: regex rewrites are
+    * only ever trusted between literals. */
+  private def outsideLiterals(s: String)(f: String => String): String = {
+    val out = new StringBuilder
+    var i = 0; var start = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        out.append(f(s.substring(start, i)))
+        var j = i + 1; var closed = false
+        while (j < s.length && !closed) {
+          if (s.charAt(j) == '\'') {
+            if (j + 1 < s.length && s.charAt(j + 1) == '\'') j += 2
+            else { closed = true; j += 1 }
+          } else j += 1
+        }
+        out.append(s.substring(i, j))
+        i = j; start = j
+      } else i += 1
+    }
+    out.append(f(s.substring(start)))
+    out.toString
+  }
+
   /** `'\xDE\xAD'::BLOB` → `X'DEAD'`; text `::BLOB` → `::BINARY`;
     * `::UUID` → `::STRING`; integer literals beyond DECIMAL(38) (HUGEINT /
     * UHUGEINT extremes) → quoted strings (they cast onto the STRING carry
-    * columns; unquoted they fail Spark's parser outright). */
+    * columns; unquoted they fail Spark's parser outright). The hex-BLOB
+    * form consumes its own literal; every other rewrite applies only
+    * outside string literals. */
   def rewriteCasts(q: String): String = {
-    var s = HexBlob.replaceAllIn(q,
+    val s = HexBlob.replaceAllIn(q,
       m => "X'" + m.group(1).replace("\\x", "") + "'")
-    s = s.replaceAll("(?i)::\\s*BLOB\\b", "::BINARY")
-    s = s.replaceAll("(?i)::\\s*UUID\\b", "::STRING")
-    s = HugeLiteral.replaceAllIn(s, m => "'" + m.group(1) + "'")
-    s
+    outsideLiterals(s) { seg =>
+      var t = seg.replaceAll("(?i)::\\s*BLOB\\b", "::BINARY")
+      t = t.replaceAll("(?i)::\\s*UUID\\b", "::STRING")
+      HugeLiteral.replaceAllIn(t, m => "'" + m.group(1) + "'")
+    }
   }
 
   /** True when the payload carries a (now-quoted) beyond-DECIMAL(38)
@@ -36,9 +66,11 @@ private[graft] object DuckSyntax {
     * column mixing strings and numbers, so once one value in a VALUES
     * payload must be a string (a HUGEINT extreme), every row's value
     * becomes text and [[Engine.insertInto]]'s per-column cast restores
-    * the target types, exactly DuckDB's VALUES-coercion behavior. */
+    * the target types, exactly DuckDB's VALUES-coercion behavior.
+    * Digits inside string values (`('abc 123', 42)`) are untouched. */
   def quoteNumerics(values: String): String =
-    BareNumeric.replaceAllIn(values, m => "'" + m.group(1) + "'")
+    outsideLiterals(values)(seg =>
+      BareNumeric.replaceAllIn(seg, m => "'" + m.group(1) + "'"))
 
   // quoted multi-unit interval literal — NOT the ANSI `INTERVAL '1' DAY` /
   // `INTERVAL '1 2:00:00' DAY TO SECOND` forms, which Spark parses natively

@@ -269,4 +269,53 @@ private[graft] trait EngineIndexes { self: Engine =>
     indexRegistry.toSeq.map { case (i, (t, c)) => (i, t, c.mkString(",")) }
       .toDF("index_name", "table_name", "columns")
   }
+
+  // ---- persisted corpus tokenizer (BPE) ---------------------------------
+
+  /** Train and persist a corpus BPE tokenizer: the learned merge table
+    * lands as a managed table `<name>_merges` (rank, lhs, rhs) and the
+    * tokenizer is listed in index introspection — the same
+    * train-once/probe-many amortization as [[buildAnnIndex]]. The
+    * merges are FROZEN by design (no incremental refresh): a training
+    * run's token budgets are only comparable under one tokenizer, so
+    * day-2 data is encoded with the day-1 merges and a vocabulary
+    * shift is an explicit retrain, never a silent drift. Returns the
+    * number of merges learned (may stop early when no pair repeats). */
+  def trainTokenizer(name: String, tableName: String,
+      textCol: String = "text", numMerges: Int = 192,
+      vocabCap: Int = 65536): Int = {
+    import graft.operators.BpeOps
+    import spark.implicits._
+    val docs = table(tableName).select(col(textCol).as("text"))
+    val m = BpeOps.train(docs, numMerges, vocabCap)
+    val rows = m.ranks.toSeq.map { case ((a, b), r) => (r, a, b) }
+      .sortBy(_._1)
+    put(s"${name}_merges", rows.toDF("rank", "lhs", "rhs"))
+    tokenizerMeta.put(name, textCol)
+    createIndex(name, tableName, Seq(textCol), ifNotExists = true)
+    m.ranks.size
+  }
+
+  /** Per-document token statistics for `tableName` under the frozen
+    * tokenizer `name` (merges broadcast, one corpus pass): doc_id,
+    * source, n_words, n_tokens, token_chars, word_chars. */
+  def tokenize(name: String, tableName: String): DataFrame = {
+    import graft.operators.BpeOps
+    if (!registry.contains(s"${name}_merges"))
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Index with name "$name" does not exist!""")
+    val merges = BpeOps.Merges(table(s"${name}_merges").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap)
+    val textCol = tokenizerMeta.getOrElse(name, "text")
+    val base0 = table(tableName)
+    var docs = if (base0.columns.contains(textCol) && textCol != "text")
+      base0.withColumn("text", col(textCol)) else base0
+    if (!docs.columns.contains("doc_id"))
+      docs = docs.withColumn("doc_id", monotonically_increasing_id())
+    if (!docs.columns.contains("source"))
+      docs = docs.withColumn("source", lit(""))
+    BpeOps.encodeStats(spark, docs, merges)
+  }
+
+  private val tokenizerMeta = TrieMap.empty[String, String]
 }

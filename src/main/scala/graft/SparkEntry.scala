@@ -19,7 +19,7 @@ object SparkEntry {
       ExtrasOps.defs ++ TpchOps.defs ++ DmlOps.defs ++
       DedupOps.defs ++ SimilarityOps.defs ++ TextOps.defs ++
       MultimodalOps.defs ++ StreamingOps.defs ++ CurationOps.defs ++
-      SourceOps.defs ++ Skew.defs ++ BucketedOps.defs
+      SourceOps.defs ++ Skew.defs ++ BucketedOps.defs ++ BpeOps.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1537,4 +1537,45 @@ class EngineSpec extends SparkSpec {
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     engine.unregisterTable(t)
   }
+
+  test("persisted BPE tokenizer: train once, encode many, merges frozen") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val t = s"bpe_docs_${System.nanoTime()}"
+    val idx = s"bpe_tok_${System.nanoTime()}"
+    engine.registerTable(t, s"$sf/documents.parquet")
+    val learned = engine.trainTokenizer(idx, t, numMerges = 64)
+    assert(learned > 0 && learned <= 64)
+    assert(engine.tableExists(s"${idx}_merges"))
+    assert(engine.indexes.filter(col("index_name") === idx).count() == 1)
+    // stored merges reproduce the direct in-memory training exactly
+    val direct = graft.operators.BpeOps.train(
+      engine.table(t).select("text"), numMerges = 64)
+    val stored = engine.table(s"${idx}_merges").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+    assert(stored == direct.ranks)
+    // one-pass encode under the frozen merges: conservation law holds
+    val enc = engine.tokenize(idx, t)
+    val agg = enc.agg(
+      fsum(col("token_chars")).as("tc"),
+      fsum(col("word_chars")).as("wc"),
+      fsum(col("n_tokens")).as("nt"),
+      fsum(col("n_words")).as("nw")).head()
+    assert(agg.getLong(0) == agg.getLong(1), "tokens dropped characters")
+    assert(agg.getLong(2) >= agg.getLong(3) && agg.getLong(2) <= agg.getLong(0))
+    // day-2 rows are encoded by the SAME merges — no silent retrain:
+    // token accounting for old rows is unchanged after an insert
+    val before = enc.agg(fsum(col("n_tokens"))).head().getLong(0)
+    engine.insertInto(t, engine.table(t).limit(7))
+    val after = engine.tokenize(idx, t)
+      .agg(fsum(col("n_tokens"))).head().getLong(0)
+    assert(after > before)
+    assert(stored == engine.table(s"${idx}_merges").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap)
+    // missing tokenizer raises like any other index
+    val ex = intercept[IllegalArgumentException](
+      engine.tokenize("no_such_tok", t))
+    assert(ex.getMessage.contains("does not exist"))
+    engine.dropIndex(idx)
+    Seq(t, s"${idx}_merges").foreach(engine.unregisterTable)
+  }
 }

@@ -107,14 +107,14 @@ class EventsEncodingSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported physical type"))
   }
 
-  test("oracle coverage law: only the six engine-defined-hash queries " +
+  test("oracle coverage law: only the seven engine-defined-hash queries " +
       "may lack DuckDB oracle SQL") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // each of these carries a green companion audit row (q119-q122;
-    // q171's twin is q172, q176's is q177)
+    // q171's twin is q172, q176's is q177, q178's is q179)
     assert(noOracle == Set("q42_dedup_minhash_lsh", "q43_dedup_simhash",
       "q46_ann_lsh", "q75_ann_ivf", "q171_dedup_then_ann",
-      "q176_ann_ivfpq"),
+      "q176_ann_ivfpq", "q178_bpe_tokenize"),
       s"oracle-less queries drifted: $noOracle — new queries must ship " +
         "with oracleSql or a documented audit twin")
   }

@@ -516,6 +516,24 @@ class SqlRouterSpec extends SparkSpec {
     engine.dropTable(t)
   }
 
+  test("literal-spelling rewrites never touch string-literal bodies") {
+    // ::UUID / ::BLOB / huge integers INSIDE a string are data, not syntax
+    assert(DuckSyntax.rewriteCasts("SELECT 'cast me ::UUID or ::BLOB'") ==
+      "SELECT 'cast me ::UUID or ::BLOB'")
+    assert(DuckSyntax.rewriteCasts(
+      "SELECT '170141183460469231731687303715884105727 wide' AS s") ==
+      "SELECT '170141183460469231731687303715884105727 wide' AS s")
+    // outside literals the rewrites still fire, including after one
+    assert(DuckSyntax.rewriteCasts("SELECT 'x'::UUID, col::BLOB") ==
+      "SELECT 'x'::STRING, col::BINARY")
+    // escaped quotes keep the literal scan aligned
+    assert(DuckSyntax.rewriteCasts("SELECT 'it''s ::UUID', v::UUID") ==
+      "SELECT 'it''s ::UUID', v::STRING")
+    // VALUES coercion: digits inside string values stay unquoted
+    assert(DuckSyntax.quoteNumerics("('abc 123', 42)") ==
+      "('abc 123', '42')")
+  }
+
   test("salted join equals plain join on a skewed key") {
     import spark.implicits._
     // 90% of left rows share one key — the shape AQE skew-split targets,
