@@ -55,6 +55,22 @@ object Tables {
             "(expected int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
     }
 
+  /** A non-wildcard `glob` naming a DIRECTORY under `dir` (the layout
+    * Spark itself writes: `events.parquet/part-*.parquet` + _SUCCESS)
+    * resolves to that directory with a part-file glob, so the stream
+    * readers accept both the single-file testdata shape and the
+    * directory shape every Spark-written feed has. Storage-agnostic
+    * (Hadoop FileSystem), so the same resolution runs on HDFS/S3. */
+  private def resolveFeed(spark: SparkSession, dir: String,
+      glob: String): (String, String) = {
+    if (glob.exists(c => "*?[{".indexOf(c) >= 0)) return (dir, glob)
+    val p = new org.apache.hadoop.fs.Path(dir, glob)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      (p.toString, "*.parquet")
+    else (dir, glob)
+  }
+
   /** On-disk schema of the events files under `dir` (footer-only read;
     * cheap). Streaming sources require an explicit schema — deriving it
     * from the files themselves is what keeps the stream readers in the
@@ -63,10 +79,11 @@ object Tables {
       glob: String = "events.parquet",
       recursive: Boolean = false): StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (path, g) = resolveFeed(spark, dir, glob)
     spark.read
-      .option("pathGlobFilter", glob)
+      .option("pathGlobFilter", g)
       .option("recursiveFileLookup", recursive.toString)
-      .parquet(dir).schema
+      .parquet(path).schema
   }
 
   /** Schema-adaptive streaming reader over the events feed at `dir`:
@@ -77,12 +94,13 @@ object Tables {
       glob: String = "events.parquet",
       recursive: Boolean = false): DataFrame = {
     val disk = eventsDiskSchema(spark, dir, glob, recursive)
+    val (path, g) = resolveFeed(spark, dir, glob)
     normalizeEvents(
       spark.readStream
         .schema(disk)
-        .option("pathGlobFilter", glob)
+        .option("pathGlobFilter", g)
         .option("recursiveFileLookup", recursive.toString)
-        .parquet(dir))
+        .parquet(path))
   }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {

@@ -83,6 +83,43 @@ object MultimodalOps {
       dirStr
     })
 
+  /** Audio fixture params — like the image fixtures, a deterministic
+    * function of doc_id shared by the Scala encoder and the DuckDB
+    * oracle. Mono 16-bit PCM; audio docs are the `doc_id % 3 == 2`
+    * stratum (the one whose image coverage is header-only). */
+  private[graft] def wavParams(id: Long): (Int, Int) = {
+    val n = (id % 200 + 50).toInt
+    val rate = if (id % 2 == 0) 8000 else 16000
+    (rate, n)
+  }
+  private[graft] def wavSample(id: Long)(k: Int): Int =
+    ((id * 7 + k * 13L) % 4096 - 2048).toInt
+
+  /** Materialize the audio fixture directory for scale dir `d` (once
+    * per JVM): one real PCM WAV per audio-stratum document. */
+  private[graft] def audioFixtures(s: SparkSession, d: String): String =
+    memoFixtures.getOrElseUpdate("audio:" + d, {
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_audio_${ProcessHandle.current.pid}_" +
+          d.replaceAll("[^a-zA-Z0-9]", "_"))
+      java.nio.file.Files.createDirectories(dir)
+      val dirStr = dir.toString
+      val spark = s
+      import spark.implicits._
+      t(s, d, "documents").select("doc_id").as[Long]
+        .filter((id: Long) => id % 3 == 2)
+        .foreachPartition { (it: Iterator[Long]) =>
+          it.foreach { id =>
+            val (rate, n) = wavParams(id)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dirStr, s"doc$id.wav"),
+              AudioCodec.encodeWav(rate, n, wavSample(id)))
+          }
+        }
+      dirStr
+    })
+
   private def docId(path: String): Long = {
     val m = "doc(\\d+)\\.".r.findFirstMatchIn(path)
     m.fold(throw new IllegalArgumentException(s"unparseable path $path"))(
@@ -187,5 +224,53 @@ object MultimodalOps {
         }.toDF("doc_id", "frame_idx", "x", "y", "w", "h", "delay_cs")
     })
 
-  def defs: Seq[NamedQuery] = Seq(meta, decode, frameSample)
+  /** Audio decode over real PCM WAV payloads: RIFF chunk walk (fmt
+    * parse, LIST skip), 16-bit sample extraction, then exact integer
+    * signal statistics (peak amplitude, energy) plus the duration and
+    * resample arithmetic an audio pipeline stamps per clip. Oracle:
+    * DuckDB regenerates the expected stats from the fixtures'
+    * generating function — a mis-read sample width, a chunk-walk
+    * misalignment, or a dropped sample hash-mismatches. */
+  val audio: NamedQuery = NamedQuery("q180_multimodal_audio",
+    Some("""WITH a AS (SELECT doc_id,
+           |    CAST(doc_id % 200 + 50 AS BIGINT) AS n,
+           |    CAST(CASE WHEN doc_id % 2 = 0 THEN 8000
+           |         ELSE 16000 END AS BIGINT) AS rate
+           |  FROM documents WHERE doc_id % 3 = 2)
+           |SELECT doc_id, rate AS sample_rate, n AS n_samples,
+           |  n * 1000 // rate AS duration_ms,
+           |  CAST(list_max(list_transform(range(0, CAST(n AS INT)),
+           |    k -> abs((doc_id * 7 + k * 13) % 4096 - 2048)))
+           |    AS BIGINT) AS peak_abs,
+           |  CAST(list_sum(list_transform(range(0, CAST(n AS INT)),
+           |    k -> ((doc_id * 7 + k * 13) % 4096 - 2048)
+           |       * ((doc_id * 7 + k * 13) % 4096 - 2048)))
+           |    AS BIGINT) AS energy,
+           |  n * 16000 // rate AS resampled_n
+           |FROM a""".stripMargin),
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      s.read.format("binaryFile").load(audioFixtures(s, d))
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (p, bytes) =>
+            val id = docId(p)
+            val w = AudioCodec.parseWav(bytes)
+            var peak = 0L; var energy = 0L
+            for (v <- w.samples) {
+              val a = math.abs(v.toLong)
+              if (a > peak) peak = a
+              energy += v.toLong * v.toLong
+            }
+            val n = w.samples.length.toLong
+            (id, w.sampleRate.toLong, n, n * 1000 / w.sampleRate,
+              peak, energy, n * 16000 / w.sampleRate)
+          }
+        }.toDF("doc_id", "sample_rate", "n_samples", "duration_ms",
+          "peak_abs", "energy", "resampled_n")
+    })
+
+  def defs: Seq[NamedQuery] = Seq(meta, decode, frameSample, audio)
 }

@@ -181,10 +181,12 @@ object TextOps {
       val norm = trim(regexp_replace(
         lower(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", "")),
         " +", " "))
+      // no ORDER BY: the comparator canonicalizes row order, and a
+      // global sort is a corpus-wide range exchange this narrow
+      // in-scan transform otherwise never pays (sf1: 5.2 → ~1 s)
       t(s, d, "documents").select(col("doc_id"),
         md5(norm.cast("binary")).as("norm_md5"),
         length(norm).cast("bigint").as("norm_len"))
-        .orderBy("doc_id")
     })
 
   /** Repetition detection via compression ratio (the Gopher/RefinedWeb
@@ -509,8 +511,14 @@ object TextOps {
       val lp = bc
         .join(uc, split(bc("b"), " ").getItem(0) === uc("w1"))
         .select(col("b"), log(col("c2") * lit(1.0) / col("c1")).as("lp"))
+      // cached: the tercile bounds AND the output both consume sc; un-
+      // cached, the whole corpus-scale score pipeline (explode + join +
+      // per-doc agg) executes twice. The frame is narrow (doc_id,
+      // double) — per-doc not per-token — so the cache is the cheapest
+      // artifact in the query at any corpus size (sf1: 18.7 → ~7 s).
       val sc = bg.join(lp, "b").groupBy("doc_id")
         .agg(round(-avg("lp"), 4).as("score"))
+        .cache()
       // distinct-rounded-score frame: range-bounded, one-task window OK
       val wCum = Window.orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -134,4 +134,47 @@ class MediaDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ImageIO.write(ref, "jpg", baos))
     assert(ImageCodec.probe(baos.toByteArray) == (("jpeg", 24, 17)))
   }
+
+  test("WAV round trip: parse(encode) recovers rate and every sample, " +
+      "through the interposed LIST chunk") {
+    import graft.operators.AudioCodec
+    val f = (k: Int) => ((k * 37) % 4096) - 2048
+    val w = AudioCodec.parseWav(AudioCodec.encodeWav(16000, 251, f))
+    assert(w.sampleRate == 16000 && w.channels == 1 && w.bits == 16)
+    assert(w.samples.length == 251)
+    assert(w.samples.zipWithIndex.forall { case (s, k) => s == f(k) })
+  }
+
+  test("our WAV encoder is readable by the JDK's reference parser, " +
+      "sample-exactly") {
+    import graft.operators.AudioCodec
+    val f = (k: Int) => ((k * 91 + 5) % 4096) - 2048
+    val bytes = AudioCodec.encodeWav(8000, 64, f)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    assert(in.getFrameLength == 64)
+    val raw = in.readAllBytes()
+    val little = fmt.isBigEndian == false
+    assert(little, "JDK reports our fmt as little-endian PCM")
+    for (k <- 0 until 64) {
+      val s = ((raw(2 * k) & 0xff) | (raw(2 * k + 1) << 8)).toShort
+      assert(s == f(k), s"sample $k")
+    }
+  }
+
+  test("WAV parser fails loudly on truncation and non-PCM") {
+    import graft.operators.AudioCodec
+    val good = AudioCodec.encodeWav(8000, 10, _ => 7)
+    intercept[IllegalArgumentException](
+      AudioCodec.parseWav(good.take(good.length - 3)))
+    intercept[IllegalArgumentException](
+      AudioCodec.parseWav("RIFFxxxxJUNK".getBytes))
+    // flip the fmt code to 3 (IEEE float): must refuse, not misread
+    val nonPcm = good.clone()
+    nonPcm(20) = 3
+    intercept[IllegalArgumentException](AudioCodec.parseWav(nonPcm))
+  }
 }

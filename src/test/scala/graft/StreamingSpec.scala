@@ -18,6 +18,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("directory-shaped feed (Spark-written events.parquet/part-*) " +
+      "streams identically to the single-file shape") {
+    // the bench tiers and any Spark-written feed have events.parquet as
+    // a DIRECTORY with part files + _SUCCESS; the stream readers must
+    // resolve both layouts (r13 sweep caught the glob matching nothing)
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed_dir")
+      .toString
+    Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val streamed = EventsStream.hourlyCounts(spark, dir,
+        queryName = s"graft_dirfeed_${System.nanoTime()}")
+      .select(col("h"), col("event_type"), col("n"), col("sum_v"))
+    val batch = SparkEntry.queries("q30_events_hourly")(spark, sf)
+      .select(col("h"), col("event_type"), col("n"), col("sum_v"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streamed median sketch is bit-identical to the batch sketch") {
     // the sketch buffer is a count histogram — merge order cannot change
     // it, so streaming micro-batches must reproduce the batch result
