@@ -28,14 +28,17 @@ case class MatViewDef(name: String, base: String, dims: Seq[String],
   * or introspection use, and DML verbs that already counted pass the
   * number forward. */
 private[graft] final class TableEntry(val df: DataFrame, known: Long = -1L,
-    val appendOf: Option[(TableEntry, DataFrame)] = None) {
+    val appendOf: Option[(TableEntry, DataFrame)] = None,
+    val countFn: Option[() => Long] = None) {
   @volatile private var cached = known
   /** The count if it has materialized; -1 otherwise (lets verbs that
     * rewrite the table carry a known count forward without forcing
     * one that was never needed). */
   def rowsIfKnown: Long = cached
   lazy val rows: Long = {
-    if (cached < 0L) cached = df.count()
+    // path-registered parquet tables count from FOOTERS (metadata-only,
+    // the reference's parquet_metadata idiom); everything else scans
+    if (cached < 0L) cached = countFn.map(_()).getOrElse(df.count())
     cached
   }
 }
@@ -126,7 +129,15 @@ class Engine private[graft] (val spark: SparkSession)
       case other => throw new IllegalArgumentException(
         s"unsupported format: $other")
     }
-    put(name, df)
+    // parquet: the (lazy) row count comes from footers, and bare
+    // COUNT(*) through Engine.sql folds to it (FooterCountRewrite) —
+    // metadata instead of a corpus scan. DML re-registers the table
+    // without the counter, so mutated lineages always recount.
+    val countFn =
+      if (format == "parquet")
+        Some(() => graft.operators.FooterStats.rowCount(spark, path))
+      else None
+    put(name, df, countFn = countFn)
   }
 
   /** Sink: write a managed table out (the reference's only sink is its
@@ -188,7 +199,8 @@ class Engine private[graft] (val spark: SparkSession)
     * (DELETE/MERGE/ALTER) leave it unset, which breaks the chain and
     * forces those refreshes back to a full rebuild. */
   private[graft] def put(name: String, df: DataFrame, knownRows: Long = -1L,
-      appendDelta: Option[DataFrame] = None): Unit =
+      appendDelta: Option[DataFrame] = None,
+      countFn: Option[() => Long] = None): Unit =
     putLock.synchronized {
       // snapshot the outgoing version (lazy plans — a version is a plan
       // object over the copy-on-write lineage, no data is retained);
@@ -199,12 +211,29 @@ class Engine private[graft] (val spark: SparkSession)
         versions.put(name, vs.takeRight(Engine.MaxVersions))
       }
       registry.put(name, new TableEntry(df, knownRows,
-        appendOf = appendDelta.flatMap(d => prevEntry.map((_, d)))))
+        appendOf = appendDelta.flatMap(d => prevEntry.map((_, d))),
+        countFn = countFn))
       versionSeq.put(name, versionSeq.getOrElse(name, -1L) + 1L)
       df.createOrReplaceTempView(name)
     }
   def table(name: String): DataFrame =
     registry.getOrElse(name, missing(name)).df
+
+  /** Footer row count for a bare scan of a path-registered parquet
+    * table, if `child` IS exactly that scan (post alias-stripping,
+    * plan-identity via `sameResult` — any Filter/Project/DML lineage
+    * in between disqualifies). Backs [[graft.plans.FooterCountRewrite]]. */
+  private[graft] def metadataCount(
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Long] = {
+    import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    registry.values.collectFirst {
+      case e if e.countFn.isDefined &&
+          EliminateSubqueryAliases(
+            castToImpl(e.df).queryExecution.analyzed).sameResult(child) =>
+        e.rows
+    }
+  }
 
   def tableNames: Seq[String] = registry.keys.toSeq.sorted
 

@@ -113,6 +113,9 @@ private[graft] trait EngineSqlStats { self: Engine =>
         // (ORDER BY / MIN / MAX / comparisons)
         val analyzed0 = castToImpl(df0).queryExecution.analyzed
         var plan = analyzed0
+        // bare COUNT(*) over an unmodified path-registered parquet table
+        // folds to its footer count — metadata, no scan job
+        plan = graft.plans.FooterCountRewrite.rewrite(plan, this)
         if (freshMatViews.nonEmpty)
           plan = graft.plans.MatViewRewrite.rewrite(plan, this)
         if (!(enumCols.isEmpty && typeOrigins.isEmpty))

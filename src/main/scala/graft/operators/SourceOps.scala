@@ -302,7 +302,90 @@ object SourceOps {
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
   }
 
+  /** Footer-statistics aggregate pushdown: COUNT(*) / COUNT(col) /
+    * MIN / MAX answered from parquet FOOTERS — row-group row counts,
+    * null counts, and typed min/max statistics — without reading a
+    * single data page. This is the metadata fast path native engines
+    * (including the reference's DuckDB core, parquet_metadata) use for
+    * bare aggregates; Spark's scan always decodes pages for these, so
+    * at 100 TB a `SELECT count(*)` costs a full corpus scan unless the
+    * engine short-circuits it.
+    *
+    * Shape: the file listing distributes over executors and each task
+    * reads only footers (KBs per file) — at 100 TB / ~1M files this is
+    * a metadata-bounded job with NO driver-side footer loop, and the
+    * final fold is over one tiny row per file. Statistics are trusted
+    * only where parquet makes them exact: row counts are mandatory;
+    * null counts and INT64 min/max come from chunk statistics and the
+    * job FAILS LOUDLY (raise_error) if any chunk lacks them rather
+    * than silently falling back or guessing — string min/max, which
+    * parquet may truncate, is deliberately not offered.
+    *
+    * Correctness law: the footer path must equal the full-scan
+    * aggregate — the oracle recomputes all four values by scanning. */
+  val footerStats: NamedQuery = NamedQuery("q182_footer_stats",
+    Some("""SELECT count(*) AS n_rows,
+           |  count(l_extendedprice) AS n_price,
+           |  min(l_orderkey) AS min_ok,
+           |  max(l_orderkey) AS max_ok
+           |FROM lineitem""".stripMargin),
+    (s, d) => {
+      import s.implicits._
+      val files = FooterStats.parquetFiles(s, s"$d/lineitem.parquet")
+      val perFile = s.createDataset(files)
+        .repartition(math.min(files.size, 32))
+        .mapPartitions { it =>
+          import scala.jdk.CollectionConverters._
+          val hconf = new org.apache.hadoop.conf.Configuration()
+          it.map { p =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(p), hconf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val blocks = r.getFooter.getBlocks.asScala.toSeq
+              def chunk(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+                  name: String) =
+                b.getColumns.asScala
+                  .find(_.getPath.toDotString == name)
+                  .getOrElse(throw new IllegalStateException(
+                    s"column $name missing in $p"))
+              val rows = blocks.map(_.getRowCount).sum
+              var ok = blocks.nonEmpty
+              var nPrice = 0L
+              var minOk = Long.MaxValue
+              var maxOk = Long.MinValue
+              blocks.foreach { b =>
+                val price = chunk(b, "l_extendedprice").getStatistics
+                val okey = chunk(b, "l_orderkey").getStatistics
+                if (price == null || !price.isNumNullsSet ||
+                    okey == null || !okey.hasNonNullValue) ok = false
+                else {
+                  nPrice += chunk(b, "l_extendedprice").getValueCount -
+                    price.getNumNulls
+                  minOk = math.min(minOk,
+                    okey.genericGetMin.asInstanceOf[java.lang.Long])
+                  maxOk = math.max(maxOk,
+                    okey.genericGetMax.asInstanceOf[java.lang.Long])
+                }
+              }
+              (rows, nPrice, minOk, maxOk, ok)
+            } finally r.close()
+          }
+        }
+        .toDF("r", "np", "mn", "mx", "ok")
+      perFile.agg(
+        sum("r").as("n_rows"), sum("np").as("np"),
+        min("mn").as("mn"), max("mx").as("mx"),
+        min("ok").as("ok"))
+        .select(col("n_rows"),
+          when(col("ok"), col("np")).otherwise(raise_error(
+            lit("parquet chunk without exact statistics — no footer path")))
+            .as("n_price"),
+          when(col("ok"), col("mn")).as("min_ok"),
+          when(col("ok"), col("mx")).as("max_ok"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, partitionedSink,
-      sortedExport, csvCorrupt, shuffledExport)
+      sortedExport, csvCorrupt, shuffledExport, footerStats)
 }

@@ -165,4 +165,31 @@ class SourcesSpec extends SparkSpec {
     // the only BAD row: a field failing its declared type ('x' as INT)
     assert(back("oops") == (None, false), "type-failed row must quarantine")
   }
+
+  test("footer stats equal the full-scan aggregate and plan no data scan") {
+    val df = SparkEntry.queries("q182_footer_stats")(spark, sf)
+    // the footer path must not contain a parquet DATA scan at all —
+    // its only input is the in-memory file list
+    assert(scansOf(df).isEmpty, "footer path planned a parquet data scan")
+    val out = df.collect()(0)
+    val scan = Tables.t(spark, sf, "lineitem").agg(
+      count(lit(1)), count(col("l_extendedprice")),
+      min("l_orderkey"), max("l_orderkey")).collect()(0)
+    assert(out.getLong(0) == scan.getLong(0), "row count mismatch")
+    assert(out.getLong(1) == scan.getLong(1), "non-null count mismatch")
+    assert(out.getLong(2) == scan.getLong(2), "min mismatch")
+    assert(out.getLong(3) == scan.getLong(3), "max mismatch")
+  }
+
+  test("footer stats hold on a directory-shaped, Spark-written table") {
+    val dir = Files.createTempDirectory("graft_footer").toString
+    val src = Tables.t(spark, sf, "lineitem")
+    src.repartition(4).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val out = SparkEntry.queries("q182_footer_stats")(spark, dir).collect()(0)
+    val scan = src.agg(count(lit(1)), count(col("l_extendedprice")),
+      min("l_orderkey"), max("l_orderkey")).collect()(0)
+    assert((0 to 3).forall(i => out.getLong(i) == scan.getLong(i)),
+      s"footer stats drifted on multi-file layout: $out vs $scan")
+  }
 }
