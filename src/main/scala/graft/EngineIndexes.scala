@@ -318,4 +318,55 @@ private[graft] trait EngineIndexes { self: Engine =>
   }
 
   private val tokenizerMeta = TrieMap.empty[String, String]
+
+  // ---- NB classifier lifecycle (train offline / serve online) ----------
+
+  /** Train the q181 multinomial NB classifier over a managed table and
+    * persist the model as `<name>_model` — (w, cls, q) rows, w NULL
+    * marking the per-class log-priors; everything integer-quantized
+    * (CurationOps.nbModelFrames). The model is FROZEN by design, like
+    * the BPE tokenizer: later inserts into `tableName` do NOT move it
+    * (scores and gates stay comparable day over day); retraining is an
+    * explicit re-call. ONE corpus aggregation; the persisted model is
+    * metadata-sized (≤ vocabCap·C + C rows). Returns the vocabulary
+    * size actually learned. */
+  def trainClassifier(name: String, tableName: String,
+      labelCol: String = "lang", textCol: String = "text",
+      vocabCap: Int = graft.operators.CurationOps.NbVocabCap): Int = {
+    import spark.implicits._
+    val base = table(tableName)
+    val docs = if (textCol != "text")
+      base.withColumn("text", col(textCol)) else base
+    val (model, prior) = graft.operators.CurationOps
+      .nbModelFrames(docs, labelCol, vocabCap)
+    val modelRows = model.select(col("w"), col("cls"), col("lp_q"))
+      .as[(String, String, Long)].collect().toSeq
+    val priorRows = prior.as[(String, Long)].collect().toSeq
+      .map { case (c, q) => (null.asInstanceOf[String], c, q) }
+    put(s"${name}_model", (modelRows ++ priorRows).toDF("w", "cls", "q"))
+    classifierMeta.put(name, textCol)
+    createIndex(name, tableName, Seq(textCol), ifNotExists = true)
+    modelRows.iterator.map(_._1).toSet.size
+  }
+
+  /** Score every row of `tableName` under the FROZEN model `name`:
+    * (doc_id, pred_cls, score_q) via the stateless broadcast-literal
+    * expression (CurationOps.nbScore) — the same expression the
+    * streaming scorer uses, so batch ≡ stream structurally. */
+  def classify(name: String, tableName: String): DataFrame = {
+    if (!registry.contains(s"${name}_model"))
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Index with name "$name" does not exist!""")
+    val m = graft.operators.NbModel.fromRows(table(s"${name}_model"))
+    val textCol = classifierMeta.getOrElse(name, "text")
+    var docs = table(tableName)
+    if (textCol != "text" && docs.columns.contains(textCol))
+      docs = docs.withColumn("text", col(textCol))
+    if (!docs.columns.contains("doc_id"))
+      docs = docs.withColumn("doc_id", monotonically_increasing_id())
+    graft.operators.CurationOps.nbScore(docs, m, "text")
+      .select(col("doc_id"), col("pred_cls"), col("score_q"))
+  }
+
+  private val classifierMeta = TrieMap.empty[String, String]
 }

@@ -103,6 +103,19 @@ object Tables {
         .parquet(path))
   }
 
+  /** Streaming reader over the documents feed at `dir` — same feed
+    * resolution as [[eventsStream]] (single file or Spark-written
+    * directory), schema from a footer-only read. */
+  def docsStream(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet"): DataFrame = {
+    val (path, g) = resolveFeed(spark, dir, glob)
+    val disk = spark.read.option("pathGlobFilter", g).parquet(path).schema
+    spark.readStream
+      .schema(disk)
+      .option("pathGlobFilter", g)
+      .parquet(path)
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,6 +13,53 @@ import graft.Tables.t
   * sampling rather than RNG, stable orderings) so runs are reproducible
   * and every one hash-checks against a DuckDB oracle.
   */
+/** A collected multinomial NB model — metadata-sized by construction
+  * (≤ vocabCap·C quantized log-probs + C priors): `classes` ascending
+  * (so "first max" argmax ties break to the smallest class name, the
+  * q181 rule), `priors(i)` the quantized log-prior of `classes(i)`,
+  * `lp(w)(i)` the quantized log-likelihood of token `w` under class i.
+  * Row codec: (w, cls, q) with w NULL marking prior rows — the shape
+  * `Engine.trainClassifier` persists as the frozen `<name>_model`
+  * managed table. */
+case class NbModel(classes: Array[String], priors: Array[Long],
+    lp: Map[String, Array[Long]])
+
+object NbModel {
+  /** Collect the lazy model/prior frames (CurationOps.nbModelFrames)
+    * into the broadcastable form. */
+  def collect(model: DataFrame, prior: DataFrame): NbModel = {
+    val pri = prior.collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val classes = pri.map(_._1)
+    val idx = classes.zipWithIndex.toMap
+    val lp = model.collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) =>
+        val arr = new Array[Long](classes.length)
+        rows.foreach(r => arr(idx(r.getString(1))) = r.getLong(2))
+        w -> arr
+      }
+    NbModel(classes, pri.map(_._2), lp)
+  }
+
+  /** Decode the managed-table row shape (w NULL ⇒ prior row). */
+  def fromRows(df: DataFrame): NbModel = {
+    val rows = df.collect()
+    val pri = rows.filter(_.isNullAt(0))
+      .map(r => r.getString(1) -> r.getLong(2)).sortBy(_._1)
+    val classes = pri.map(_._1)
+    val idx = classes.zipWithIndex.toMap
+    val lp = rows.filterNot(_.isNullAt(0))
+      .groupBy(_.getString(0))
+      .map { case (w, rs) =>
+        val arr = new Array[Long](classes.length)
+        rs.foreach(r => arr(idx(r.getString(1))) = r.getLong(2))
+        w -> arr
+      }
+    NbModel(classes, pri.map(_._2), lp)
+  }
+}
+
 object CurationOps {
 
   /** Stratified sampling to a per-language rate via deterministic
@@ -553,8 +601,161 @@ object CurationOps {
           .otherwise("test").as("split"))
     })
 
+  /** Multinomial Naive Bayes language classifier — train AND inference
+    * in one declarative plan: the cheap learned classifier every
+    * curation pipeline runs next to its heuristic gates (fastText's
+    * niche; NB is its closed-form stand-in — pure counting, no
+    * gradient loop, exactly reproducible). Complements q49 (rule-based
+    * langid): here the model is LEARNED from the corpus's own token
+    * statistics, so it adapts to the corpus instead of shipping
+    * hand-picked marker words.
+    *
+    * Model: P(class) from doc counts; P(w|class) Laplace-smoothed over
+    * a top-V global-frequency vocabulary (V = 2000, ties broken by
+    * token — deterministic membership). Out-of-vocabulary tokens are
+    * ignored by both training totals and scoring (the standard capped-
+    * vocab NB). Score(doc, c) = log P(c) + Σ_w log P(w|c).
+    *
+    * Determinism (the q168 DSIR idiom): each log-probability is
+    * quantized to an integer (1e4 units) BEFORE the per-doc sum, so
+    * the corpus-scale aggregation is exact integer arithmetic — order-
+    * independent — and the argmax compares exact integers (ties break
+    * on class name in both engines). One native ln() per (vocab ×
+    * class) cell per engine, with the quantum leaving ~100 ulps of
+    * margin at rounding boundaries.
+    *
+    * Scale shape: ONE corpus-scale token aggregation builds the
+    * (token, class) count table — vocabulary-sized (|V|·C ≤ 10k rows),
+    * cached; vocab/totals/model all fold that table, never the corpus.
+    * The model BROADCASTS, so scoring is a map-side join + integer
+    * partial-agg keyed (doc_id, class) — explode preserves row
+    * locality, so each doc's tokens stay in one partition and the
+    * partial agg reduces ×(tokens/doc). The corpus is read exactly
+    * twice (count pass + scoring pass); nothing corpus-sized ever
+    * sits on the driver. At 100 TB the model is still ≤ 10k rows. */
+  val nbClassifier: NamedQuery = NamedQuery("q181_nb_classifier",
+    Some("""WITH tok AS (SELECT doc_id, lang,
+           |               unnest(string_split(text, ' ')) AS w
+           |             FROM documents),
+           |tcc AS (SELECT w, lang, count(*) AS c FROM tok GROUP BY 1, 2),
+           |vocab AS (SELECT w FROM (SELECT w, sum(c) AS tf FROM tcc
+           |                         GROUP BY 1)
+           |          ORDER BY tf DESC, w LIMIT 2000),
+           |inv AS (SELECT tcc.w, tcc.lang, tcc.c
+           |        FROM tcc JOIN vocab USING (w)),
+           |tot AS (SELECT lang, sum(c) AS t FROM inv GROUP BY 1),
+           |cls AS (SELECT lang, count(*) AS n_docs FROM documents
+           |        GROUP BY 1),
+           |n AS (SELECT sum(n_docs) AS n FROM cls),
+           |model AS (SELECT v.w, cl.lang AS cls,
+           |    CAST(round(ln((coalesce(i.c, 0) + 1.0) / (tt.t + 2000.0))
+           |      * 1e4) AS BIGINT) AS lp_q
+           |  FROM vocab v CROSS JOIN cls cl
+           |  JOIN tot tt ON tt.lang = cl.lang
+           |  LEFT JOIN inv i ON i.w = v.w AND i.lang = cl.lang),
+           |ts AS (SELECT tok.doc_id, m.cls, sum(m.lp_q) AS s
+           |       FROM tok JOIN model m ON m.w = tok.w GROUP BY 1, 2),
+           |prior AS (SELECT cl.lang AS cls,
+           |    CAST(round(ln(cl.n_docs * 1.0 / n.n) * 1e4) AS BIGINT)
+           |      AS prior_q
+           |  FROM cls cl CROSS JOIN n),
+           |sc AS (SELECT d.doc_id, p.cls,
+           |         p.prior_q + coalesce(ts.s, 0) AS score_q,
+           |         p.cls = d.lang AS hit
+           |       FROM documents d CROSS JOIN prior p
+           |       LEFT JOIN ts ON ts.doc_id = d.doc_id
+           |                   AND ts.cls = p.cls)
+           |SELECT doc_id, cls AS pred_lang,
+           |  CAST(score_q AS BIGINT) AS score_q, hit
+           |FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+           |        ORDER BY score_q DESC, cls) AS rn FROM sc)
+           |WHERE rn = 1""".stripMargin),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val (model, prior) = nbModelFrames(docs, "lang", NbVocabCap)
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      val ts = tok
+        .join(broadcast(model), Seq("w"))
+        .groupBy("doc_id", "cls").agg(sum("lp_q").as("s"))
+      val sc = docs.select(col("doc_id"), col("lang").as("true_lang"))
+        .crossJoin(broadcast(prior))
+        .join(ts, Seq("doc_id", "cls"), "left")
+        .select(col("doc_id"), col("cls"),
+          (col("prior_q") + coalesce(col("s"), lit(0L))).as("score_q"),
+          (col("cls") === col("true_lang")).as("hit"))
+      // exact-integer argmax, class-name tiebreak (combiner-friendly)
+      sc.groupBy("doc_id")
+        .agg(min(struct((-col("score_q")).as("neg"), col("cls"),
+          col("score_q"), col("hit"))).as("m"))
+        .select(col("doc_id"), col("m.cls").as("pred_lang"),
+          col("m.score_q").as("score_q"), col("m.hit").as("hit"))
+    })
+
+  /** Default NB vocabulary cap — top-V by global frequency, token-name
+    * tiebreak: deterministic membership at any corpus size, ≤ V·C
+    * model rows (broadcastable metadata at 100 TB). */
+  val NbVocabCap = 2000
+
+  /** The NB model frames q181, `Engine.trainClassifier`, and the
+    * streaming scorer all share: Laplace-smoothed per-(token, class)
+    * log-probabilities and per-class log-priors, both integer-quantized
+    * (1e4 units — the q168 DSIR idiom) so every downstream sum and
+    * argmax is exact integer arithmetic. `model` is (w, cls, lp_q),
+    * `prior` is (cls, prior_q); both are metadata-sized and lazy.
+    * ONE corpus-scale aggregation (token×class counts) feeds
+    * everything; the cached frame is vocabulary-sized. */
+  private[graft] def nbModelFrames(docs: DataFrame, labelCol: String,
+      v: Int): (DataFrame, DataFrame) = {
+    val tok = docs.select(col(labelCol).as("cls"),
+      explode(split(col("text"), " ")).as("w"))
+    val tcc = tok.groupBy("w", "cls").agg(count(lit(1)).as("c")).cache()
+    val vocab = tcc.groupBy("w").agg(sum("c").as("tf"))
+      .orderBy(col("tf").desc, col("w").asc).limit(v).select("w")
+    val inv = tcc.join(broadcast(vocab), Seq("w"))
+    val tot = inv.groupBy("cls").agg(sum("c").as("t"))
+    val cls = docs.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val n = cls.agg(sum("n_docs").as("n"))
+    val model = vocab.crossJoin(cls.select(col("cls")))
+      .join(tot, Seq("cls"))
+      .join(inv, Seq("w", "cls"), "left")
+      .select(col("w"), col("cls"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1.0))
+          / (col("t") + lit(v.toDouble))) * 1e4).cast("long").as("lp_q"))
+    val prior = cls.crossJoin(n)
+      .select(col("cls"),
+        round(log(col("n_docs") * lit(1.0) / col("n")) * 1e4)
+          .cast("long").as("prior_q"))
+    (model, prior)
+  }
+
+  /** Apply a collected (frozen) NB model to `docs` as ONE stateless
+    * narrow expression — no join, no shuffle, no state: per row the
+    * token array folds class-score sums starting from the priors
+    * (OOV tokens add zero), then an exact-integer argmax picks the
+    * first maximum over the ascending class array (same tiebreak as
+    * q181's min(struct)). Identical on batch and STREAMING frames —
+    * the train-offline / serve-online path; at 100 TB the model is a
+    * ≤10k-entry map literal inside codegen. */
+  def nbScore(docs: DataFrame, m: NbModel,
+      textCol: String = "text"): DataFrame = {
+    val lpMap = typedlit(m.lp.map { case (k, v) => k -> v.toSeq })
+    val zero = typedlit(Seq.fill(m.classes.length)(0L))
+    val sums = aggregate(split(col(textCol), " "),
+      typedlit(m.priors.toSeq),
+      (acc, w) => zip_with(acc, coalesce(element_at(lpMap, w), zero),
+        (a, b) => a + b))
+    docs.withColumn("nb_scores", sums)
+      .withColumn("score_q", array_max(col("nb_scores")))
+      .withColumn("pred_cls", element_at(typedlit(m.classes.toSeq),
+        array_position(col("nb_scores"), col("score_q")).cast("int")))
+      .drop("nb_scores")
+  }
+
   def defs: Seq[NamedQuery] =
     Seq(stratifiedSample, shardPacking, shardPackingBucketed, vocabTopK,
       curationPipeline, contamination, domainMixing, sourceDivergence,
-      reservoirSample, contextChunks, dsirWeights, holdoutSplit)
+      reservoirSample, contextChunks, dsirWeights, holdoutSplit,
+      nbClassifier)
 }

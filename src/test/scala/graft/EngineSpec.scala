@@ -35,7 +35,11 @@ class EngineSpec extends SparkSpec {
   test("merge strategy classification: aggregate / distinct / concat") {
     engine.clearStats()
     engine.registerTable("ms_li", s"$sf/lineitem.parquet")
-    engine.sql("SELECT count(*) AS n FROM ms_li").count()
+    // sum, not count(*): a bare count folds to its footer-metadata
+    // answer (FooterCountRewrite) and correctly classifies as a
+    // local/concatenate plan — the aggregate-classification law needs
+    // an aggregate that actually executes
+    engine.sql("SELECT sum(l_quantity) AS n FROM ms_li").count()
     engine.sql("SELECT DISTINCT l_returnflag FROM ms_li").count()
     engine.sql("SELECT l_orderkey FROM ms_li WHERE l_orderkey < 10").count()
     val byMerge = engine.executionStats.collect()
@@ -1577,5 +1581,70 @@ class EngineSpec extends SparkSpec {
     assert(ex.getMessage.contains("does not exist"))
     engine.dropIndex(idx)
     Seq(t, s"${idx}_merges").foreach(engine.unregisterTable)
+  }
+
+  test("NB classifier lifecycle: persisted model; classify ≡ q181's " +
+      "join-path verdicts; FROZEN under DML; missing model raises") {
+    val t = s"clf_docs_${System.nanoTime()}"
+    val clf = s"clf_${System.nanoTime()}"
+    engine.registerTable(t, s"$sf/documents.parquet")
+    val vocab = engine.trainClassifier(clf, t)
+    assert(vocab > 0)
+    // two independent scoring paths over the same model math: the
+    // engine's broadcast-literal expression vs q181's broadcast-join +
+    // integer argmax — verdicts and scores must agree row-for-row
+    val viaEngine = engine.classify(clf, t).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val viaQ181 = SparkEntry.queries("q181_nb_classifier")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(viaEngine == viaQ181, "literal-map path diverged from join path")
+    // frozen: inserting day-2 docs must not move the persisted model,
+    // and classify must score the NEW rows under the OLD model
+    val modelBefore = engine.table(s"${clf}_model").collect().toSet
+    engine.insertInto(t, engine.table(t).limit(3)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+    assert(engine.table(s"${clf}_model").collect().toSet == modelBefore)
+    val after = engine.classify(clf, t)
+    assert(after.count() == viaEngine.size + 3)
+    // the day-2 copies carry day-1 texts → identical verdicts
+    val shifted = after.filter(col("doc_id") >= 1000000L).collect()
+      .map(r => (r.getLong(0) - 1000000L) -> ((r.getString(1), r.getLong(2))))
+    shifted.foreach { case (id, v) => assert(viaEngine(id) == v) }
+    val ex = intercept[IllegalArgumentException](
+      engine.classify("no_such_clf", t))
+    assert(ex.getMessage.contains("does not exist"))
+    Seq(t, s"${clf}_model").foreach(engine.unregisterTable)
+  }
+
+  test("COUNT(*) fast path: footer fold, filter bypass, DML invalidation") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val tn = s"fc_li_${System.nanoTime()}"
+    engine.registerTable(tn, s"$sf/lineitem.parquet")
+    val real = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    // bare count folds to a LocalRelation — metadata, no scan
+    val fast = engine.sql(s"SELECT count(*) FROM $tn")
+    assert(castToImpl(fast).queryExecution.analyzed.isInstanceOf[LocalRelation],
+      "bare COUNT(*) did not fold to the footer count")
+    assert(fast.head().getLong(0) == real)
+    // an alias keeps the fold and the user's column name
+    val aliased = engine.sql(s"SELECT count(*) AS n FROM $tn")
+    assert(aliased.columns.sameElements(Array("n")))
+    assert(aliased.head().getLong(0) == real)
+    // a WHERE clause disqualifies the fold and still answers exactly
+    val filtered = engine.sql(
+      s"SELECT count(*) FROM $tn WHERE l_quantity > 25")
+    assert(!castToImpl(filtered).queryExecution.analyzed
+      .isInstanceOf[LocalRelation])
+    assert(filtered.head().getLong(0) ==
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .filter("l_quantity > 25").count())
+    // DML re-registers the lineage without the footer counter: the
+    // count must follow the mutation, not the stale file metadata
+    engine.insertInto(tn, engine.table(tn).limit(5))
+    val after = engine.sql(s"SELECT count(*) FROM $tn")
+    assert(after.head().getLong(0) == real + 5)
+    engine.unregisterTable(tn)
   }
 }

@@ -267,4 +267,31 @@ class PipelineSpec extends SparkSpec {
     assert(d.filter(col("n_pixels") =!= col("width") * col("height"))
       .count() == 0)
   }
+
+  test("NB classifier: one verdict per doc, scores negative, classes valid") {
+    val docs = Tables.t(spark, sf, "documents")
+    val out = run("q181_nb_classifier").collect()
+    assert(out.length == docs.count())
+    assert(out.map(_.getLong(0)).distinct.length == out.length,
+      "duplicate doc verdicts")
+    val langs = docs.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.forall(r => langs.contains(r.getString(1))),
+      "predicted class outside the training label set")
+    // log-posteriors are strictly negative (probabilities < 1)
+    assert(out.forall(_.getLong(2) < 0L))
+  }
+
+  test("NB classifier: hit flag is exactly (pred == true label)") {
+    // exactness of scores/argmax is the DuckDB oracle's job; this pins
+    // the derived flag against an independent read of the truth column
+    val out = run("q181_nb_classifier").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(3)))).toMap
+    val truth = Tables.t(spark, sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    truth.foreach { case (id, lang) =>
+      assert(out(id)._2 == (out(id)._1 == lang), s"hit flag wrong for $id")
+    }
+  }
 }

@@ -80,4 +80,22 @@ class StreamingSpec extends SparkSpec {
       .count()
     assert(viol == 0, "HLL estimate outside 3×rsd of the exact count")
   }
+
+  test("streamed NB verdicts equal batch scoring row-for-row " +
+      "(frozen model, stateless scorer)") {
+    import graft.operators.{CurationOps, NbModel}
+    val docs = Tables.t(spark, sf, "documents")
+    val (model, prior) = CurationOps.nbModelFrames(docs, "lang",
+      CurationOps.NbVocabCap)
+    val m = NbModel.collect(model, prior)
+    val streamed = graft.streaming.ClassifierStream.drained(
+      Tables.docsStream(spark, sf), m,
+      queryName = s"clf_stream_${System.nanoTime()}")
+      .select("doc_id", "pred_cls", "score_q")
+    val batch = CurationOps.nbScore(docs, m)
+      .select("doc_id", "pred_cls", "score_q")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }
