@@ -783,29 +783,78 @@ object SimilarityOps {
     val frac = math.min(1.0, sampleCap.toDouble / est.toDouble)
     val sampled = if (frac >= 1.0) assigned
       else assigned.sample(withReplacement = false, frac, 11L)
-    val resid = sampled.select("embedding", "cell")
+    // ONE distributed pass collects the bounded residual sample (the
+    // sampleCap makes it ≤ 16384×dim floats — ~4 MB, driver-safe by
+    // construction); codebook training itself is a metadata-sized
+    // problem (k≤256, dsub≤8 dims, ≤16k points → ~10^8 flops per
+    // subspace) that runs as a local deterministic Lloyd loop. The
+    // previous shape launched 8 SEQUENTIAL Spark ML KMeans jobs over
+    // the same tiny sample — ~1-2 s of job scheduling each, the
+    // dominant cost of every IVF-PQ build (q176/q177 sweep rows); the
+    // corpus-scale stages (assignment, encode) stay distributed.
+    val resid: Array[Array[Float]] = sampled.select("embedding", "cell")
       .as[(Array[Float], Long)]
       .map { case (v, c) => residualOf(v, bcC.value(c.toInt)) }
-      .persist()
-    try {
-      val nSample = resid.count()
-      val k = math.max(2, math.min(256, nSample.toInt))
-      val dim = resid.head().length
-      val dsub = dim / m
-      require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-      (0 until m).toArray.map { j =>
-        val feats = resid.map(r =>
-          java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub)
-            .map(_.toDouble))
-          .toDF("arr").select(
-            org.apache.spark.ml.functions.array_to_vector(col("arr"))
-              .as("features"))
-        val model = new org.apache.spark.ml.clustering.KMeans()
-          .setK(k).setSeed(13L + j).setMaxIter(5).setTol(1e-3)
-          .fit(feats)
-        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      .collect()
+    val nSample = resid.length
+    val k = math.max(2, math.min(256, nSample))
+    val dim = resid.head.length
+    val dsub = dim / m
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    (0 until m).toArray.map { j =>
+      val sub = resid.map(r =>
+        java.util.Arrays.copyOfRange(r, j * dsub, (j + 1) * dsub))
+      localKMeans(sub, k, iters = 5)
+    }
+  }
+
+  /** Deterministic local Lloyd k-means over a metadata-sized sample:
+    * evenly-strided init (stable given the seeded upstream sample),
+    * squared-euclidean assignment, empty clusters keep their center.
+    * No RNG → bit-reproducible across runs and cluster sizes. */
+  private def localKMeans(data: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
+    val n = data.length
+    val dim = data(0).length
+    val cents = Array.tabulate(k)(i =>
+      data(((i.toLong * n) / k).toInt).map(_.toDouble))
+    val sums = Array.ofDim[Double](k, dim)
+    val counts = new Array[Long](k)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(counts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      var p = 0
+      while (p < n) {
+        val v = data(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ct = cents(c)
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val df = v(i) - ct(i); d += df * df; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        p += 1
       }
-    } finally { resid.unpersist(); () }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0L) {
+          var i = 0
+          while (i < dim) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents.map(_.map(_.toFloat))
   }
 
   private def centArray(cents: DataFrame): Array[Array[Float]] = {
