@@ -29,16 +29,21 @@ case class MatViewDef(name: String, base: String, dims: Seq[String],
   * number forward. */
 private[graft] final class TableEntry(val df: DataFrame, known: Long = -1L,
     val appendOf: Option[(TableEntry, DataFrame)] = None,
-    val countFn: Option[() => Long] = None) {
+    val sourcePath: Option[String] = None) {
   @volatile private var cached = known
   /** The count if it has materialized; -1 otherwise (lets verbs that
     * rewrite the table carry a known count forward without forcing
     * one that was never needed). */
   def rowsIfKnown: Long = cached
   lazy val rows: Long = {
-    // path-registered parquet tables count from FOOTERS (metadata-only,
-    // the reference's parquet_metadata idiom); everything else scans
-    if (cached < 0L) cached = countFn.map(_()).getOrElse(df.count())
+    // path-registered parquet tables (sourcePath set) count from
+    // FOOTERS — metadata-only, the reference's parquet_metadata idiom;
+    // everything else scans
+    if (cached < 0L) cached = sourcePath match {
+      case Some(p) =>
+        graft.operators.FooterStats.rowCount(df.sparkSession, p)
+      case None => df.count()
+    }
     cached
   }
 }
@@ -130,14 +135,12 @@ class Engine private[graft] (val spark: SparkSession)
         s"unsupported format: $other")
     }
     // parquet: the (lazy) row count comes from footers, and bare
-    // COUNT(*) through Engine.sql folds to it (FooterCountRewrite) —
-    // metadata instead of a corpus scan. DML re-registers the table
-    // without the counter, so mutated lineages always recount.
-    val countFn =
-      if (format == "parquet")
-        Some(() => graft.operators.FooterStats.rowCount(spark, path))
-      else None
-    put(name, df, countFn = countFn)
+    // COUNT(*)/MIN/MAX through Engine.sql fold to footer statistics
+    // (FooterAggRewrite) — metadata instead of a corpus scan. DML
+    // re-registers the table without the source path, so mutated
+    // lineages always recompute from the real lineage.
+    put(name, df,
+      sourcePath = if (format == "parquet") Some(path) else None)
   }
 
   /** Sink: write a managed table out (the reference's only sink is its
@@ -200,7 +203,7 @@ class Engine private[graft] (val spark: SparkSession)
     * forces those refreshes back to a full rebuild. */
   private[graft] def put(name: String, df: DataFrame, knownRows: Long = -1L,
       appendDelta: Option[DataFrame] = None,
-      countFn: Option[() => Long] = None): Unit =
+      sourcePath: Option[String] = None): Unit =
     putLock.synchronized {
       // snapshot the outgoing version (lazy plans — a version is a plan
       // object over the copy-on-write lineage, no data is retained);
@@ -212,26 +215,38 @@ class Engine private[graft] (val spark: SparkSession)
       }
       registry.put(name, new TableEntry(df, knownRows,
         appendOf = appendDelta.flatMap(d => prevEntry.map((_, d))),
-        countFn = countFn))
+        sourcePath = sourcePath))
       versionSeq.put(name, versionSeq.getOrElse(name, -1L) + 1L)
       df.createOrReplaceTempView(name)
     }
   def table(name: String): DataFrame =
     registry.getOrElse(name, missing(name)).df
 
-  /** Footer row count for a bare scan of a path-registered parquet
-    * table, if `child` IS exactly that scan (post alias-stripping,
-    * plan-identity via `sameResult` — any Filter/Project/DML lineage
-    * in between disqualifies). Backs [[graft.plans.FooterCountRewrite]]. */
-  private[graft] def metadataCount(
-      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[Long] = {
+  /** Footer statistics (row count + exact integer min/max for `cols`)
+    * for a bare scan of a path-registered parquet table, if `child` IS
+    * exactly that scan (post alias-stripping, plan-identity via
+    * `sameResult` — any Filter/Project/DML lineage in between
+    * disqualifies). None when any requested column lacks exact chunk
+    * statistics. Backs [[graft.plans.FooterAggRewrite]]. */
+  private[graft] def metadataAgg(
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      cols: Seq[String]): Option[(Long, Map[String, (Long, Long)])] = {
     import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl
     registry.values.collectFirst {
-      case e if e.countFn.isDefined &&
+      case e if e.sourcePath.isDefined &&
           EliminateSubqueryAliases(
             castToImpl(e.df).queryExecution.analyzed).sameResult(child) =>
-        e.rows
+        e
+    }.flatMap { e =>
+      val r = graft.operators.FooterStats
+        .tableStats(spark, e.sourcePath.get, cols)
+      r.foreach { case (rows, _) =>
+        if (e.rowsIfKnown < 0L) () // rows caches lazily via its own path
+        else require(e.rowsIfKnown == rows,
+          s"footer count $rows diverged from known ${e.rowsIfKnown}")
+      }
+      r
     }
   }
 

@@ -113,9 +113,10 @@ private[graft] trait EngineSqlStats { self: Engine =>
         // (ORDER BY / MIN / MAX / comparisons)
         val analyzed0 = castToImpl(df0).queryExecution.analyzed
         var plan = analyzed0
-        // bare COUNT(*) over an unmodified path-registered parquet table
-        // folds to its footer count — metadata, no scan job
-        plan = graft.plans.FooterCountRewrite.rewrite(plan, this)
+        // bare COUNT(*)/integer MIN/MAX over an unmodified
+        // path-registered parquet table folds to footer statistics —
+        // metadata, no scan job
+        plan = graft.plans.FooterAggRewrite.rewrite(plan, this)
         if (freshMatViews.nonEmpty)
           plan = graft.plans.MatViewRewrite.rewrite(plan, this)
         if (!(enumCols.isEmpty && typeOrigins.isEmpty))

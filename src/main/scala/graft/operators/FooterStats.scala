@@ -65,4 +65,83 @@ object FooterStats {
         }.reduce(_ + _)
     }
   }
+
+  /** Exact (row count, per-column integer min/max) from footers, or
+    * None when ANY chunk of a requested column lacks exact statistics,
+    * is all-null, or is not a 32/64-bit integer physical type — the
+    * fold must be exact or absent, never approximate. Only integer
+    * min/max is offered: parquet may truncate binary/string stats,
+    * and float stats have NaN-ordering caveats; integers are the only
+    * type whose chunk stats are unconditionally exact. One footer
+    * read per file serves every requested column. */
+  def tableStats(spark: SparkSession, path: String, cols: Seq[String],
+      distributeAbove: Int = 64): Option[(Long, Map[String, (Long, Long)])] = {
+    val files = parquetFiles(spark, path)
+    def statsOf(p: String, conf: Configuration):
+        Option[(Long, Map[String, (Long, Long)])] = {
+      import scala.jdk.CollectionConverters._
+      val in = HadoopInputFile.fromPath(new Path(p), conf)
+      val r = ParquetFileReader.open(in)
+      try {
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val mm = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        val ok = cols.forall { name =>
+          blocks.forall { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+              case Some(cc) =>
+                val pt = cc.getPrimitiveType.getPrimitiveTypeName
+                val intLike =
+                  pt == org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT32 ||
+                  pt == org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64
+                val st = cc.getStatistics
+                if (!intLike || st == null || !st.hasNonNullValue) false
+                else {
+                  val mn = st.genericGetMin match {
+                    case i: java.lang.Integer => i.toLong
+                    case l: java.lang.Long => l.longValue()
+                  }
+                  val mx = st.genericGetMax match {
+                    case i: java.lang.Integer => i.toLong
+                    case l: java.lang.Long => l.longValue()
+                  }
+                  val cur = mm.get(name)
+                  mm(name) = (cur.fold(mn)(c => math.min(c._1, mn)),
+                    cur.fold(mx)(c => math.max(c._2, mx)))
+                  true
+                }
+              case None => false
+            }
+          }
+        }
+        if (ok) Some((rows, mm.toMap)) else None
+      } finally r.close()
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val perFile: Seq[Option[(Long, Map[String, (Long, Long)])]] =
+      if (files.size <= distributeAbove) files.map(statsOf(_, conf))
+      else {
+        import spark.implicits._
+        spark.createDataset(files)
+          .repartition(math.min(files.size, 256))
+          .mapPartitions { it =>
+            val c = new Configuration()
+            it.map(p => statsOf(p, c).map { case (r0, m) => (r0, m.toSeq) })
+          }.collect().toSeq
+          .map(_.map { case (r0, m) => (r0, m.toMap) })
+      }
+    if (perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.foldLeft(
+      (0L, Map.empty[String, (Long, Long)])) { case ((rows, acc), (r0, m)) =>
+      (rows + r0, m.foldLeft(acc) { case (a, (k, (mn, mx))) =>
+        a.get(k) match {
+          case Some((amn, amx)) =>
+            a + (k -> (math.min(amn, mn), math.max(amx, mx)))
+          case None => a + (k -> ((mn, mx)))
+        }
+      })
+    })
+  }
 }

@@ -1632,6 +1632,20 @@ class EngineSpec extends SparkSpec {
     val aliased = engine.sql(s"SELECT count(*) AS n FROM $tn")
     assert(aliased.columns.sameElements(Array("n")))
     assert(aliased.head().getLong(0) == real)
+    // integer MIN/MAX (and mixes with count) fold too, exactly
+    val mm = engine.sql(s"SELECT min(l_orderkey) AS lo, " +
+      s"max(l_orderkey) AS hi, count(*) AS n FROM $tn")
+    assert(castToImpl(mm).queryExecution.analyzed.isInstanceOf[LocalRelation],
+      "min/max/count mix did not fold to footer statistics")
+    val exp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(min("l_orderkey"), max("l_orderkey")).head()
+    assert(mm.head().getLong(0) == exp.getLong(0))
+    assert(mm.head().getLong(1) == exp.getLong(1))
+    assert(mm.head().getLong(2) == real)
+    // a string column's min never folds (parquet may truncate stats)
+    assert(!castToImpl(engine.sql(
+      s"SELECT min(l_returnflag) FROM $tn")).queryExecution.analyzed
+      .isInstanceOf[LocalRelation])
     // a WHERE clause disqualifies the fold and still answers exactly
     val filtered = engine.sql(
       s"SELECT count(*) FROM $tn WHERE l_quantity > 25")
