@@ -555,52 +555,145 @@ object TextOps {
     * narrow in-row expressions (no explode, no shuffle); the 1-row
     * corpus-stats frame broadcasts; top-10 runs as TakeOrdered — the
     * only movement in the whole plan is the k-row result. */
-  val bm25: NamedQuery = {
+  /** BM25 scoring machinery shared by q165 (lexical top-k) and q184
+    * (hybrid RRF fusion): the fixed 3-term probe, the DuckDB CTE
+    * prefix producing per-doc tf/dl (`d`) + corpus stats (`st`), the
+    * score formula in both SQL and Column form, and the Spark frame
+    * of (doc_id, bm25 rounded 4dp). */
+  private[operators] object Bm25 {
     val terms = Seq("join", "vector", "stream")
     val k1 = "1.2"; val b = "0.75"
-    val tfSql = terms.zipWithIndex.map { case (t, i) =>
+    val tfSql: String = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
     }.mkString(",\n           |  ")
-    val dfSql = terms.indices.map(i =>
+    val dfSql: String = terms.indices.map(i =>
       s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
-    val scoreSql = terms.indices.map(i =>
+    val scoreSql: String = terms.indices.map(i =>
       s"""ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ($k1 + 1)
          |    / (tf$i + $k1 * (1 - $b + $b * dl / avgdl))""".stripMargin)
       .mkString("\n  + ")
+    val cteSql: String =
+      s"""d AS (SELECT doc_id,
+         |  len(string_split(text, ' ')) AS dl,
+         |  $tfSql
+         |  FROM documents),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfSql FROM d)""".stripMargin
+
+    /** (doc_id, bm25) for every document — bm25 rounded to 4dp so rank
+      * orderings agree across engines (the q45 idiom). */
+    def scored(s: org.apache.spark.sql.SparkSession, d: String)
+        : org.apache.spark.sql.DataFrame = {
+      val dk1 = 1.2; val db = 0.75
+      val withTf = t(s, d, "documents").select(
+        col("doc_id") +:
+          graft.functions.TokenCount.tokenCount(col("text")).as("dl") +:
+          terms.zipWithIndex.map { case (term, i) =>
+            size(filter(split(col("text"), " "), w => w === lit(term)))
+              .as(s"tf$i")
+          }: _*)
+      val statCols = count(lit(1)).as("n") +: avg("dl").as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = withTf.agg(statCols.head, statCols.tail: _*)
+      val score = terms.indices.map { i =>
+        log(lit(1) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
+          col(s"tf$i") * (dk1 + 1) /
+          (col(s"tf$i") +
+            (lit(1 - db) + lit(db) * col("dl") / col("avgdl")) * dk1)
+      }.reduce(_ + _)
+      withTf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 4).as("bm25"))
+    }
+  }
+
+  val bm25: NamedQuery =
     NamedQuery("q165_bm25_topk",
-      Some(s"""WITH d AS (SELECT doc_id,
-              |  len(string_split(text, ' ')) AS dl,
-              |  $tfSql
-              |  FROM documents),
-              |st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfSql FROM d)
-              |SELECT doc_id, round($scoreSql, 4) AS bm25
+      Some(s"""WITH ${Bm25.cteSql}
+              |SELECT doc_id, round(${Bm25.scoreSql}, 4) AS bm25
               |FROM d, st
               |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin),
-      (s, d) => {
-        val dk1 = 1.2; val db = 0.75
-        val withTf = t(s, d, "documents").select(
-          col("doc_id") +:
-            graft.functions.TokenCount.tokenCount(col("text")).as("dl") +:
-            terms.zipWithIndex.map { case (term, i) =>
-              size(filter(split(col("text"), " "), w => w === lit(term)))
-                .as(s"tf$i")
-            }: _*)
-        val statCols = count(lit(1)).as("n") +: avg("dl").as("avgdl") +:
-          terms.indices.map(i =>
-            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-        val stats = withTf.agg(statCols.head, statCols.tail: _*)
-        val score = terms.indices.map { i =>
-          log(lit(1) + (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
-            col(s"tf$i") * (dk1 + 1) /
-            (col(s"tf$i") +
-              (lit(1 - db) + lit(db) * col("dl") / col("avgdl")) * dk1)
-        }.reduce(_ + _)
-        withTf.crossJoin(broadcast(stats))
-          .select(col("doc_id"), round(score, 4).as("bm25"))
-          .orderBy(col("bm25").desc, col("doc_id"))
-          .limit(10)
-      }, conf = NamedQuery.NoAqe)
-  }
+      (s, d) => Bm25.scored(s, d)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10), conf = NamedQuery.NoAqe)
+
+  /** Hybrid retrieval: lexical BM25 and dense cosine top-20 lists
+    * fused by Reciprocal Rank Fusion (Cormack et al. 2009,
+    * score = Σ 1/(60 + rank)) — the standard first-stage retrieval
+    * composition (sparse catches exact terms, dense catches
+    * paraphrase; RRF needs no score calibration between the two).
+    * The probe: q165's fixed 3-term query on the lexical side, doc 1's
+    * embedding on the dense side (documents and embeddings share the
+    * id space).
+    *
+    * Determinism: both lists rank on 4dp-ROUNDED scores with id
+    * tiebreaks (the q45/q165 idiom), and each fused score is ≤ 2
+    * fixed-order IEEE divisions — bit-identical across engines.
+    *
+    * Scale shape: each list is ONE corpus pass ending in TakeOrdered
+    * (k-row movement, no global sort); ranks are assigned over the
+    * ≤ 20-row results; the fusion joins two ≤ 20-row frames. Nothing
+    * corpus-sized moves or sits on the driver. */
+  val hybridRetrieval: NamedQuery = NamedQuery("q184_hybrid_retrieval",
+    Some(s"""WITH ${Bm25.cteSql},
+            |lexall AS (SELECT doc_id, round(${Bm25.scoreSql}, 4) AS bm25
+            |           FROM d, st),
+            |lex AS (SELECT doc_id, CAST(row_number() OVER
+            |          (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+            |        FROM lexall ORDER BY bm25 DESC, doc_id LIMIT 20),
+            |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+            |        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+            |             x -> x * x))) AS qn
+            |      FROM embeddings WHERE vec_id = 1),
+            |vecall AS (SELECT vec_id AS doc_id,
+            |        round(list_dot_product(CAST(embedding AS DOUBLE[]), qe)
+            |          / (sqrt(list_sum(list_transform(
+            |               CAST(embedding AS DOUBLE[]), x -> x * x))) * qn),
+            |          4) AS cs
+            |      FROM embeddings, q WHERE vec_id <> 1),
+            |vec AS (SELECT doc_id, CAST(row_number() OVER
+            |          (ORDER BY cs DESC, doc_id) AS BIGINT) AS r_vec
+            |        FROM vecall ORDER BY cs DESC, doc_id LIMIT 20),
+            |f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+            |        coalesce(r_lex, 0) AS rl, coalesce(r_vec, 0) AS rv,
+            |        round((CASE WHEN r_lex IS NULL THEN 0
+            |                    ELSE 1.0 / (60 + r_lex) END)
+            |            + (CASE WHEN r_vec IS NULL THEN 0
+            |                    ELSE 1.0 / (60 + r_vec) END), 6) AS rrf
+            |      FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+            |SELECT doc_id, rl AS r_lex, rv AS r_vec, rrf
+            |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.CosineSimilarity.cosineSim
+      val lex = Bm25.scored(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "r_lex")
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cs = round(cosineSim(col("embedding"), typedlit(qv)), 4)
+      val vec = e.filter(col("vec_id") =!= 1)
+        .select(col("vec_id").as("doc_id"), cs.as("cs"))
+        .orderBy(col("cs").desc, col("doc_id")).limit(20)
+        .withColumn("r_vec", row_number()
+          .over(Window.orderBy(col("cs").desc, col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "r_vec")
+      val rrf = round(
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6)
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("rl"),
+          coalesce(col("r_vec"), lit(0L)).as("rv"),
+          rrf.as("rrf"))
+        .select(col("doc_id"), col("rl").as("r_lex"),
+          col("rv").as("r_vec"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }, conf = NamedQuery.NoAqe)
 
   /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", table A1) —
@@ -711,5 +804,6 @@ object TextOps {
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
       piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate,
-      curationReport, lmQuality, bm25, gopherGate, fertility)
+      curationReport, lmQuality, bm25, hybridRetrieval, gopherGate,
+      fertility)
 }
