@@ -263,6 +263,21 @@ class Engine private[graft] (val spark: SparkSession)
       .toDF("table_name", "row_count", "column_count")
   }
 
+  /** ≈ DuckDB's parquet_metadata(): per-column storage statistics of a
+    * path-registered parquet table, straight from the FOOTERS — value
+    * and null counts, and exact integer min/max where parquet
+    * guarantees exactness (INT32/INT64 chunks with stats); everything
+    * else surfaces as NULL, never a guess. Raises on derived/managed
+    * tables — their lineage has no single storage footprint. */
+  def tableStats(name: String): DataFrame = {
+    import spark.implicits._
+    val e = registry.getOrElse(name, missing(name))
+    val path = e.sourcePath.getOrElse(throw new IllegalArgumentException(
+      s"Catalog Error: $name is not a path-registered parquet table"))
+    graft.operators.FooterStats.columnReport(spark, path)
+      .toDF("column_name", "value_count", "null_count", "min_i64", "max_i64")
+  }
+
   private[graft] def missing(name: String): Nothing =
     throw new IllegalArgumentException(
       s"Catalog Error: Table with name $name does not exist!")

@@ -368,5 +368,19 @@ private[graft] trait EngineIndexes { self: Engine =>
       .select(col("doc_id"), col("pred_cls"), col("score_q"))
   }
 
+  /** Drop a trained classifier: its index entry, its frozen model
+    * table, and its metadata. */
+  def dropClassifier(name: String, ifExists: Boolean = false): Unit = {
+    if (!registry.contains(s"${name}_model")) {
+      if (ifExists) return
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Index with name "$name" does not exist!""")
+    }
+    dropIndex(name, ifExists = true)
+    unregisterTable(s"${name}_model")
+    classifierMeta.remove(name)
+    ()
+  }
+
   private val classifierMeta = TrieMap.empty[String, String]
 }

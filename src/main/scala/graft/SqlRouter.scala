@@ -110,6 +110,14 @@ private[graft] object SqlRouter {
   // reaches the regex routes
   private val OptimizeSql =
     """(?is)\s*OPTIMIZE\s+([\w.]+)(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  // classifier lifecycle (engine-only spellings — fail Spark's parser
+  // and reach the regex routes): train/persist, score, drop
+  private val CreateClassifierSql =
+    """(?is)\s*CREATE\s+CLASSIFIER\s+([\w.]+)\s+ON\s+([\w.]+)\s+LABEL\s+(\w+)(?:\s+TEXT\s+(\w+))?(?:\s+VOCAB\s+(\d+))?\s*;?\s*""".r
+  private val DropClassifierSql =
+    """(?is)\s*DROP\s+CLASSIFIER\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
+  private val ClassifySql =
+    """(?is)\s*CLASSIFY\s+([\w.]+)\s+ON\s+([\w.]+)\s*;?\s*""".r
 
   /** True iff `route` would intercept this statement — WITHOUT executing
     * anything (explain/plan paths must stay side-effect-free: Spark runs
@@ -126,7 +134,8 @@ private[graft] object SqlRouter {
       CreateType, DropType, AlterAdd, AlterDrop, AlterRenameCol,
       AlterRenameTable, CreateIndex, DropIndex, InsertColsSql, InsertSql,
       DeleteSql, DeleteAllSql, MergeHead, CreateMatViewSql,
-      RefreshMatViewSql, DropMatViewSql, OptimizeSql)
+      RefreshMatViewSql, DropMatViewSql, OptimizeSql,
+      CreateClassifierSql, DropClassifierSql, ClassifySql)
     patterns.exists(_.pattern.matcher(q).matches())
   }
 
@@ -173,6 +182,16 @@ private[graft] object SqlRouter {
         case None => e.compact(unq(name), n)
       }
       Some(emptyOk(e))
+    case CreateClassifierSql(name, table, label, text, vocab) =>
+      e.trainClassifier(unq(name), unq(table), label,
+        Option(text).getOrElse("text"),
+        Option(vocab).map(_.toInt)
+          .getOrElse(graft.operators.CurationOps.NbVocabCap))
+      Some(emptyOk(e))
+    case DropClassifierSql(ifEx, name) =>
+      e.dropClassifier(unq(name), ifExists = ifEx != null); Some(emptyOk(e))
+    case ClassifySql(name, table) =>
+      Some(e.classify(unq(name), unq(table)))
     case DropTable(ifEx, name) =>
       e.dropTable(unq(name), ifExists = ifEx != null); Some(emptyOk(e))
     case AlterAdd(name, ifNot, col, typ, default) =>

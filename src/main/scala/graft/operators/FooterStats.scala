@@ -66,6 +66,59 @@ object FooterStats {
     }
   }
 
+  /** Per-column storage statistics from footers only — the
+    * `parquet_metadata` introspection surface: for every leaf column,
+    * (value count, null count if every chunk stamps one, integer
+    * min/max if the column is INT32/INT64 with exact stats in every
+    * chunk). Absent statistics surface as NULLs, never guesses. */
+  def columnReport(spark: SparkSession, path: String)
+      : Seq[(String, Long, Option[Long], Option[Long], Option[Long])] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Option[Long], Option[Long], Option[Long])]
+    parquetFiles(spark, path).foreach { p =>
+      val in = HadoopInputFile.fromPath(new Path(p), conf)
+      val r = ParquetFileReader.open(in)
+      try {
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { cc =>
+            val name = cc.getPath.toDotString
+            val st = cc.getStatistics
+            val nulls =
+              if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
+              else None
+            val pt = cc.getPrimitiveType.getPrimitiveTypeName
+            val intLike =
+              pt == org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.INT32 ||
+              pt == org.apache.parquet.schema.PrimitiveType
+                .PrimitiveTypeName.INT64
+            val (mn, mx) =
+              if (intLike && st != null && st.hasNonNullValue) {
+                def asLong(v: AnyRef): Long = v match {
+                  case i: java.lang.Integer => i.toLong
+                  case l: java.lang.Long => l.longValue()
+                }
+                (Some(asLong(st.genericGetMin.asInstanceOf[AnyRef])),
+                  Some(asLong(st.genericGetMax.asInstanceOf[AnyRef])))
+              } else (None, None)
+            val prev = acc.get(name)
+            acc(name) = prev match {
+              case None => (cc.getValueCount, nulls, mn, mx)
+              case Some((c0, n0, mn0, mx0)) => (
+                c0 + cc.getValueCount,
+                for (a <- n0; b2 <- nulls) yield a + b2,
+                for (a <- mn0; b2 <- mn) yield math.min(a, b2),
+                for (a <- mx0; b2 <- mx) yield math.max(a, b2))
+            }
+          }
+        }
+      } finally r.close()
+    }
+    acc.iterator.map { case (k, (c, n, mn, mx)) => (k, c, n, mn, mx) }.toSeq
+  }
+
   /** Exact (row count, per-column integer min/max) from footers, or
     * None when ANY chunk of a requested column lacks exact statistics,
     * is all-null, or is not a 32/64-bit integer physical type — the

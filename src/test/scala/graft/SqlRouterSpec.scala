@@ -549,4 +549,47 @@ class SqlRouterSpec extends SparkSpec {
     assert(plain == salted)
     assert(Skew.keySkew(left, "k").head().getLong(1) == 9000)
   }
+
+  test("classifier SQL lifecycle: CREATE CLASSIFIER / CLASSIFY / DROP") {
+    val t = s"clf_sql_${System.nanoTime()}"
+    val clf = s"clfx_${System.nanoTime()}"
+    engine.registerTable(t, s"$sf/documents.parquet")
+    engine.sql(s"CREATE CLASSIFIER $clf ON $t LABEL lang VOCAB 500")
+    // the frozen model table exists and carries prior rows (w NULL)
+    assert(engine.tableExists(s"${clf}_model"))
+    assert(engine.table(s"${clf}_model")
+      .filter(col("w").isNull).count() > 0)
+    val out = engine.sql(s"CLASSIFY $clf ON $t")
+    assert(out.columns.sameElements(Array("doc_id", "pred_cls", "score_q")))
+    assert(out.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // API and SQL scoring agree (same frozen model)
+    assert(out.exceptAll(engine.classify(clf, t)).count() == 0)
+    engine.sql(s"DROP CLASSIFIER $clf")
+    assert(!engine.tableExists(s"${clf}_model"))
+    intercept[IllegalArgumentException](
+      engine.sql(s"DROP CLASSIFIER $clf"))
+    engine.sql(s"DROP CLASSIFIER IF EXISTS $clf") // no-op
+    engine.unregisterTable(t)
+  }
+
+  test("tableStats: footer-backed column statistics, derived tables raise") {
+    val t = s"ts_li_${System.nanoTime()}"
+    engine.registerTable(t, s"$sf/lineitem.parquet")
+    val st = engine.tableStats(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    assert(st.keySet == li.columns.toSet)
+    val ok = st("l_orderkey")
+    assert(ok.getLong(1) == li.count())
+    assert(ok.getLong(2) == 0L) // null count
+    val mm = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    assert(ok.getLong(3) == mm.getLong(0) && ok.getLong(4) == mm.getLong(1))
+    // string column: counts yes, min/max NULL (truncatable stats)
+    assert(st("l_returnflag").isNullAt(3) && st("l_returnflag").isNullAt(4))
+    // a derived (managed) table has no storage statistics
+    engine.createTableAs(s"${t}_d", engine.table(t).limit(5))
+    intercept[IllegalArgumentException](engine.tableStats(s"${t}_d"))
+    Seq(t, s"${t}_d").foreach(engine.unregisterTable)
+  }
 }
