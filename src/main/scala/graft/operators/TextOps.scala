@@ -695,6 +695,117 @@ object TextOps {
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     }, conf = NamedQuery.NoAqe)
 
+  /** Gopher REPETITION rules (Rae et al. 2021 table A1, the n-gram
+    * half q167 does not cover): per document, the fraction of
+    * characters inside the single most frequent {2,3,4}-gram
+    * (thresholds 0.20/0.18/0.16) and inside duplicated {5,10}-grams
+    * (0.15/0.10) — the gate that kills boilerplate and template spam.
+    * Adaptations, documented: the corpus is single-line so the
+    * line/paragraph rules degenerate and are omitted; the duplicated
+    * fraction counts occurrences (Σ count·len over grams seen ≥ 2,
+    * capped at 1.0) rather than merging overlapping character spans —
+    * span-union exactness is q173's job.
+    *
+    * Determinism: every numerator/denominator is an exact integer
+    * (char lengths, counts); each fraction is ONE division rounded to
+    * 4dp, and the keep verdict compares the ROUNDED fractions, so both
+    * engines decide identically. The top-gram argmax ties break on the
+    * gram string.
+    *
+    * Scale shape: ONE explode pass tags all five n values (struct
+    * array concat), ONE (doc, n, gram) aggregation rides explode's row
+    * locality (a doc's grams never leave its partition before the
+    * partial agg), and the per-doc fold is a 5-row conditional max.
+    * Nothing wider than (doc × 5) rows past the first aggregation. */
+  val gopherRepetition: NamedQuery = {
+    val ns = Seq(2, 3, 4, 5, 10)
+    val gramsSql = ns.map(n =>
+      s"""SELECT doc_id, $n AS n, unnest(list_transform(
+         |    range(1, greatest(len(ws) - ${n - 2}, 1)),
+         |    i -> array_to_string(list_slice(ws, i, i + ${n - 1}), ' ')))
+         |    AS g
+         |  FROM w""".stripMargin).mkString("\nUNION ALL\n")
+    NamedQuery("q185_gopher_repetition",
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+              |          FROM documents),
+              |grams AS (
+              |$gramsSql),
+              |counts AS (SELECT doc_id, n, g, count(*) AS c
+              |           FROM grams GROUP BY 1, 2, 3),
+              |top AS (SELECT doc_id, n, c * len(g) AS tc FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY doc_id, n
+              |      ORDER BY c DESC, g) AS rn FROM counts) WHERE rn = 1),
+              |dup AS (SELECT doc_id, n,
+              |    sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END) AS dc
+              |  FROM counts GROUP BY 1, 2),
+              |f AS (SELECT d.doc_id, len(d.text) AS tl,
+              |    coalesce(max(CASE WHEN t.n = 2 THEN t.tc END), 0) AS tc2,
+              |    coalesce(max(CASE WHEN t.n = 3 THEN t.tc END), 0) AS tc3,
+              |    coalesce(max(CASE WHEN t.n = 4 THEN t.tc END), 0) AS tc4,
+              |    coalesce(max(CASE WHEN u.n = 5 THEN u.dc END), 0) AS dc5,
+              |    coalesce(max(CASE WHEN u.n = 10 THEN u.dc END), 0) AS dc10
+              |  FROM documents d
+              |  LEFT JOIN top t ON t.doc_id = d.doc_id
+              |  LEFT JOIN dup u ON u.doc_id = d.doc_id AND u.n = t.n
+              |  GROUP BY 1, 2),
+              |r AS (SELECT doc_id,
+              |    round(tc2 * 1.0 / tl, 4) AS top2,
+              |    round(tc3 * 1.0 / tl, 4) AS top3,
+              |    round(tc4 * 1.0 / tl, 4) AS top4,
+              |    round(least(dc5 * 1.0 / tl, 1.0), 4) AS dup5,
+              |    round(least(dc10 * 1.0 / tl, 1.0), 4) AS dup10
+              |  FROM f)
+              |SELECT doc_id, top2, top3, top4, dup5, dup10,
+              |  (top2 <= 0.20 AND top3 <= 0.18 AND top4 <= 0.16
+              |   AND dup5 <= 0.15 AND dup10 <= 0.10) AS keep
+              |FROM r""".stripMargin),
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        def grams(n: Int) = when(size(ws) >= n,
+          transform(sequence(lit(1), size(ws) - (n - 1)),
+            i => struct(lit(n).as("n"),
+              array_join(slice(ws, i, lit(n)), " ").as("g"))))
+          .otherwise(expr("array()")
+            .cast("array<struct<n:int,g:string>>"))
+        val docs = t(s, d, "documents")
+        val tagged = docs.select(col("doc_id"),
+          length(col("text")).as("tl"),
+          explode(concat(ns.map(grams): _*)).as("x"))
+          .select(col("doc_id"), col("tl"),
+            col("x.n").as("n"), col("x.g").as("g"))
+        val counts = tagged.groupBy("doc_id", "tl", "n", "g")
+          .agg(count(lit(1)).as("c"))
+        val top = counts.groupBy("doc_id", "n")
+          .agg(min(struct((-col("c")).as("negc"), col("g"),
+            (col("c") * length(col("g"))).as("tc"))).as("m"))
+          .select(col("doc_id"), col("n"), col("m.tc").as("tc"))
+        val dup = counts.groupBy("doc_id", "n")
+          .agg(sum(when(col("c") >= 2, col("c") * length(col("g")))
+            .otherwise(0L)).as("dc"))
+        val perN = top.join(dup, Seq("doc_id", "n"))
+        val folded = docs.select(col("doc_id"),
+          length(col("text")).as("tl"))
+          .join(perN, Seq("doc_id"), "left")
+          .groupBy("doc_id", "tl")
+          .agg(
+            coalesce(max(when(col("n") === 2, col("tc"))), lit(0L)).as("tc2"),
+            coalesce(max(when(col("n") === 3, col("tc"))), lit(0L)).as("tc3"),
+            coalesce(max(when(col("n") === 4, col("tc"))), lit(0L)).as("tc4"),
+            coalesce(max(when(col("n") === 5, col("dc"))), lit(0L)).as("dc5"),
+            coalesce(max(when(col("n") === 10, col("dc"))), lit(0L)).as("dc10"))
+        val top2 = round(col("tc2") * lit(1.0) / col("tl"), 4)
+        val top3 = round(col("tc3") * lit(1.0) / col("tl"), 4)
+        val top4 = round(col("tc4") * lit(1.0) / col("tl"), 4)
+        val dup5 = round(least(col("dc5") * lit(1.0) / col("tl"), lit(1.0)), 4)
+        val dup10 = round(least(col("dc10") * lit(1.0) / col("tl"), lit(1.0)), 4)
+        folded.select(col("doc_id"),
+          top2.as("top2"), top3.as("top3"), top4.as("top4"),
+          dup5.as("dup5"), dup10.as("dup10"),
+          (top2 <= 0.20 && top3 <= 0.18 && top4 <= 0.16 &&
+            dup5 <= 0.15 && dup10 <= 0.10).as("keep"))
+      })
+  }
+
   /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", table A1) —
     * the repetition-free subset expressible as per-document statistics:
@@ -805,5 +916,5 @@ object TextOps {
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
       piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate,
       curationReport, lmQuality, bm25, hybridRetrieval, gopherGate,
-      fertility)
+      gopherRepetition, fertility)
 }
