@@ -712,11 +712,14 @@ object TextOps {
     * engines decide identically. The top-gram argmax ties break on the
     * gram string.
     *
-    * Scale shape: ONE explode pass tags all five n values (struct
-    * array concat), ONE (doc, n, gram) aggregation rides explode's row
-    * locality (a doc's grams never leave its partition before the
-    * partial agg), and the per-doc fold is a 5-row conditional max.
-    * Nothing wider than (doc × 5) rows past the first aggregation. */
+    * Scale shape: all n-grams of a document live in its ONE row, so
+    * each n value is a codegen'd single-pass expression
+    * ([[graft.functions.GramStats]]) inside the scan — ZERO shuffles,
+    * ZERO explodes; the gate pipelines through the corpus at any size
+    * (the TermCounts law: per-document state never crosses the
+    * cluster. The first formulation's five (doc, n, gram) corpus
+    * aggregations were its entire 22 s sf1 cost; this one is
+    * scan-bound). */
   val gopherRepetition: NamedQuery = {
     val ns = Seq(2, 3, 4, 5, 10)
     val gramsSql = ns.map(n =>
@@ -760,45 +763,21 @@ object TextOps {
               |   AND dup5 <= 0.15 AND dup10 <= 0.10) AS keep
               |FROM r""".stripMargin),
       (s, d) => {
-        val ws = split(col("text"), " ")
-        def grams(n: Int) = when(size(ws) >= n,
-          transform(sequence(lit(1), size(ws) - (n - 1)),
-            i => struct(lit(n).as("n"),
-              array_join(slice(ws, i, lit(n)), " ").as("g"))))
-          .otherwise(expr("array()")
-            .cast("array<struct<n:int,g:string>>"))
-        val docs = t(s, d, "documents")
-        val tagged = docs.select(col("doc_id"),
-          length(col("text")).as("tl"),
-          explode(concat(ns.map(grams): _*)).as("x"))
-          .select(col("doc_id"), col("tl"),
-            col("x.n").as("n"), col("x.g").as("g"))
-        val counts = tagged.groupBy("doc_id", "tl", "n", "g")
-          .agg(count(lit(1)).as("c"))
-        val top = counts.groupBy("doc_id", "n")
-          .agg(min(struct((-col("c")).as("negc"), col("g"),
-            (col("c") * length(col("g"))).as("tc"))).as("m"))
-          .select(col("doc_id"), col("n"), col("m.tc").as("tc"))
-        val dup = counts.groupBy("doc_id", "n")
-          .agg(sum(when(col("c") >= 2, col("c") * length(col("g")))
-            .otherwise(0L)).as("dc"))
-        val perN = top.join(dup, Seq("doc_id", "n"))
-        val folded = docs.select(col("doc_id"),
-          length(col("text")).as("tl"))
-          .join(perN, Seq("doc_id"), "left")
-          .groupBy("doc_id", "tl")
-          .agg(
-            coalesce(max(when(col("n") === 2, col("tc"))), lit(0L)).as("tc2"),
-            coalesce(max(when(col("n") === 3, col("tc"))), lit(0L)).as("tc3"),
-            coalesce(max(when(col("n") === 4, col("tc"))), lit(0L)).as("tc4"),
-            coalesce(max(when(col("n") === 5, col("dc"))), lit(0L)).as("dc5"),
-            coalesce(max(when(col("n") === 10, col("dc"))), lit(0L)).as("dc10"))
-        val top2 = round(col("tc2") * lit(1.0) / col("tl"), 4)
-        val top3 = round(col("tc3") * lit(1.0) / col("tl"), 4)
-        val top4 = round(col("tc4") * lit(1.0) / col("tl"), 4)
-        val dup5 = round(least(col("dc5") * lit(1.0) / col("tl"), lit(1.0)), 4)
-        val dup10 = round(least(col("dc10") * lit(1.0) / col("tl"), lit(1.0)), 4)
-        folded.select(col("doc_id"),
+        import graft.functions.GramStats.gramStats
+        // every n-gram of a doc lives in its one row: all five n
+        // values are codegen'd single-pass expressions inside the
+        // scan — ZERO shuffles, ZERO explodes (PlanQualitySpec law)
+        val base = t(s, d, "documents").select(
+          col("doc_id") +: length(col("text")).as("tl") +:
+            ns.map(n => gramStats(col("text"), n).as(s"g$n")): _*)
+        val top2 = round(col("g2.tc") * lit(1.0) / col("tl"), 4)
+        val top3 = round(col("g3.tc") * lit(1.0) / col("tl"), 4)
+        val top4 = round(col("g4.tc") * lit(1.0) / col("tl"), 4)
+        val dup5 = round(least(col("g5.dc") * lit(1.0) / col("tl"),
+          lit(1.0)), 4)
+        val dup10 = round(least(col("g10.dc") * lit(1.0) / col("tl"),
+          lit(1.0)), 4)
+        base.select(col("doc_id"),
           top2.as("top2"), top3.as("top3"), top4.as("top4"),
           dup5.as("dup5"), dup10.as("dup10"),
           (top2 <= 0.20 && top3 <= 0.18 && top4 <= 0.16 &&

@@ -175,6 +175,24 @@ class PlanQualitySpec extends SparkSpec {
       s"q130 regressed to a window over per-chunk occurrences: $wins")
   }
 
+  test("q185 repetition gate is one narrow pass: zero exchanges, " +
+      "zero explodes (per-document state never crosses the cluster)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate => LGen}
+    val df = SparkEntry.queries("q185_gopher_repetition")(spark, sf)
+    val qe = castToImpl(df).queryExecution
+    assert(qe.optimizedPlan.collect { case g: LGen => g }.isEmpty,
+      "q185 regressed to an explode over per-doc grams")
+    df.collect()
+    val exchanges = qe.executedPlan.collect {
+      case e: ShuffleExchangeExec => Seq(e)
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+    }.flatten
+    assert(exchanges.isEmpty,
+      s"q185 shuffled per-document gram state: ${exchanges.size} exchanges")
+  }
+
   test("runtime bloom filter prunes the big side of a shuffle join") {
     // at 100 TB the fact side of a selective join should be pre-filtered
     // by a runtime bloom filter built from the small side — Spark's
