@@ -692,6 +692,69 @@ object CurationOps {
           col("m.score_q").as("score_q"), col("m.hit").as("hit"))
     })
 
+  /** Classifier evaluation — the per-class confusion report every
+    * model-in-the-pipeline deployment reads before trusting verdicts:
+    * self-evaluation of the q181 NB classifier against the corpus's
+    * own labels, per class (n_true, n_pred, tp, then precision /
+    * recall / F1). Exact-integer confusion counts; each metric is one
+    * rounded division (undefined → 0.0 explicitly, both engines).
+    * Scale shape: q181's plan plus ONE C-row aggregation — nothing
+    * new moves. On the synthetic corpus the classifier collapses to
+    * the prior (q181 note), so the report shows exactly that:
+    * recall 1.0 / precision = prior for `en`, zeros elsewhere —
+    * the readout a real pipeline uses to catch a collapsed model. */
+  val classifierEval: NamedQuery = NamedQuery("q186_classifier_eval",
+    nbClassifier.oracle.map(q181 =>
+      s"""WITH verdicts AS ($q181),
+         |joined AS (SELECT d.lang AS true_cls, v.pred_lang AS pred_cls
+         |           FROM verdicts v JOIN documents d USING (doc_id)),
+         |cls AS (SELECT DISTINCT lang AS cls FROM documents),
+         |m AS (SELECT cls,
+         |    (SELECT count(*) FROM joined WHERE true_cls = cls)
+         |      AS n_true,
+         |    (SELECT count(*) FROM joined WHERE pred_cls = cls)
+         |      AS n_pred,
+         |    (SELECT count(*) FROM joined
+         |     WHERE true_cls = cls AND pred_cls = cls) AS tp
+         |  FROM cls)
+         |SELECT cls, CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+         |  round(CASE WHEN n_pred = 0 THEN 0.0
+         |             ELSE tp * 1.0 / n_pred END, 4) AS precision,
+         |  round(CASE WHEN n_true = 0 THEN 0.0
+         |             ELSE tp * 1.0 / n_true END, 4) AS recall,
+         |  round(CASE WHEN tp = 0 THEN 0.0
+         |             ELSE 2.0 * tp / (n_pred + n_true) END, 4) AS f1
+         |FROM m""".stripMargin),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val verdicts = nbClassifier.fn(s, d)
+        .select(col("doc_id"), col("pred_lang").as("pred_cls"))
+        .join(docs.select(col("doc_id"), col("lang").as("true_cls")),
+          Seq("doc_id"))
+      // one pass over verdicts, C-row result: each verdict row fans to
+      // the 1-2 classes it involves (broadcast the C-row class table;
+      // every class has ≥ 1 true doc so the inner join loses nothing)
+      val cls = docs.select(col("lang").as("cls")).distinct()
+      val m = verdicts.join(broadcast(cls),
+          col("true_cls") === col("cls") || col("pred_cls") === col("cls"))
+        .groupBy("cls").agg(
+          count(when(col("true_cls") === col("cls"), 1)).as("n_true"),
+          count(when(col("pred_cls") === col("cls"), 1)).as("n_pred"),
+          count(when(col("true_cls") === col("cls") &&
+            col("pred_cls") === col("cls"), 1)).as("tp"))
+      m.select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+        round(when(col("n_pred") === 0, 0.0)
+          .otherwise(col("tp") * lit(1.0) / col("n_pred")), 4)
+          .as("precision"),
+        round(when(col("n_true") === 0, 0.0)
+          .otherwise(col("tp") * lit(1.0) / col("n_true")), 4)
+          .as("recall"),
+        round(when(col("tp") === 0, 0.0)
+          .otherwise(lit(2.0) * col("tp") / (col("n_pred") + col("n_true"))),
+          4).as("f1"))
+    })
+
   /** Default NB vocabulary cap — top-V by global frequency, token-name
     * tiebreak: deterministic membership at any corpus size, ≤ V·C
     * model rows (broadcastable metadata at 100 TB). */
@@ -757,5 +820,5 @@ object CurationOps {
     Seq(stratifiedSample, shardPacking, shardPackingBucketed, vocabTopK,
       curationPipeline, contamination, domainMixing, sourceDivergence,
       reservoirSample, contextChunks, dsirWeights, holdoutSplit,
-      nbClassifier)
+      nbClassifier, classifierEval)
 }

@@ -67,11 +67,11 @@ class EventsEncodingSpec extends SparkSpec {
     // 181 keys as of round 14 (r12/r13: q176/q177 IVF-PQ, q178/q179
     // BPE, q180 audio; r14: q181 NB classifier, q182 footer stats,
     // q183 stream classify, q184 hybrid retrieval, q185 Gopher
-    // repetition, on top of r11's 171) — raise this floor when
+    // repetition, q186 classifier eval, on top of r11's 171) — raise this floor when
     // queries are added, never lower it: a key that stops resolving
     // or throws at analysis must fail this suite, not silently fall
     // out of the driver basket.
-    assert(SparkEntry.queries.size >= 181,
+    assert(SparkEntry.queries.size >= 182,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
