@@ -673,23 +673,41 @@ object CurationOps {
     (s, d) => {
       val docs = t(s, d, "documents")
       val (model, prior) = nbModelFrames(docs, "lang", NbVocabCap)
+      // classes + priors are C-row metadata; collecting them here is
+      // the q45 point-lookup idiom (and materializes the cached count
+      // table the wide model below reuses)
+      val pri = prior.collect().map(r => r.getString(0) -> r.getLong(1))
+        .sortBy(_._1)
+      val classes = pri.map(_._1).toSeq
+      // model pivoted WIDE (one row per token, C lp columns): the
+      // scoring join then emits ONE row per token occurrence instead
+      // of C — the long model fanned every token ×C into the per-doc
+      // aggregate (the dominant stage at the century tier)
+      val wide = model.groupBy("w").agg(
+        classes.zipWithIndex.map { case (c, i) =>
+          sum(when(col("cls") === c, col("lp_q"))).as(s"q$i")
+        }.head, classes.zipWithIndex.drop(1).map { case (c, i) =>
+          sum(when(col("cls") === c, col("lp_q"))).as(s"q$i")
+        }: _*)
       val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
-      val ts = tok
-        .join(broadcast(model), Seq("w"))
-        .groupBy("doc_id", "cls").agg(sum("lp_q").as("s"))
-      val sc = docs.select(col("doc_id"), col("lang").as("true_lang"))
-        .crossJoin(broadcast(prior))
-        .join(ts, Seq("doc_id", "cls"), "left")
-        .select(col("doc_id"), col("cls"),
-          (col("prior_q") + coalesce(col("s"), lit(0L))).as("score_q"),
-          (col("cls") === col("true_lang")).as("hit"))
-      // exact-integer argmax, class-name tiebreak (combiner-friendly)
-      sc.groupBy("doc_id")
-        .agg(min(struct((-col("score_q")).as("neg"), col("cls"),
-          col("score_q"), col("hit"))).as("m"))
+      val sums = tok.join(broadcast(wide), Seq("w"))
+        .groupBy("doc_id").agg(
+          sum(col("q0")).as("s0"),
+          classes.indices.drop(1).map(i =>
+            sum(col(s"q$i")).as(s"s$i")): _*)
+      // exact-integer argmax over the C score columns, class-name
+      // tiebreak (array_min on (−score, cls) structs)
+      val arr = array(pri.zipWithIndex.map { case ((c, pq), i) =>
+        val score = coalesce(col(s"s$i"), lit(0L)) + lit(pq)
+        struct((-score).as("neg"), lit(c).as("cls"), score.as("score_q"))
+      }: _*)
+      docs.select(col("doc_id"), col("lang"))
+        .join(sums, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), array_min(arr).as("m"))
         .select(col("doc_id"), col("m.cls").as("pred_lang"),
-          col("m.score_q").as("score_q"), col("m.hit").as("hit"))
+          col("m.score_q").as("score_q"),
+          (col("m.cls") === col("lang")).as("hit"))
     })
 
   /** Classifier evaluation — the per-class confusion report every
