@@ -41,7 +41,11 @@ private[graft] final class TableEntry(val df: DataFrame, known: Long = -1L,
     // everything else scans
     if (cached < 0L) cached = sourcePath match {
       case Some(p) =>
+        // None = the lister found no parquet files (a layout it does
+        // not understand) — fall back to a scan count rather than
+        // fabricating 0 rows for a table Spark can read
         graft.operators.FooterStats.rowCount(df.sparkSession, p)
+          .getOrElse(df.count())
       case None => df.count()
     }
     cached

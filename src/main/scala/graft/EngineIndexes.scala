@@ -337,12 +337,13 @@ private[graft] trait EngineIndexes { self: Engine =>
     val base = table(tableName)
     val docs = if (textCol != "text")
       base.withColumn("text", col(textCol)) else base
-    val (model, prior) = graft.operators.CurationOps
+    val (model, prior, release) = graft.operators.CurationOps
       .nbModelFrames(docs, labelCol, vocabCap)
     val modelRows = model.select(col("w"), col("cls"), col("lp_q"))
       .as[(String, String, Long)].collect().toSeq
     val priorRows = prior.as[(String, Long)].collect().toSeq
       .map { case (c, q) => (null.asInstanceOf[String], c, q) }
+    release() // both frames materialized — drop the training cache
     put(s"${name}_model", (modelRows ++ priorRows).toDF("w", "cls", "q"))
     classifierMeta.put(name, textCol)
     createIndex(name, tableName, Seq(textCol), ifNotExists = true)

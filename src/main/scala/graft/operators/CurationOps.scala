@@ -672,7 +672,7 @@ object CurationOps {
            |WHERE rn = 1""".stripMargin),
     (s, d) => {
       val docs = t(s, d, "documents")
-      val (model, prior) = nbModelFrames(docs, "lang", NbVocabCap)
+      val (model, prior, release) = nbModelFrames(docs, "lang", NbVocabCap)
       // classes + priors are C-row metadata; collecting them here is
       // the q45 point-lookup idiom (and materializes the cached count
       // table the wide model below reuses)
@@ -689,9 +689,19 @@ object CurationOps {
         }.head, classes.zipWithIndex.drop(1).map { case (c, i) =>
           sum(when(col("cls") === c, col("lp_q"))).as(s"q$i")
         }: _*)
+      // the wide model is ≤ V rows of longs — materialize it LOCALLY
+      // so the training cache releases at build time instead of
+      // leaking into the returned lazy plan (scoring below broadcasts
+      // a LocalRelation, not a live aggregation subtree)
+      val wideLocal = {
+        import scala.jdk.CollectionConverters._
+        val rows = wide.collect()
+        release()
+        s.createDataFrame(rows.toSeq.asJava, wide.schema)
+      }
       val tok = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
-      val sums = tok.join(broadcast(wide), Seq("w"))
+      val sums = tok.join(broadcast(wideLocal), Seq("w"))
         .groupBy("doc_id").agg(
           sum(col("q0")).as("s0"),
           classes.indices.drop(1).map(i =>
@@ -785,9 +795,12 @@ object CurationOps {
     * argmax is exact integer arithmetic. `model` is (w, cls, lp_q),
     * `prior` is (cls, prior_q); both are metadata-sized and lazy.
     * ONE corpus-scale aggregation (token×class counts) feeds
-    * everything; the cached frame is vocabulary-sized. */
+    * everything; the cached frame is vocabulary-sized. The third
+    * element RELEASES that cache — callers must invoke it once the
+    * model/prior frames have materialized (collect / persist), or
+    * every training run leaks a cached RDD into executor storage. */
   private[graft] def nbModelFrames(docs: DataFrame, labelCol: String,
-      v: Int): (DataFrame, DataFrame) = {
+      v: Int): (DataFrame, DataFrame, () => Unit) = {
     val tok = docs.select(col(labelCol).as("cls"),
       explode(split(col("text"), " ")).as("w"))
     val tcc = tok.groupBy("w", "cls").agg(count(lit(1)).as("c")).cache()
@@ -808,7 +821,7 @@ object CurationOps {
       .select(col("cls"),
         round(log(col("n_docs") * lit(1.0) / col("n")) * 1e4)
           .cast("long").as("prior_q"))
-    (model, prior)
+    (model, prior, () => { tcc.unpersist(); () })
   }
 
   /** Apply a collected (frozen) NB model to `docs` as ONE stateless

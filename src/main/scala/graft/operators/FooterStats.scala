@@ -20,20 +20,39 @@ import org.apache.spark.sql.SparkSession
   * enough files that a driver loop would serialize the metadata I/O. */
 object FooterStats {
 
-  /** Leaf parquet files of `path` — a single file or a directory of
-    * part files (Spark/Hive layout). Storage-agnostic via the Hadoop
-    * FileSystem API. */
+  /** Leaf parquet files of `path` — a single file, a directory of part
+    * files, or a Hive-partitioned tree (`shard=0/part-…`, what this
+    * repo's own partitionBy sink writes): the listing is RECURSIVE, so
+    * nested layouts count their real files instead of silently listing
+    * zero. Metadata entries (`_SUCCESS`, `_temporary`, `.crc`) are
+    * skipped at any depth. Storage-agnostic via the Hadoop FileSystem
+    * API. */
   def parquetFiles(spark: SparkSession, path: String): Seq[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.getFileStatus(root).isDirectory)
-      fs.listStatus(root).toSeq
-        .filter(st => st.isFile && {
-          val n = st.getPath.getName
-          n.endsWith(".parquet") || n.startsWith("part-")
-        })
-        .map(_.getPath.toString).sorted
-    else Seq(root.toString)
+    def hiddenUnder(p: Path): Boolean = {
+      // any segment strictly below the root starting with '.' or '_'
+      // is writer metadata, not data
+      var cur = p; var h = false
+      while (cur != null && cur.toString != root.toString && !h) {
+        val n = cur.getName
+        h = n.startsWith(".") || n.startsWith("_")
+        cur = cur.getParent
+      }
+      h
+    }
+    if (fs.getFileStatus(root).isDirectory) {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !hiddenUnder(st.getPath) &&
+            (n.endsWith(".parquet") || n.startsWith("part-")))
+          buf += st.getPath.toString
+      }
+      buf.sorted.toSeq
+    } else Seq(root.toString)
   }
 
   /** Exact row count of one parquet file from its footer. */
@@ -46,16 +65,20 @@ object FooterStats {
     } finally r.close()
   }
 
-  /** Exact table row count from footers only: driver loop up to
+  /** Exact table row count from footers only, or None when the listing
+    * finds no parquet files under `path` (an exotic layout the lister
+    * does not understand — the caller must fall back to a scan count,
+    * never report 0 rows for a table Spark can read). Driver loop up to
     * `distributeAbove` files, a distributed footer job beyond (the
     * ~1M-file case — metadata I/O scales out with the executors). */
   def rowCount(spark: SparkSession, path: String,
-      distributeAbove: Int = 64): Long = {
+      distributeAbove: Int = 64): Option[Long] = {
     val files = parquetFiles(spark, path)
-    if (files.size <= distributeAbove) {
+    if (files.isEmpty) None
+    else if (files.size <= distributeAbove) {
       val conf = spark.sparkContext.hadoopConfiguration
-      files.map(fileRows(_, conf)).sum
-    } else {
+      Some(files.map(fileRows(_, conf)).sum)
+    } else Some {
       import spark.implicits._
       spark.createDataset(files)
         .repartition(math.min(files.size, 256))
@@ -64,6 +87,30 @@ object FooterStats {
           it.map(fileRows(_, conf))
         }.reduce(_ + _)
     }
+  }
+
+  /** True iff this chunk's min/max statistics are exact under SIGNED
+    * long interpretation: INT32/INT64 physical type whose logical
+    * annotation is absent or signed — unsigned annotations (UINT32,
+    * which Spark reads as LongType) would sign-flip above Int.MaxValue
+    * and are rejected the way strings/floats are. Date/timestamp/time
+    * annotations ride signed ints and stay exact. */
+  private def signedIntStats(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val pt = cc.getPrimitiveType
+    val phys = pt.getPrimitiveTypeName
+    val intLike = phys == PrimitiveTypeName.INT32 ||
+      phys == PrimitiveTypeName.INT64
+    intLike && (pt.getLogicalTypeAnnotation match {
+      case null => true
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
+      case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => true
+      case _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => true
+      case _ => false
+    })
   }
 
   /** Per-column storage statistics from footers only — the
@@ -88,14 +135,8 @@ object FooterStats {
             val nulls =
               if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
               else None
-            val pt = cc.getPrimitiveType.getPrimitiveTypeName
-            val intLike =
-              pt == org.apache.parquet.schema.PrimitiveType
-                .PrimitiveTypeName.INT32 ||
-              pt == org.apache.parquet.schema.PrimitiveType
-                .PrimitiveTypeName.INT64
             val (mn, mx) =
-              if (intLike && st != null && st.hasNonNullValue) {
+              if (signedIntStats(cc) && st != null && st.hasNonNullValue) {
                 def asLong(v: AnyRef): Long = v match {
                   case i: java.lang.Integer => i.toLong
                   case l: java.lang.Long => l.longValue()
@@ -143,14 +184,9 @@ object FooterStats {
           blocks.forall { b =>
             b.getColumns.asScala.find(_.getPath.toDotString == name) match {
               case Some(cc) =>
-                val pt = cc.getPrimitiveType.getPrimitiveTypeName
-                val intLike =
-                  pt == org.apache.parquet.schema.PrimitiveType
-                    .PrimitiveTypeName.INT32 ||
-                  pt == org.apache.parquet.schema.PrimitiveType
-                    .PrimitiveTypeName.INT64
                 val st = cc.getStatistics
-                if (!intLike || st == null || !st.hasNonNullValue) false
+                if (!signedIntStats(cc) || st == null ||
+                    !st.hasNonNullValue) false
                 else {
                   val mn = st.genericGetMin match {
                     case i: java.lang.Integer => i.toLong
@@ -172,6 +208,10 @@ object FooterStats {
         if (ok) Some((rows, mm.toMap)) else None
       } finally r.close()
     }
+    // empty listing (a layout the lister does not understand) → None:
+    // the caller falls back to the scan, never to a fabricated 0-row
+    // answer
+    if (files.isEmpty) return None
     val conf = spark.sparkContext.hadoopConfiguration
     val perFile: Seq[Option[(Long, Map[String, (Long, Long)])]] =
       if (files.size <= distributeAbove) files.map(statsOf(_, conf))
@@ -186,15 +226,23 @@ object FooterStats {
           .map(_.map { case (r0, m) => (r0, m.toMap) })
       }
     if (perFile.exists(_.isEmpty)) None
-    else Some(perFile.flatten.foldLeft(
-      (0L, Map.empty[String, (Long, Long)])) { case ((rows, acc), (r0, m)) =>
-      (rows + r0, m.foldLeft(acc) { case (a, (k, (mn, mx))) =>
-        a.get(k) match {
-          case Some((amn, amx)) =>
-            a + (k -> (math.min(amn, mn), math.max(amx, mx)))
-          case None => a + (k -> ((mn, mx)))
-        }
-      })
-    })
+    else {
+      val folded = perFile.flatten.foldLeft(
+        (0L, Map.empty[String, (Long, Long)])) { case ((rows, acc), (r0, m)) =>
+        (rows + r0, m.foldLeft(acc) { case (a, (k, (mn, mx))) =>
+          a.get(k) match {
+            case Some((amn, amx)) =>
+              a + (k -> (math.min(amn, mn), math.max(amx, mx)))
+            case None => a + (k -> ((mn, mx)))
+          }
+        })
+      }
+      // a zero-row-group file is neutral (contributes rows=0, no
+      // min/max), so an all-empty table can fold to a map MISSING a
+      // requested column — min/max over zero rows is NULL, which only
+      // the scan path can produce; fall back rather than crash the
+      // rewrite's mm(c) lookup
+      if (cols.forall(folded._2.contains)) Some(folded) else None
+    }
   }
 }

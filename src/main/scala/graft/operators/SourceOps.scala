@@ -350,7 +350,11 @@ object SourceOps {
                   .getOrElse(throw new IllegalStateException(
                     s"column $name missing in $p"))
               val rows = blocks.map(_.getRowCount).sum
-              var ok = blocks.nonEmpty
+              // a zero-row-group part file (a common writer artifact)
+              // has well-defined contributions — rows 0, no min/max —
+              // not missing statistics; only a chunk WITHOUT exact
+              // stats flips ok off
+              var ok = true
               var nPrice = 0L
               var minOk = Long.MaxValue
               var maxOk = Long.MinValue
@@ -381,8 +385,10 @@ object SourceOps {
           when(col("ok"), col("np")).otherwise(raise_error(
             lit("parquet chunk without exact statistics — no footer path")))
             .as("n_price"),
-          when(col("ok"), col("mn")).as("min_ok"),
-          when(col("ok"), col("mx")).as("max_ok"))
+          // min/max over zero rows is NULL (an all-empty table left the
+          // neutral sentinels untouched), matching the scan aggregate
+          when(col("ok") && col("n_rows") > 0, col("mn")).as("min_ok"),
+          when(col("ok") && col("n_rows") > 0, col("mx")).as("max_ok"))
     })
 
   def defs: Seq[NamedQuery] =

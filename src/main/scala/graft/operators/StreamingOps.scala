@@ -32,9 +32,11 @@ object StreamingOps {
   /** Streaming classification under a batch-trained FROZEN NB model
     * (train offline / serve online): the model is q181's, learned from
     * the same corpus; the stream scores every arriving document
-    * STATELESSLY and the per-class verdict aggregate is hash-checked
-    * against DuckDB recomputing the whole train+score+argmax pipeline
-    * in batch — streaming ≡ batch, proven by the oracle, not assumed. */
+    * STATELESSLY, the per-class verdict aggregate reduces IN-STREAM
+    * (complete-mode groupBy — its memory sink holds one row per class,
+    * never the corpus), and the result is hash-checked against DuckDB
+    * recomputing the whole train+score+argmax pipeline in batch —
+    * streaming ≡ batch, proven by the oracle, not assumed. */
   val streamClassify: NamedQuery = NamedQuery("q183_stream_classify",
     CurationOps.nbClassifier.oracle.map(q181 =>
       s"""WITH verdicts AS ($q181)
@@ -43,19 +45,14 @@ object StreamingOps {
          |  min(score_q) AS min_q, max(score_q) AS max_q
          |FROM verdicts GROUP BY 1""".stripMargin),
     (s, d) => {
-      import org.apache.spark.sql.functions._
       val docs = graft.Tables.t(s, d, "documents")
-      val (model, prior) = CurationOps.nbModelFrames(docs, "lang",
+      val (model, prior, release) = CurationOps.nbModelFrames(docs, "lang",
         CurationOps.NbVocabCap)
       val m = NbModel.collect(model, prior)
-      val stream = graft.streaming.ClassifierStream.drained(
+      release()
+      graft.streaming.ClassifierStream.verdictCounts(
         graft.Tables.docsStream(s, d), m,
         queryName = s"graft_stream_q183_${System.nanoTime()}")
-      stream.groupBy(col("pred_cls"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("pred_cls") === col("lang"), 1L).otherwise(0L))
-            .as("n_hit"),
-          min("score_q").as("min_q"), max("score_q").as("max_q"))
     })
 
   def defs: Seq[NamedQuery] = Seq(streamHourly, streamDedup, streamClassify)

@@ -104,16 +104,26 @@ object DedupStream {
 
   /** Convenience: run the stream over a Dataset already shaped as
     * (doc_id, ts, text) and drain it to a deduped static result —
-    * candidate pairs distinct across bands. */
+    * candidate pairs distinct across bands. Pairs sink to FILES and
+    * the cross-band distinct runs DISTRIBUTED over the read-back frame;
+    * a memory sink would materialize the whole candidate stream on the
+    * driver before deduplicating it. */
   def drainedPairs(docs: DataFrame, queryName: String): Dataset[(Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val q = candidatePairs(docs).writeStream
+    val base = new java.io.File(s"target/streams/$queryName")
+      .getAbsolutePath
+    val pairs = candidatePairs(docs)
+    val q = pairs.writeStream
       .outputMode(OutputMode.Append)
-      .format("memory").queryName(queryName)
+      .format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName).distinct().as[(Long, Long)]
+    // explicit schema: a zero-pair stream leaves no data files to infer
+    // from, and the read must still return a typed empty frame
+    spark.read.schema(pairs.schema).parquet(s"$base/out")
+      .distinct().as[(Long, Long)]
   }
 }

@@ -1661,4 +1661,46 @@ class EngineSpec extends SparkSpec {
     assert(after.head().getLong(0) == real + 5)
     engine.unregisterTable(tn)
   }
+
+  test("footer statistics survive partitioned and empty layouts") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // 1) Hive-partitioned (partitionBy) tree — the repo's own sink
+    // shape: the recursive lister must find the nested part files, so
+    // the footer count is the REAL count, never a silent 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_fs_part")
+      .toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/docs")
+    val tn = s"fs_part_${System.nanoTime()}"
+    engine.registerTable(tn, s"$dir/docs")
+    val real = docs.count()
+    val cnt = engine.sql(s"SELECT count(*) FROM $tn")
+    assert(castToImpl(cnt).queryExecution.analyzed.isInstanceOf[LocalRelation],
+      "partitioned layout did not fold COUNT(*) to footer metadata")
+    assert(cnt.head().getLong(0) == real)
+    // data-column min/max still folds exactly across partition dirs
+    val mm = engine.sql(
+      s"SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM $tn")
+    assert(castToImpl(mm).queryExecution.analyzed.isInstanceOf[LocalRelation])
+    val exp = docs.agg(min("doc_id"), max("doc_id")).head()
+    assert(mm.head().getLong(0) == exp.getLong(0))
+    assert(mm.head().getLong(1) == exp.getLong(1))
+    // a PARTITION column's min/max lives in directory names, not
+    // footers — must fall back to the scan, not fold garbage
+    assert(!castToImpl(engine.sql(s"SELECT min(lang) FROM $tn"))
+      .queryExecution.analyzed.isInstanceOf[LocalRelation])
+    engine.unregisterTable(tn)
+    // 2) empty table (a zero-row part file): min/max must answer NULL
+    // through the scan fallback instead of crashing the fold
+    docs.select(col("doc_id")).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/empty")
+    val te = s"fs_empty_${System.nanoTime()}"
+    engine.registerTable(te, s"$dir/empty")
+    val r = engine.sql(
+      s"SELECT min(doc_id) AS lo, max(doc_id) AS hi, count(*) AS n " +
+        s"FROM $te").head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L)
+    engine.unregisterTable(te)
+  }
 }

@@ -85,17 +85,67 @@ class StreamingSpec extends SparkSpec {
       "(frozen model, stateless scorer)") {
     import graft.operators.{CurationOps, NbModel}
     val docs = Tables.t(spark, sf, "documents")
-    val (model, prior) = CurationOps.nbModelFrames(docs, "lang",
+    val (model, prior, release) = CurationOps.nbModelFrames(docs, "lang",
       CurationOps.NbVocabCap)
     val m = NbModel.collect(model, prior)
-    val streamed = graft.streaming.ClassifierStream.drained(
+    release()
+    val drained = graft.streaming.ClassifierStream.drained(
       Tables.docsStream(spark, sf), m,
       queryName = s"clf_stream_${System.nanoTime()}")
-      .select("doc_id", "pred_cls", "score_q")
+    // LAW: the per-document drain is a FILES read-back, not a
+    // driver-memory table — the verdict corpus never sits on the driver
+    assert(drained.queryExecution.sparkPlan.toString.contains("FileScan"),
+      "drained verdicts must come back from a file sink, not a memory sink")
+    val streamed = drained.select("doc_id", "pred_cls", "score_q")
     val batch = CurationOps.nbScore(docs, m)
       .select("doc_id", "pred_cls", "score_q")
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
+  }
+
+  test("in-stream verdict monitor holds only class-bounded rows on the " +
+      "driver (no unbounded memory sink in any queries-path stream)") {
+    import graft.operators.{CurationOps, NbModel}
+    val docs = Tables.t(spark, sf, "documents")
+    val (model, prior, release) = CurationOps.nbModelFrames(docs, "lang",
+      CurationOps.NbVocabCap)
+    val m = NbModel.collect(model, prior)
+    release()
+    val qn = s"clf_monitor_${System.nanoTime()}"
+    val monitor = graft.streaming.ClassifierStream.verdictCounts(
+      Tables.docsStream(spark, sf), m, queryName = qn)
+    // LAW: the memory sink table behind the monitor holds one row per
+    // PREDICTED class — bounded by the label space, independent of the
+    // corpus size (the complete-mode aggregate reduced in-stream)
+    val classes = m.classes.length.toLong
+    assert(spark.table(qn).count() <= classes,
+      s"monitor sink must hold <= $classes rows, one per class")
+    // and the monitored aggregate equals the batch aggregate exactly
+    val batch = CurationOps.nbScore(docs, m)
+      .groupBy(col("pred_cls"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_cls") === col("lang"), 1L).otherwise(0L))
+          .as("n_hit"),
+        min("score_q").as("min_q"), max("score_q").as("max_q"))
+    assert(monitor.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(monitor).count() == 0)
+  }
+
+  test("streamed dedup candidate pairs drain through a file sink " +
+      "(distributed distinct, nothing corpus-sized on the driver)") {
+    val pairs = graft.streaming.DedupStream.drainedPairs(
+      Tables.docsStream(spark, sf)
+        .select(col("doc_id"),
+          // synthetic event time (documents carry none): deterministic
+          // per doc, spread over an hour
+          timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600)
+            .as("ts"),
+          col("text")),
+      queryName = s"dedup_stream_${System.nanoTime()}")
+    assert(pairs.queryExecution.sparkPlan.toString.contains("FileScan"),
+      "drained pairs must come back from a file sink, not a memory sink")
+    // id_a < id_b invariant survives the files round-trip
+    assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 }
