@@ -265,6 +265,45 @@ private[graft] trait EngineDml { self: Engine =>
     before - kept
   }
 
+  /** Plain `UPDATE t SET c = expr, … [WHERE cond]` as copy-on-write —
+    * the week-one DML verb the reference stops short of (its verb set
+    * ends at INSERT/DELETE; column assignment exists only inside its
+    * MERGE form). Same distributed shape as [[deleteFrom]]: rows where
+    * the predicate is TRUE take the assignment expressions (evaluated
+    * over the row — `SET price = price * 1.1` reads the old value),
+    * rows where it is FALSE or NULL pass through untouched (the SQL
+    * tri-state rule). Assignments on the hit slice run through the
+    * shared INSERT/MERGE ingress (type coercion + NOT NULL / ENUM
+    * probes on the changed delta only), so a rejected UPDATE leaves
+    * the table untouched. Nothing ever collects to the driver; the
+    * row count is unchanged by construction. Returns rows updated. */
+  def updateWhere(name: String, sets: Seq[(String, String)],
+      cond: Option[Column]): Long = withTableLock(name) {
+    require(sets.nonEmpty,
+      "Parser Error: UPDATE requires at least one SET assignment")
+    val e = registry.getOrElse(name, missing(name))
+    def canon(c: String): String =
+      e.df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Binder Error: column $c not in table $name"))
+    val setMap = sets.map { case (c, ex) => canon(c) -> ex }.toMap
+    if (setMap.size != sets.size)
+      throw new IllegalArgumentException(
+        "Parser Error: duplicate column in UPDATE SET list")
+    val hit = cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+    val before = e.rowsIfKnown
+    val untouched = e.df.filter(!hit)
+    val updatedRows = e.df.filter(hit).select(e.df.columns.map { c =>
+      setMap.get(c)
+        .map(ex => expr(ex).cast(e.df.schema(c).dataType).as(c))
+        .getOrElse(col(c))
+    }.toIndexedSeq: _*)
+    val delta = coerceAndValidate(name, e, updatedRows)
+    val n = delta.count()
+    put(name, untouched.unionByName(delta), before)
+    n
+  }
+
   /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
     * (what Delta/Iceberg do per-file), never a driver-side row collect. */
   def deleteFrom(name: String, cond: Column): Long = withTableLock(name) {

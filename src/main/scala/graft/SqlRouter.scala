@@ -30,6 +30,7 @@ private[graft] object SqlRouter {
     * is the stable surface. */
   private val RoutedFamilies = Set(
     "InsertIntoStatement", "DeleteFromTable", "MergeIntoTable",
+    "UpdateTable",
     "CreateTable", "CreateTableAsSelect", "ReplaceTable", "DropTable",
     "AddColumns", "DropColumns", "RenameColumn", "AlterColumn",
     "AlterColumns", "RenameTable", "CreateIndex", "DropIndex",
@@ -85,6 +86,12 @@ private[graft] object SqlRouter {
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*\(([\w\s,]+)\)\s+(VALUES\s*.+|SELECT\s+.+|FROM\s+.+)""".r
   private val DeleteSql =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)""".r
+  // head only — the SET list and optional WHERE split on the top-level
+  // WHERE keyword (strings/parens honored), not inside this regex, so
+  // a 'WHERE' inside a string literal or subquery cannot truncate the
+  // assignment list
+  private val UpdateSql =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val DeleteAllSql =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s*""".r
   // MERGE head only — the USING source, ON clause, and WHEN clauses are
@@ -133,7 +140,7 @@ private[graft] object SqlRouter {
       AlterSetNotNull, AlterDropNotNull, AlterDropDefault, AlterSetDefault,
       CreateType, DropType, AlterAdd, AlterDrop, AlterRenameCol,
       AlterRenameTable, CreateIndex, DropIndex, InsertColsSql, InsertSql,
-      DeleteSql, DeleteAllSql, MergeHead, CreateMatViewSql,
+      DeleteSql, DeleteAllSql, UpdateSql, MergeHead, CreateMatViewSql,
       RefreshMatViewSql, DropMatViewSql, OptimizeSql,
       CreateClassifierSql, DropClassifierSql, ClassifySql)
     patterns.exists(_.pattern.matcher(q).matches())
@@ -256,6 +263,20 @@ private[graft] object SqlRouter {
       Some(emptyOk(e))
     case MergeHead(name, tAlias, rest) =>
       routeMerge(e, name, Option(tAlias), rest)
+    case UpdateSql(name0, rest) =>
+      val name = unq(name0)
+      val (setPart, wherePart) = splitTopWhere(rest)
+      val sets = splitTopComma(setPart).map {
+        case AssignSql(qual, c, ex) =>
+          if (qual != null && !qual.equalsIgnoreCase(name))
+            parseErr("UPDATE SET must assign columns of the target " +
+              s"table (got $qual.$c)")
+          c -> ex
+        case bad => parseErr(s"malformed UPDATE assignment: '${bad.trim}'")
+      }
+      val n = e.updateWhere(name, sets, wherePart.map(expr))
+      import e.spark.implicits._
+      Some(Seq(n).toDF("updated_rows"))
     case DeleteSql(name, cond) =>
       val n = e.deleteFrom(unq(name), expr(cond))
       import e.spark.implicits._
@@ -416,6 +437,33 @@ private[graft] object SqlRouter {
     }
     out += s.substring(start)
     out.toSeq
+  }
+
+  /** Split `rest` of an UPDATE at its top-level WHERE keyword
+    * (parentheses / strings honored) — (set list, optional predicate).
+    * A WHERE inside a string literal or a parenthesized subquery never
+    * splits. */
+  private def splitTopWhere(s: String): (String, Option[String]) = {
+    var depth = 0; var inStr = false; var i = 0
+    def wb(j: Int): Boolean =
+      j < 0 || j >= s.length ||
+        (!Character.isLetterOrDigit(s.charAt(j)) && s.charAt(j) != '_')
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'W' | 'w' if depth == 0 &&
+            s.regionMatches(true, i, "WHERE", 0, 5) &&
+            wb(i - 1) && wb(i + 5) =>
+          return (s.substring(0, i), Some(s.substring(i + 5)))
+        case _ =>
+      }
+      i += 1
+    }
+    (s, None)
   }
 
   /** Split on top-level AND keywords (parentheses / strings honored). */

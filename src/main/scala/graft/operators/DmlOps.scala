@@ -31,6 +31,36 @@ object DmlOps {
       engine.table(name)
     })
 
+  /** Plain SQL `UPDATE … SET … WHERE …` end-to-end through the router
+    * (the week-one verb the reference's INSERT/DELETE set omits): build
+    * a managed table, UPDATE a slice — an expression assignment reading
+    * the old value plus a constant assignment — and read back. The
+    * oracle recomputes the final state as a pure CASE projection over
+    * the base table, so the copy-on-write update (hit slice rewritten,
+    * miss slice untouched, row count preserved) is hash-checked against
+    * DuckDB. */
+  val updateRoundtrip: NamedQuery = NamedQuery("q187_update_roundtrip",
+    Some("""SELECT l_orderkey, l_linenumber,
+           |CASE WHEN l_orderkey <= 100 THEN round(l_quantity, 2) + 1
+           |     ELSE round(l_quantity, 2) END AS qty,
+           |CASE WHEN l_orderkey <= 100 THEN 'bumped'
+           |     ELSE l_returnflag END AS f
+           |FROM lineitem WHERE l_orderkey <= 300""".stripMargin),
+    (s, d) => {
+      val engine = Engine(s)
+      val name = "graft_update_roundtrip"
+      engine.dropTable(name, ifExists = true)
+      engine.createTableAs(name, Tables.t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("qty"),
+          col("l_returnflag").as("f")))
+      engine.sql(
+        s"UPDATE $name SET qty = qty + 1, f = 'bumped' " +
+          "WHERE l_orderkey <= 100")
+      engine.table(name)
+    })
+
   /** Materialized-aggregate rewrite end-to-end: register lineitem as a
     * managed table, materialize (returnflag, linestatus)-grouped
     * partials for four measures, and run a covered SQL aggregate — the
@@ -125,5 +155,6 @@ object DmlOps {
       out
     })
 
-  def defs: Seq[NamedQuery] = Seq(dmlRoundtrip, matviewAgg, matviewRefresh)
+  def defs: Seq[NamedQuery] =
+    Seq(dmlRoundtrip, updateRoundtrip, matviewAgg, matviewRefresh)
 }

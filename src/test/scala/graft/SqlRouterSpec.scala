@@ -236,6 +236,52 @@ class SqlRouterSpec extends SparkSpec {
       engine.sql("DROP TABLE router_missing"))
   }
 
+  test("plain UPDATE SQL routes to copy-on-write: expressions, WHERE, " +
+      "tri-state predicate, rollback") {
+    val t = s"upd_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, qty INT, tag STRING)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10, 'a'), (2, 20, 'b'), " +
+      "(3, 30, NULL), (4, NULL, 'd')")
+    // expression assignment reads the OLD value; WHERE hits a slice
+    val r = engine.sql(s"UPDATE $t SET qty = qty * 2 + 1, tag = 'hit' " +
+      "WHERE id <= 2")
+    assert(r.columns.sameElements(Array("updated_rows")))
+    assert(r.head().getLong(0) == 2)
+    val rows = engine.table(t).orderBy("id").collect()
+    assert(rows(0).getInt(1) == 21 && rows(0).getString(2) == "hit")
+    assert(rows(1).getInt(1) == 41 && rows(1).getString(2) == "hit")
+    assert(rows(2).getInt(1) == 30 && rows(2).isNullAt(2)) // untouched
+    // a NULL predicate keeps the row unchanged (SQL tri-state), same
+    // rule as DELETE
+    val r2 = engine.sql(s"UPDATE $t SET tag = 'q' WHERE qty < 25")
+    assert(r2.head().getLong(0) == 1) // only id=1 (21); NULL qty not hit
+    assert(engine.table(t).filter(col("id") === 4).head().getString(2)
+      == "d")
+    // no WHERE → every row updates; row count is preserved
+    val r3 = engine.sql(s"UPDATE $t SET tag = 'all'")
+    assert(r3.head().getLong(0) == 4)
+    assert(engine.table(t).count() == 4)
+    assert(engine.table(t).filter(col("tag") === "all").count() == 4)
+    // a WHERE inside a string literal cannot truncate the SET list
+    engine.sql(s"UPDATE $t SET tag = 'where it hurts' WHERE id = 1")
+    assert(engine.table(t).filter(col("id") === 1).head().getString(2)
+      == "where it hurts")
+    // unknown column and missing table raise binder/catalog errors
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"UPDATE $t SET nope = 1")).getMessage
+      .contains("Binder Error"))
+    assert(intercept[IllegalArgumentException](
+      engine.sql("UPDATE no_such_table SET x = 1")).getMessage
+      .contains("Catalog Error"))
+    // rollback law: a NOT NULL violation leaves the table untouched
+    engine.sql(s"ALTER TABLE $t ALTER COLUMN id SET NOT NULL")
+    val before = engine.table(t).orderBy("id").collect().toSeq
+    intercept[IllegalArgumentException](
+      engine.sql(s"UPDATE $t SET id = NULL WHERE id = 2"))
+    assert(engine.table(t).orderBy("id").collect().toSeq == before)
+    engine.sql(s"DROP TABLE $t")
+  }
+
   test("MERGE INTO statement SQL routes to the engine verb") {
     val t = s"router_merge_${System.nanoTime()}"
     engine.createTable(t, "id INT, name STRING")
