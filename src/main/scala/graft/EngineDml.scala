@@ -13,6 +13,22 @@ import org.apache.spark.sql.functions._
   * seam; state and semantics unchanged. */
 private[graft] trait EngineDml { self: Engine =>
 
+  /** Reject rand()/uuid()-class expressions in copy-on-write DML: the
+    * rewrite evaluates the predicate on both the hit and miss slices
+    * and the plan re-evaluates between the delta count and the final
+    * union read, so a non-deterministic expression could lose or
+    * duplicate rows and desync the returned count from the persisted
+    * state. Resolution against the table runs first — an UNRESOLVED
+    * function node does not yet expose its determinism. */
+  private def requireDeterministic(df: DataFrame, c: Column,
+      ctx: String): Unit = {
+    val analyzed = df.select(c).queryExecution.analyzed
+    if (analyzed.expressions.exists(e => !e.deterministic))
+      throw new IllegalArgumentException(
+        s"Binder Error: non-deterministic expression in $ctx is not " +
+          "supported (copy-on-write DML evaluates it more than once)")
+  }
+
   /** INSERT: the reference buffers all rows driver-side then replays one
     * giant VALUES statement (distributed_insert.cpp:26-100); here appended
     * data stays distributed (unionByName of DataFrames). */
@@ -290,6 +306,13 @@ private[graft] trait EngineDml { self: Engine =>
     if (setMap.size != sets.size)
       throw new IllegalArgumentException(
         "Parser Error: duplicate column in UPDATE SET list")
+    // copy-on-write evaluates the predicate twice (hit / !hit slices)
+    // and the SET expressions again on the union read: a
+    // non-deterministic rand()/uuid() would lose or duplicate rows and
+    // desync the returned count from the persisted state — reject it
+    sets.foreach { case (c, ex) =>
+      requireDeterministic(e.df, expr(ex), s"UPDATE SET $c") }
+    cond.foreach(requireDeterministic(e.df, _, "UPDATE WHERE"))
     val hit = cond.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
     val before = e.rowsIfKnown
     val untouched = e.df.filter(!hit)
@@ -308,6 +331,8 @@ private[graft] trait EngineDml { self: Engine =>
     * (what Delta/Iceberg do per-file), never a driver-side row collect. */
   def deleteFrom(name: String, cond: Column): Long = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
+    // same double-evaluation hazard as updateWhere
+    requireDeterministic(e.df, cond, "DELETE WHERE")
     // SQL DELETE removes only rows where the predicate is TRUE; a row
     // where it evaluates NULL must be KEPT (plain `!cond` would drop it)
     val remaining = e.df.filter(!coalesce(cond, lit(false)))

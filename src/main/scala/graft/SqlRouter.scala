@@ -404,7 +404,9 @@ private[graft] object SqlRouter {
     var depth = 0; var i = open; var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      // backslash-escaped chars never close the literal (Spark's lexer
+      // honors \' by default); doubled '' falls out of quote-toggling
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -424,7 +426,9 @@ private[graft] object SqlRouter {
     var depth = 0; var inStr = false; var start = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      // backslash-escaped chars never close the literal (Spark's lexer
+      // honors \' by default); doubled '' falls out of quote-toggling
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -450,7 +454,9 @@ private[graft] object SqlRouter {
         (!Character.isLetterOrDigit(s.charAt(j)) && s.charAt(j) != '_')
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      // backslash-escaped chars never close the literal (Spark's lexer
+      // honors \' by default); doubled '' falls out of quote-toggling
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1
@@ -475,7 +481,9 @@ private[graft] object SqlRouter {
         (!Character.isLetterOrDigit(s.charAt(j)) && s.charAt(j) != '_')
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      // backslash-escaped chars never close the literal (Spark's lexer
+      // honors \' by default); doubled '' falls out of quote-toggling
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
         case '(' => depth += 1

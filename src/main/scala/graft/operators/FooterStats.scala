@@ -20,6 +20,24 @@ import org.apache.spark.sql.SparkSession
   * enough files that a driver loop would serialize the metadata I/O. */
 object FooterStats {
 
+  /** Hadoop `Configuration` is not Java-serializable; wrap it with its
+    * own write/readFields so the SESSION configuration (credentials,
+    * filesystem bindings — the object-store essentials) rides into
+    * executor closures. Same shape as Spark's internal
+    * SerializableConfiguration, which is `private[spark]`. */
+  private class SerHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Leaf parquet files of `path` — a single file, a directory of part
     * files, or a Hive-partitioned tree (`shard=0/part-…`, what this
     * repo's own partitionBy sink writes): the listing is RECURSIVE, so
@@ -30,11 +48,17 @@ object FooterStats {
   def parquetFiles(spark: SparkSession, path: String): Seq[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // listFiles returns fully-qualified paths (file:/…); the registered
+    // root may be bare (/tmp/…). Qualify it the same way so the walk
+    // below stops AT the root — comparing unqualified strings never
+    // matches, and the walk would run past the root and flag any '.'/'_'
+    // ancestor of the table itself (a table under ~/.cache) as hidden.
+    val qroot = fs.makeQualified(root)
     def hiddenUnder(p: Path): Boolean = {
       // any segment strictly below the root starting with '.' or '_'
       // is writer metadata, not data
       var cur = p; var h = false
-      while (cur != null && cur.toString != root.toString && !h) {
+      while (cur != null && cur != qroot && !h) {
         val n = cur.getName
         h = n.startsWith(".") || n.startsWith("_")
         cur = cur.getParent
@@ -80,10 +104,17 @@ object FooterStats {
       Some(files.map(fileRows(_, conf)).sum)
     } else Some {
       import spark.implicits._
+      // ship the SESSION Hadoop configuration to the executors (the way
+      // Spark's own file sources do): this branch exists for the
+      // many-file object-store case, where credentials and filesystem
+      // bindings live in that conf — a bare `new Configuration()` would
+      // silently drop them and fail exactly at the advertised scale
+      val bconf = spark.sparkContext.broadcast(
+        new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
       spark.createDataset(files)
         .repartition(math.min(files.size, 256))
         .mapPartitions { it =>
-          val conf = new Configuration()
+          val conf = bconf.value.value
           it.map(fileRows(_, conf))
         }.reduce(_ + _)
     }
@@ -217,10 +248,13 @@ object FooterStats {
       if (files.size <= distributeAbove) files.map(statsOf(_, conf))
       else {
         import spark.implicits._
+        // session conf on the executors, as in rowCount above
+        val bconf = spark.sparkContext.broadcast(
+          new SerHadoopConf(spark.sparkContext.hadoopConfiguration))
         spark.createDataset(files)
           .repartition(math.min(files.size, 256))
           .mapPartitions { it =>
-            val c = new Configuration()
+            val c = bconf.value.value
             it.map(p => statsOf(p, c).map { case (r0, m) => (r0, m.toSeq) })
           }.collect().toSeq
           .map(_.map { case (r0, m) => (r0, m.toMap) })

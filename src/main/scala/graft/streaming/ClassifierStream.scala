@@ -66,8 +66,9 @@ object ClassifierStream {
   def drained(docs: DataFrame, m: NbModel, queryName: String,
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    val base = new java.io.File(s"target/streams/$queryName")
-      .getAbsolutePath
+    // configurable shared-storage base (+ stale-dir reset) — see
+    // StreamSinks: executors write this path on a real cluster
+    val base = StreamSinks.freshBase(spark, queryName)
     val verdicts = scored(docs, m, textCol)
     val q = verdicts.writeStream
       .outputMode(OutputMode.Append)

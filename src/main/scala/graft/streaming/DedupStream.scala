@@ -111,8 +111,9 @@ object DedupStream {
   def drainedPairs(docs: DataFrame, queryName: String): Dataset[(Long, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = new java.io.File(s"target/streams/$queryName")
-      .getAbsolutePath
+    // configurable shared-storage base (+ stale-dir reset) — see
+    // StreamSinks: executors write this path on a real cluster
+    val base = StreamSinks.freshBase(spark, queryName)
     val pairs = candidatePairs(docs)
     val q = pairs.writeStream
       .outputMode(OutputMode.Append)

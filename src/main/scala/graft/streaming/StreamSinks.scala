@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared sink/checkpoint placement for the drain-to-files stream
+  * helpers ([[ClassifierStream.drained]], [[DedupStream.drainedPairs]]).
+  *
+  * On a real cluster the EXECUTORS write the parquet sink and the driver
+  * plans the read-back, so the base path must be shared storage — a
+  * literal driver-relative `target/streams` only works in local mode.
+  * The base therefore resolves from configuration:
+  * `spark.graft.stream.sinkDir` when set, else
+  * `<spark.sql.warehouse.dir>/graft-streams` (the warehouse is the
+  * session's shared-storage root by definition). */
+private[graft] object StreamSinks {
+
+  /** Resolve, RESET, and return the qualified per-query sink base.
+    *
+    * A leftover directory for the same queryName is a stale run: its
+    * checkpoint would mark the new source already processed, the run
+    * would write nothing, and the read-back would silently serve the
+    * PREVIOUS run's files. Deleting up front makes reuse of a queryName
+    * safe; callers that want isolation still pass unique names. The
+    * fresh dir is registered with the engine's exit sweep so local runs
+    * do not accumulate sink dirs across JVM lifetimes. */
+  def freshBase(spark: SparkSession, queryName: String): String = {
+    require(queryName.nonEmpty && !queryName.contains("/") &&
+      !queryName.contains(".."),
+      s"stream query name must be a plain identifier: $queryName")
+    val root = spark.conf.getOption("spark.graft.stream.sinkDir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/graft-streams")
+    val p = new Path(root, queryName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val q = fs.makeQualified(p)
+    // exit-sweep reclaim is a local-disk courtesy; remote schemes are
+    // the caller's storage lifecycle
+    if (q.toUri.getScheme == null || q.toUri.getScheme == "file")
+      graft.Engine.trackTmpArtifact(q.toUri.getPath)
+    q.toString
+  }
+}

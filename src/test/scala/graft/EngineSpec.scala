@@ -1703,4 +1703,71 @@ class EngineSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0L)
     engine.unregisterTable(te)
   }
+
+  test("footer lister stops the hidden walk AT the table root: a " +
+      "dot-dir ancestor of the root never hides the data") {
+    import graft.operators.FooterStats
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fs14")
+      .toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // the table itself lives under a '.'-prefixed ancestor (~/.cache
+    // shape); only segments STRICTLY BELOW the root are writer metadata
+    val hiddenRoot = s"$tmp/.cache/tbl"
+    docs.write.mode("overwrite").parquet(hiddenRoot)
+    assert(FooterStats.parquetFiles(spark, hiddenRoot).nonEmpty,
+      "dot-dir ancestor of the table root hid every data file")
+    assert(FooterStats.rowCount(spark, hiddenRoot).contains(docs.count()))
+    // …while a metadata dir BELOW the root still skips
+    docs.limit(7).write.mode("overwrite")
+      .parquet(s"$hiddenRoot/_temporary_copy")
+    assert(FooterStats.rowCount(spark, hiddenRoot).contains(docs.count()),
+      "'_'-prefixed subdir below the root leaked into the count")
+  }
+
+  test("distributed footer reads carry the SESSION Hadoop conf to the " +
+      "executors (object-store shape: fs bindings live in that conf)") {
+    import graft.operators.FooterStats
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fs14d")
+      .toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/plain")
+    // address the single part FILE directly: RawLocalFileSystem cannot
+    // serve directory listings under a foreign scheme, and the point
+    // here is the footer OPEN on the executors, not the listing
+    val part = new java.io.File(s"$tmp/plain").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.head
+    // a filesystem scheme registered ONLY in the session conf: the
+    // DISTRIBUTED branch (forced via distributeAbove = 0) can only
+    // resolve it if the session conf actually ships into the executor
+    // closure — a bare `new Configuration()` there fails with
+    // "No FileSystem for scheme: probe"
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.probe.impl", classOf[ProbeFileSystem].getName)
+    hc.set("fs.probe.impl.disable.cache", "true")
+    try {
+      val viaProbe = s"probe://$tmp/plain/$part"
+      val n = FooterStats.rowCount(spark, viaProbe, distributeAbove = 0)
+      assert(n.contains(docs.count()),
+        "distributed footer count lost the session Hadoop conf")
+      val ts = FooterStats.tableStats(spark, viaProbe, Seq("doc_id"),
+        distributeAbove = 0)
+      val exp = docs.agg(min("doc_id"), max("doc_id")).head()
+      assert(ts.exists { case (rows, mm) =>
+        rows == docs.count() &&
+          mm("doc_id") == ((exp.getLong(0), exp.getLong(1)))
+      }, "distributed tableStats lost the session Hadoop conf")
+    } finally {
+      hc.unset("fs.probe.impl")
+      hc.unset("fs.probe.impl.disable.cache")
+    }
+  }
+}
+
+/** A local filesystem under a custom scheme, registered only through
+  * `fs.probe.impl` in the SESSION Hadoop configuration — the minimal
+  * stand-in for an object-store binding that exists in the session conf
+  * but not in a bare `new Configuration()`. */
+class ProbeFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "probe"
+  override def getUri: java.net.URI = java.net.URI.create("probe:///")
 }

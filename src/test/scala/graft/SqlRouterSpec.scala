@@ -282,6 +282,37 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"DROP TABLE $t")
   }
 
+  test("routed DML honors backslash escapes inside string literals and " +
+      "rejects non-deterministic expressions") {
+    val t = s"upd_esc_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, tag STRING)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    // Spark's lexer honors \' by default: the WHERE inside the escaped
+    // literal must not split the SET list (the scanner has to skip the
+    // escaped quote, or it re-enters "outside string" at the wrong spot)
+    engine.sql(
+      s"UPDATE $t SET tag = 'don\\'t WHERE id > 0 trap' WHERE id = 1")
+    val rows = engine.table(t).orderBy("id").collect()
+    assert(rows(0).getString(1) == "don't WHERE id > 0 trap",
+      s"backslash-escaped literal mis-split: got '${rows(0).getString(1)}'")
+    assert(rows(1).getString(1) == "b")
+    // copy-on-write DML evaluates predicates/assignments more than
+    // once — rand()/uuid() could lose or duplicate rows, so they bind-
+    // error instead
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"UPDATE $t SET tag = uuid() WHERE id = 1")).getMessage
+      .contains("non-deterministic"))
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"UPDATE $t SET tag = 'x' WHERE rand() < 0.5"))
+      .getMessage.contains("non-deterministic"))
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"DELETE FROM $t WHERE rand() < 0.5")).getMessage
+      .contains("non-deterministic"))
+    // table untouched by the rejected statements
+    assert(engine.table(t).count() == 2)
+    engine.sql(s"DROP TABLE $t")
+  }
+
   test("MERGE INTO statement SQL routes to the engine verb") {
     val t = s"router_merge_${System.nanoTime()}"
     engine.createTable(t, "id INT, name STRING")

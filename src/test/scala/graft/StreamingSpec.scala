@@ -148,4 +148,39 @@ class StreamingSpec extends SparkSpec {
     // id_a < id_b invariant survives the files round-trip
     assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
   }
+
+  test("stream drains honor the configured sink base and reset stale " +
+      "dirs on queryName reuse (no silent replay of a previous run)") {
+    import graft.operators.{CurationOps, NbModel}
+    val docs = Tables.t(spark, sf, "documents")
+    val (model, prior, release) = CurationOps.nbModelFrames(docs, "lang",
+      CurationOps.NbVocabCap)
+    val m = NbModel.collect(model, prior)
+    release()
+    val base = java.nio.file.Files.createTempDirectory("graft_sink14")
+      .toString
+    spark.conf.set("spark.graft.stream.sinkDir", base)
+    try {
+      val qn = "clf_sink_cfg" // deliberately REUSED below
+      val first = graft.streaming.ClassifierStream.drained(
+        Tables.docsStream(spark, sf), m, queryName = qn)
+      assert(first.count() == docs.count())
+      // LAW: the sink landed under the CONFIGURED base (shared storage
+      // on a real cluster), not a driver-relative literal
+      assert(new java.io.File(s"$base/$qn/out").exists(),
+        "drain ignored spark.graft.stream.sinkDir")
+      // LAW: reusing a queryName on DIFFERENT input must serve the new
+      // run — a stale checkpoint would mark the source processed, write
+      // nothing, and the read-back would silently replay the first
+      // run's (larger) verdict set
+      val evens = Tables.docsStream(spark, sf)
+        .filter(col("doc_id") % 2 === 0)
+      val second = graft.streaming.ClassifierStream.drained(
+        evens, m, queryName = qn)
+      val expect = docs.filter(col("doc_id") % 2 === 0).count()
+      assert(expect > 0 && expect < docs.count())
+      assert(second.count() == expect,
+        "stale sink dir replayed the previous run's files")
+    } finally spark.conf.unset("spark.graft.stream.sinkDir")
+  }
 }
