@@ -616,6 +616,32 @@ object TextOps {
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(10), conf = NamedQuery.NoAqe)
 
+  /** The dense top-20 for the hybrid probe (doc 1's embedding, self
+    * excluded), SERVED from the engine's persisted IVF-PQ index —
+    * train-once/probe-many: [[graft.EngineIndexes.annSearch]] probes
+    * `nprobe` cells, ADC-scores code bytes, and rescores its shortlist
+    * on raw floats at the same 4dp-round/id-tiebreak idiom as the
+    * brute pass, so every RETURNED similarity is exact; what is
+    * approximate is membership (which 20 come back). nprobe scales as
+    * nlist/3 (floor 8): on clustered production embeddings that is a
+    * small constant scan fraction at high recall; on this synthetic
+    * near-uniform corpus recall ≈ the probed fraction plus the planted
+    * near-dup structure — measured 0.80@sf0.01 / ≥0.65@sf0.1
+    * (tools/HybProbe), which the q188 audit floors at 0.55. k is
+    * requested +1 to absorb the self-match before the exclusion
+    * filter. */
+  private[graft] def denseServed(s: org.apache.spark.sql.SparkSession,
+      d: String, qv: Array[Float]): DataFrame = {
+    val eng = graft.Engine(s)
+    eng.registerTable("hyb_embeddings", s"$d/embeddings.parquet")
+    eng.buildAnnIndex("hyb_ann", "hyb_embeddings", pq = true)
+    val nlist = eng.table("hyb_ann_centroids").count().toInt
+    val nprobe = math.max(8, (nlist + 2) / 3)
+    eng.annSearch("hyb_ann", qv, k = 21, nprobe = nprobe)
+      .filter(col("vec_id") =!= 1)
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(20)
+  }
+
   /** Hybrid retrieval: lexical BM25 and dense cosine top-20 lists
     * fused by Reciprocal Rank Fusion (Cormack et al. 2009,
     * score = Σ 1/(60 + rank)) — the standard first-stage retrieval
@@ -627,7 +653,12 @@ object TextOps {
     *
     * Determinism: both lists rank on 4dp-ROUNDED scores with id
     * tiebreaks (the q45/q165 idiom), and each fused score is ≤ 2
-    * fixed-order IEEE divisions — bit-identical across engines.
+    * fixed-order IEEE divisions — bit-identical across engines. This
+    * headline form keeps the EXACT dense pass (brute cosine), so the
+    * DuckDB oracle recomputes it hash-for-hash; the production serving
+    * path — the same fusion with the dense list PROBED from the
+    * engine's persisted IVF-PQ index — is q189, recall-floored by the
+    * q188 audit (the q42/q119 exact-headline/approx-twin convention).
     *
     * Scale shape: each list is ONE corpus pass ending in TakeOrdered
     * (k-row movement, no global sort); ranks are assigned over the
@@ -692,6 +723,82 @@ object TextOps {
           rrf.as("rrf"))
         .select(col("doc_id"), col("rl").as("r_lex"),
           col("rv").as("r_vec"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }, conf = NamedQuery.NoAqe)
+
+  /** Hash-checked audit of the ANN-served dense list (the q42/q119
+    * convention: the approximate op's laws are oracle-proven even
+    * though its row set is engine-defined). Three laws against the
+    * brute-force exact pass: the probe returns a FULL 20 (`rows_ok`);
+    * recall@20 clears the floor measured for this corpus's structure
+    * (`recall_ok`, ≥ 0.55 — see [[denseServed]]; clustered production
+    * embeddings sit far above it); and every served similarity equals
+    * the true cosine of that pair (`rescore_ok` — the shortlist
+    * rescoring reads raw floats, so scores are exact even when
+    * membership is approximate). A probing regression fails HERE with
+    * a readable verdict. */
+  val hybridDenseAudit: NamedQuery = NamedQuery("q188_hybrid_dense_audit",
+    Some("""SELECT CAST(20 AS BIGINT) AS n_served, true AS rows_ok,
+           |true AS recall_ok, true AS rescore_ok""".stripMargin),
+    (s, d) => {
+      import graft.functions.CosineSimilarity.cosineSim
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cs = round(cosineSim(col("embedding"), typedlit(qv)), 4)
+      val exactAll = e.filter(col("vec_id") =!= 1)
+        .select(col("vec_id"), cs.as("true_cos"))
+      val exact20 = exactAll
+        .orderBy(col("true_cos").desc, col("vec_id")).limit(20)
+        .select(col("vec_id").as("e_id"))
+      val served = denseServed(s, d, qv)
+        .select(col("vec_id").as("s_id"), col("cos_sim").as("s_cos"))
+      // every served row carries its true cosine for the rescore law;
+      // the exact-20 join measures recall
+      served
+        .join(exactAll.withColumnRenamed("vec_id", "a_id"),
+          col("s_id") === col("a_id"), "left")
+        .join(exact20, col("s_id") === col("e_id"), "left")
+        .agg(count(col("s_id")).as("n_served"),
+          (count(col("s_id")) === 20).as("rows_ok"),
+          (count(col("e_id")) >= lit(11)).as("recall_ok"),
+          (count_if(col("s_cos") =!= col("true_cos")) === 0)
+            .as("rescore_ok"))
+    }, conf = NamedQuery.NoAqe)
+
+  /** The hybrid fusion SERVED the way a production retrieval stack
+    * runs it: q184's RRF composition with the dense list probed from
+    * the engine's persisted IVF-PQ index ([[denseServed]]) instead of
+    * a brute corpus pass — per-query dense work is
+    * O(nprobe·N/nlist + shortlist) against 13-byte PQ rows, not O(N)
+    * against raw floats. Engine-defined rows (membership is
+    * approximate, scores exact), so no DuckDB oracle; q188 is the
+    * hash-checked audit twin pinning its laws. */
+  val hybridServed: NamedQuery = NamedQuery("q189_hybrid_served", None,
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = Bm25.scored(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "r_lex")
+      val e = t(s, d, "embeddings")
+      val qv = e.filter(col("vec_id") === 1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val vec = denseServed(s, d, qv)
+        .withColumn("r_vec", row_number()
+          .over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+          .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      val rrf = round(
+        coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6)
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+          coalesce(col("r_vec"), lit(0L)).as("r_vec"),
+          rrf.as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     }, conf = NamedQuery.NoAqe)
 
@@ -894,6 +1001,6 @@ object TextOps {
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
       piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate,
-      curationReport, lmQuality, bm25, hybridRetrieval, gopherGate,
-      gopherRepetition, fertility)
+      curationReport, lmQuality, bm25, hybridRetrieval, hybridDenseAudit,
+      hybridServed, gopherGate, gopherRepetition, fertility)
 }

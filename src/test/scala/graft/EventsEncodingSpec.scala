@@ -71,8 +71,9 @@ class EventsEncodingSpec extends SparkSpec {
     // queries are added, never lower it: a key that stops resolving
     // or throws at analysis must fail this suite, not silently fall
     // out of the driver basket.
-    // r15: q187 plain-UPDATE roundtrip joined the inventory (183)
-    assert(SparkEntry.queries.size >= 183,
+    // r15: q187 plain-UPDATE roundtrip (183); r16: q188 hybrid dense
+    // audit + q189 ANN-served hybrid (185)
+    assert(SparkEntry.queries.size >= 185,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
