@@ -783,6 +783,137 @@ object CurationOps {
           4).as("f1"))
     })
 
+  /** Discrimination proof for the NB stack on a CLASS-CORRELATED
+    * fixture: the synthetic corpus's vocabulary is language-independent
+    * (q181's learned posterior collapses to the prior — q186 shows
+    * exactly that), so the scoring path beyond the prior was
+    * arithmetic-exercised but never signal-exercised. This query plants
+    * the signal DETERMINISTICALLY from the tables themselves: each
+    * document's text gains 16 copies of a class-marker token (enough
+    * mass to clear the natural-token noise floor; measured accuracy
+    * 0.68/0.74/0.75 at sf0.001/0.01/0.1 against the 0.75 Bayes
+    * optimum) — the
+    * marker names the document's own class, except every 4th doc_id
+    * carries the NEXT class's marker (alphabetical rotation), so the
+    * signal is strong but noisy (Bayes-optimal accuracy 75%, never a
+    * lookup). Train on doc_id%5<4, score the held-out %5==4 through
+    * the same frozen-model path the streams serve ([[NbModel.collect]]
+    * + [[nbScore]]), and report the q186 confusion over the HOLDOUT —
+    * per-class recall must clear the prior by a wide margin
+    * (PipelineSpec pins learned-beats-majority as a law). The DuckDB
+    * oracle retrains and rescores the whole pipeline from scratch.
+    *
+    * Scale shape: q181's (one corpus token×class aggregation, model
+    * collected at ≤ V·C metadata rows, scoring a stateless narrow
+    * expression) plus the fixture projection — nothing new moves. */
+  val nbDiscrimination: NamedQuery = NamedQuery("q190_nb_discrim",
+    Some("""WITH langs AS (SELECT lang, row_number() OVER (ORDER BY lang)
+           |    AS rn FROM (SELECT DISTINCT lang FROM documents)),
+           |nl AS (SELECT count(*) AS c FROM langs),
+           |rot AS (SELECT a.lang, b.lang AS nxt FROM langs a
+           |        JOIN langs b ON b.rn = a.rn % (SELECT c FROM nl) + 1),
+           |fix AS (SELECT d.doc_id, d.lang,
+           |          d.text || repeat(' mk_' ||
+           |            CASE WHEN d.doc_id % 4 = 0 THEN r.nxt
+           |                 ELSE d.lang END, 16) AS text
+           |        FROM documents d JOIN rot r USING (lang)),
+           |tr AS (SELECT * FROM fix WHERE doc_id % 5 < 4),
+           |te AS (SELECT * FROM fix WHERE doc_id % 5 = 4),
+           |tok AS (SELECT doc_id, lang,
+           |          unnest(string_split(text, ' ')) AS w FROM tr),
+           |tcc AS (SELECT w, lang, count(*) AS c FROM tok GROUP BY 1, 2),
+           |vocab AS (SELECT w FROM (SELECT w, sum(c) AS tf FROM tcc
+           |                         GROUP BY 1)
+           |          ORDER BY tf DESC, w LIMIT 2000),
+           |inv AS (SELECT tcc.w, tcc.lang, tcc.c
+           |        FROM tcc JOIN vocab USING (w)),
+           |tot AS (SELECT lang, sum(c) AS t FROM inv GROUP BY 1),
+           |cls AS (SELECT lang, count(*) AS n_docs FROM tr GROUP BY 1),
+           |n AS (SELECT sum(n_docs) AS n FROM cls),
+           |model AS (SELECT v.w, cl.lang AS cls,
+           |    CAST(round(ln((coalesce(i.c, 0) + 1.0) / (tt.t + 2000.0))
+           |      * 1e4) AS BIGINT) AS lp_q
+           |  FROM vocab v CROSS JOIN cls cl
+           |  JOIN tot tt ON tt.lang = cl.lang
+           |  LEFT JOIN inv i ON i.w = v.w AND i.lang = cl.lang),
+           |tokq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |         FROM te),
+           |ts AS (SELECT tokq.doc_id, m.cls, sum(m.lp_q) AS s
+           |       FROM tokq JOIN model m ON m.w = tokq.w GROUP BY 1, 2),
+           |prior AS (SELECT cl.lang AS cls,
+           |    CAST(round(ln(cl.n_docs * 1.0 / n.n) * 1e4) AS BIGINT)
+           |      AS prior_q
+           |  FROM cls cl CROSS JOIN n),
+           |sc AS (SELECT d.doc_id, d.lang AS true_cls, p.cls,
+           |         p.prior_q + coalesce(ts.s, 0) AS score_q
+           |       FROM te d CROSS JOIN prior p
+           |       LEFT JOIN ts ON ts.doc_id = d.doc_id
+           |                   AND ts.cls = p.cls),
+           |verd AS (SELECT true_cls, cls AS pred_cls
+           |  FROM (SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+           |          ORDER BY score_q DESC, cls) AS rn FROM sc)
+           |  WHERE rn = 1),
+           |allc AS (SELECT DISTINCT lang AS cls FROM documents),
+           |m2 AS (SELECT cls,
+           |    (SELECT count(*) FROM verd WHERE true_cls = cls)
+           |      AS n_true,
+           |    (SELECT count(*) FROM verd WHERE pred_cls = cls)
+           |      AS n_pred,
+           |    (SELECT count(*) FROM verd
+           |     WHERE true_cls = cls AND pred_cls = cls) AS tp
+           |  FROM allc)
+           |SELECT cls, CAST(n_true AS BIGINT) AS n_true,
+           |  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+           |  round(CASE WHEN n_pred = 0 THEN 0.0
+           |             ELSE tp * 1.0 / n_pred END, 4) AS precision,
+           |  round(CASE WHEN n_true = 0 THEN 0.0
+           |             ELSE tp * 1.0 / n_true END, 4) AS recall,
+           |  round(CASE WHEN tp = 0 THEN 0.0
+           |             ELSE 2.0 * tp / (n_pred + n_true) END, 4) AS f1
+           |FROM m2""".stripMargin),
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      // deterministic class-marker rotation (alphabetical next-class)
+      val langs = docs.select("lang").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("lang")))
+      val nl = langs.count()
+      val rot = langs.select(col("lang"), col("rn"))
+        .join(langs.select(col("lang").as("nxt"), col("rn").as("rn2")),
+          col("rn2") === (col("rn") % nl) + 1)
+        .select("lang", "nxt")
+      val fix = docs.join(broadcast(rot), Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), repeat(concat(lit(" mk_"),
+            when(col("doc_id") % 4 === 0, col("nxt"))
+              .otherwise(col("lang"))), 16)).as("text"))
+      val train = fix.filter(col("doc_id") % 5 < 4)
+      val test = fix.filter(col("doc_id") % 5 === 4)
+      val (model, prior, release) = nbModelFrames(train, "lang",
+        NbVocabCap)
+      val m = NbModel.collect(model, prior)
+      release()
+      val verdicts = nbScore(test, m)
+        .select(col("lang").as("true_cls"), col("pred_cls"))
+      val cls = docs.select(col("lang").as("cls")).distinct()
+      val conf = verdicts.join(broadcast(cls),
+          col("true_cls") === col("cls") || col("pred_cls") === col("cls"))
+        .groupBy("cls").agg(
+          count(when(col("true_cls") === col("cls"), 1)).as("n_true"),
+          count(when(col("pred_cls") === col("cls"), 1)).as("n_pred"),
+          count(when(col("true_cls") === col("cls") &&
+            col("pred_cls") === col("cls"), 1)).as("tp"))
+      conf.select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+        round(when(col("n_pred") === 0, 0.0)
+          .otherwise(col("tp") * lit(1.0) / col("n_pred")), 4)
+          .as("precision"),
+        round(when(col("n_true") === 0, 0.0)
+          .otherwise(col("tp") * lit(1.0) / col("n_true")), 4)
+          .as("recall"),
+        round(when(col("tp") === 0, 0.0)
+          .otherwise(lit(2.0) * col("tp") / (col("n_pred") + col("n_true"))),
+          4).as("f1"))
+    })
+
   /** Default NB vocabulary cap — top-V by global frequency, token-name
     * tiebreak: deterministic membership at any corpus size, ≤ V·C
     * model rows (broadcastable metadata at 100 TB). */
@@ -851,5 +982,5 @@ object CurationOps {
     Seq(stratifiedSample, shardPacking, shardPackingBucketed, vocabTopK,
       curationPipeline, contamination, domainMixing, sourceDivergence,
       reservoirSample, contextChunks, dsirWeights, holdoutSplit,
-      nbClassifier, classifierEval)
+      nbClassifier, classifierEval, nbDiscrimination)
 }

@@ -72,8 +72,8 @@ class EventsEncodingSpec extends SparkSpec {
     // or throws at analysis must fail this suite, not silently fall
     // out of the driver basket.
     // r15: q187 plain-UPDATE roundtrip (183); r16: q188 hybrid dense
-    // audit + q189 ANN-served hybrid (185)
-    assert(SparkEntry.queries.size >= 185,
+    // audit + q189 ANN-served hybrid + q190 NB discrimination (186)
+    assert(SparkEntry.queries.size >= 186,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 

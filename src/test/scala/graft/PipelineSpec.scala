@@ -294,4 +294,24 @@ class PipelineSpec extends SparkSpec {
       assert(out(id)._2 == (out(id)._1 == lang), s"hit flag wrong for $id")
     }
   }
+
+  test("NB discrimination (q190): on the class-correlated fixture the " +
+      "LEARNED model beats the majority baseline on held-out docs") {
+    // q181/q186 honestly show the collapse-to-prior on the natural
+    // corpus (language-independent vocabulary); this law proves the
+    // scoring path is SIGNAL-exercised, not just arithmetic-exercised:
+    // with planted class markers (75% Bayes optimum) the held-out
+    // accuracy must clear the majority-class share by a wide margin
+    // and every class must be recalled well above the collapsed
+    // model's 0 (measured: acc 0.68 / min-recall 0.36 at sf0.001)
+    val rows = run("q190_nb_discrim").collect()
+    val nTrue = rows.map(_.getAs[Long]("n_true")).sum
+    val tp = rows.map(_.getAs[Long]("tp")).sum
+    val majority = rows.map(_.getAs[Long]("n_true")).max.toDouble / nTrue
+    val acc = tp.toDouble / nTrue
+    assert(acc > majority + 0.2,
+      f"learned accuracy $acc%.3f does not beat majority $majority%.3f")
+    assert(rows.forall(_.getAs[Double]("recall") > 0.3),
+      "a class collapsed: recall <= 0.3 on the discrimination fixture")
+  }
 }
