@@ -56,9 +56,46 @@ class BpeSpec extends SparkSpec {
       assert(fertility >= 1.0, s"fertility $fertility < 1")
       assert(cpt >= 1.0, s"chars_per_token $cpt < 1")
     }
-    // trained merges must actually compress: tokens < letters
+    // the pinned merges must actually fire: chars_per_token > 1 means
+    // multi-char tokens exist, i.e. the oracle is replaying real merges
+    assert(rows.exists(_.getAs[Double]("chars_per_token") > 1.0))
     val tot = df.agg(sum("n_tokens"), sum("n_words")).head
     assert(tot.getLong(0) >= tot.getLong(1))
+  }
+
+  test("fixed merge list: rank-greedy encode == sequential exhaustion " +
+      "(the equivalence the q178 oracle's recursive CTE relies on)") {
+    // The oracle applies each merge to fixpoint in rank order with
+    // leftmost-first replacement on a space-delimited symbol string.
+    // For a hierarchically well-formed list that equals rank-greedy;
+    // verify on every distinct corpus word, plus adversarial shapes
+    // (chained self-pairs, rank-priority conflicts).
+    def sequential(word: String): Seq[String] = {
+      var s = " " + word.map(_.toString).mkString(" ") + " "
+      for ((a, b) <- BpeOps.FixedMergeList) {
+        var prev = ""
+        while (prev != s) { prev = s; s = s.replace(s" $a $b ", s" $a$b ") }
+      }
+      s.trim.split(" ").toSeq
+    }
+    // well-formedness: outputs distinct, no output equals an input
+    // symbol of an earlier merge (the precondition of the equivalence)
+    val outs = BpeOps.FixedMergeList.map { case (a, b) => a + b }
+    assert(outs.distinct == outs)
+    for (((a, b), i) <- BpeOps.FixedMergeList.zipWithIndex;
+         ((x, y), j) <- BpeOps.FixedMergeList.zipWithIndex if j < i)
+      assert(x != a + b && y != a + b,
+        s"merge $j consumes output of later merge $i")
+    val corpusWords = Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+      .collect().map(_.getString(0))
+    val adversarial = Seq("agggg", "orderer", "queryquery", "aststast",
+      "thethe", "inine", "stan", "rorro")
+    for (w <- corpusWords ++ adversarial)
+      assert(BpeOps.encode(w, BpeOps.FixedMerges).toSeq == sequential(w),
+        s"encode/oracle divergence on '$w'")
   }
 
   test("q179 audit: conservation booleans are real checks and hold") {
