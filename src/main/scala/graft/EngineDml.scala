@@ -327,6 +327,76 @@ private[graft] trait EngineDml { self: Engine =>
     n
   }
 
+  /** Join-form UPDATE — `UPDATE t SET c = expr, … FROM src WHERE cond`
+    * (the DuckDB/Postgres spelling users migrating SQL hit right after
+    * plain UPDATE). Target rows with a join match take the SET
+    * expressions, which may reference source columns (target resolves
+    * under the table name, source under `sourceAlias`); unmatched rows
+    * pass through untouched. Distributed shape: one join on the
+    * condition for the updated slice, one anti-join for the untouched
+    * slice, both shuffling on the extracted equi-keys (AQE handles
+    * skew); no driver materialization beyond the counters.
+    *
+    * Deliberate divergence from DuckDB: a target row matching MORE THAN
+    * ONE source row raises a Constraint Error instead of updating with
+    * an arbitrary match (DuckDB/Postgres document the pick as
+    * unpredictable) — same determinism stance as [[mergeIntoColumns]].
+    * The probe is a statement-time action over a row-id'd target frame;
+    * the id never enters the stored lineage. */
+  def updateFrom(name: String, sets: Seq[(String, String)],
+      source: DataFrame, sourceAlias: String,
+      cond: Option[String]): Long = withTableLock(name) {
+    require(sets.nonEmpty,
+      "Parser Error: UPDATE requires at least one SET assignment")
+    val e = registry.getOrElse(name, missing(name))
+    def canon(c: String): String =
+      e.df.columns.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"Binder Error: column $c not in table $name"))
+    val setMap = sets.map { case (c, ex) => canon(c) -> ex }.toMap
+    if (setMap.size != sets.size)
+      throw new IllegalArgumentException(
+        "Parser Error: duplicate column in UPDATE SET list")
+    if (sourceAlias.equalsIgnoreCase(name))
+      throw new IllegalArgumentException(
+        s"Binder Error: UPDATE FROM source alias '$sourceAlias' " +
+          "collides with the target table name")
+    val t = e.df.alias(name)
+    val s = source.alias(sourceAlias)
+    val on = cond.map(expr).getOrElse(lit(true))
+    // determinism check resolves over the joined shape (SET/WHERE may
+    // reference both sides); crossJoin here is analysis-only, lazy
+    val probe = t.crossJoin(s)
+    cond.foreach(c => requireDeterministic(probe, expr(c), "UPDATE WHERE"))
+    sets.foreach { case (c, ex) =>
+      requireDeterministic(probe, expr(ex), s"UPDATE SET $c") }
+    // multi-match probe: eager, aggregate-only; the row id is discarded
+    // with this action (monotonically_increasing_id is stable within
+    // the single evaluation, which is all the probe needs)
+    val multi = e.df.withColumn("__graft_rid",
+        monotonically_increasing_id())
+      .alias(name).join(s, on, "inner")
+      .groupBy(col("__graft_rid")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    if (!multi.isEmpty)
+      throw new IllegalArgumentException(
+        "Constraint Error: UPDATE FROM source matches the same target " +
+          "row more than once")
+    val before = e.rowsIfKnown
+    val updatedRows = t.join(s, on, "inner").select(e.df.columns.map { c =>
+      setMap.get(c)
+        .map(ex => expr(ex).cast(e.df.schema(c).dataType).as(c))
+        .getOrElse(col(s"$name.$c").as(c))
+    }.toIndexedSeq: _*)
+    val untouched = t.join(s, on, "left_anti")
+      .select(e.df.columns.map(c => col(s"$name.$c").as(c))
+        .toIndexedSeq: _*)
+    val delta = coerceAndValidate(name, e, updatedRows)
+    val n = delta.count()
+    put(name, untouched.unionByName(delta), before)
+    n
+  }
+
   /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
     * (what Delta/Iceberg do per-file), never a driver-side row collect. */
   def deleteFrom(name: String, cond: Column): Long = withTableLock(name) {

@@ -265,7 +265,8 @@ private[graft] object SqlRouter {
       routeMerge(e, name, Option(tAlias), rest)
     case UpdateSql(name0, rest) =>
       val name = unq(name0)
-      val (setPart, wherePart) = splitTopWhere(rest)
+      val (head, wherePart) = splitTopWhere(rest)
+      val (setPart, fromPart) = splitTopKeyword(head, "FROM")
       val sets = splitTopComma(setPart).map {
         case AssignSql(qual, c, ex) =>
           if (qual != null && !qual.equalsIgnoreCase(name))
@@ -274,7 +275,12 @@ private[graft] object SqlRouter {
           c -> ex
         case bad => parseErr(s"malformed UPDATE assignment: '${bad.trim}'")
       }
-      val n = e.updateWhere(name, sets, wherePart.map(expr))
+      val n = fromPart match {
+        case None => e.updateWhere(name, sets, wherePart.map(expr))
+        case Some(src) =>
+          val (df, alias) = updateSource(e, src)
+          e.updateFrom(name, sets, df, alias, wherePart)
+      }
       import e.spark.implicits._
       Some(Seq(n).toDF("updated_rows"))
     case DeleteSql(name, cond) =>
@@ -447,8 +453,18 @@ private[graft] object SqlRouter {
     * (parentheses / strings honored) — (set list, optional predicate).
     * A WHERE inside a string literal or a parenthesized subquery never
     * splits. */
-  private def splitTopWhere(s: String): (String, Option[String]) = {
+  private def splitTopWhere(s: String): (String, Option[String]) =
+    splitTopKeyword(s, "WHERE")
+
+  /** Split `s` at the first top-level occurrence of keyword `kw`
+    * (parentheses / strings honored, word-boundary matched) — a `kw`
+    * inside a string literal, a parenthesized subquery, or a function
+    * argument list (`extract(year FROM d)`) never splits. */
+  private def splitTopKeyword(s: String, kw: String):
+      (String, Option[String]) = {
     var depth = 0; var inStr = false; var i = 0
+    val k0 = Character.toUpperCase(kw.charAt(0))
+    val k1 = Character.toLowerCase(kw.charAt(0))
     def wb(j: Int): Boolean =
       j < 0 || j >= s.length ||
         (!Character.isLetterOrDigit(s.charAt(j)) && s.charAt(j) != '_')
@@ -461,16 +477,37 @@ private[graft] object SqlRouter {
         case '\'' => inStr = true
         case '(' => depth += 1
         case ')' => depth -= 1
-        case 'W' | 'w' if depth == 0 &&
-            s.regionMatches(true, i, "WHERE", 0, 5) &&
-            wb(i - 1) && wb(i + 5) =>
-          return (s.substring(0, i), Some(s.substring(i + 5)))
+        case `k0` | `k1` if depth == 0 &&
+            s.regionMatches(true, i, kw, 0, kw.length) &&
+            wb(i - 1) && wb(i + kw.length) =>
+          return (s.substring(0, i), Some(s.substring(i + kw.length)))
         case _ =>
       }
       i += 1
     }
     (s, None)
   }
+
+  // UPDATE ... FROM source forms: a parenthesized subquery with a
+  // mandatory alias, or a table name with an optional alias
+  private val UpdateSrcSubquery =
+    """(?is)\s*\((.+)\)\s*(?:AS\s+)?(\w+)\s*""".r
+  private val UpdateSrcTable =
+    """(?is)\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*""".r
+
+  /** Resolve the FROM clause of a join-form UPDATE to a frame plus the
+    * alias its columns bind under in SET/WHERE expressions. */
+  private def updateSource(e: Engine, src: String): (DataFrame, String) =
+    src match {
+      case UpdateSrcSubquery(inner, alias) =>
+        (e.spark.sql(DuckSyntax.rewriteCasts(inner)), alias)
+      case UpdateSrcTable(n, alias) =>
+        val tn = unq(n)
+        val df = if (e.tableExists(tn)) e.table(tn) else e.spark.table(tn)
+        (df, Option(alias).getOrElse(tn))
+      case other =>
+        parseErr(s"malformed UPDATE FROM source: '${other.trim}'")
+    }
 
   /** Split on top-level AND keywords (parentheses / strings honored). */
   private def splitTopAnd(s: String): Seq[String] = {

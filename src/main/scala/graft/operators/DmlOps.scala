@@ -61,6 +61,49 @@ object DmlOps {
       engine.table(name)
     })
 
+  /** Join-form UPDATE end-to-end ([[graft.EngineDml.updateFrom]]):
+    * register a lineitem slice and a high-price orders slice as managed
+    * tables, run `UPDATE … SET … FROM src WHERE …` where one SET
+    * expression reads a SOURCE column, and return the target. The
+    * oracle replays the semantics as a LEFT JOIN CASE rewrite in
+    * DuckDB — matched rows take the assignments (including the
+    * source-column one), unmatched rows pass through — so the
+    * hash-check proves both slices and the source-expression binding.
+    * o_orderkey is unique, so the multi-match guard stays quiet. */
+  val updateFromRoundtrip: NamedQuery = NamedQuery("q191_update_from",
+    Some("""SELECT l.l_orderkey, l.l_linenumber,
+           |CASE WHEN o.o_orderkey IS NOT NULL
+           |     THEN round(l.l_quantity, 2) + 10
+           |     ELSE round(l.l_quantity, 2) END AS qty,
+           |CASE WHEN o.o_orderkey IS NOT NULL
+           |     THEN substr(o.o_orderpriority, 1, 1)
+           |     ELSE l.l_returnflag END AS f
+           |FROM lineitem l LEFT JOIN
+           |  (SELECT * FROM orders WHERE o_totalprice > 150000) o
+           |  ON l.l_orderkey = o.o_orderkey
+           |WHERE l.l_orderkey <= 300""".stripMargin),
+    (s, d) => {
+      val engine = Engine(s)
+      val name = "graft_updfrom_tgt"
+      val src = "graft_updfrom_src"
+      engine.dropTable(name, ifExists = true)
+      engine.dropTable(src, ifExists = true)
+      engine.createTableAs(name, Tables.t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("qty"),
+          col("l_returnflag").as("f")))
+      engine.createTableAs(src, Tables.t(s, d, "orders")
+        .filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_orderpriority")))
+      engine.sql(
+        s"""UPDATE $name SET qty = qty + 10,
+           |f = substring($src.o_orderpriority, 1, 1)
+           |FROM $src WHERE $name.l_orderkey = $src.o_orderkey"""
+          .stripMargin)
+      engine.table(name)
+    })
+
   /** Materialized-aggregate rewrite end-to-end: register lineitem as a
     * managed table, materialize (returnflag, linestatus)-grouped
     * partials for four measures, and run a covered SQL aggregate — the
@@ -156,5 +199,6 @@ object DmlOps {
     })
 
   def defs: Seq[NamedQuery] =
-    Seq(dmlRoundtrip, updateRoundtrip, matviewAgg, matviewRefresh)
+    Seq(dmlRoundtrip, updateRoundtrip, updateFromRoundtrip, matviewAgg,
+      matviewRefresh)
 }

@@ -72,8 +72,9 @@ class EventsEncodingSpec extends SparkSpec {
     // or throws at analysis must fail this suite, not silently fall
     // out of the driver basket.
     // r15: q187 plain-UPDATE roundtrip (183); r16: q188 hybrid dense
-    // audit + q189 ANN-served hybrid + q190 NB discrimination (186)
-    assert(SparkEntry.queries.size >= 186,
+    // audit + q189 ANN-served hybrid + q190 NB discrimination (186);
+    // r16b: q191 join-form UPDATE (187)
+    assert(SparkEntry.queries.size >= 187,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
@@ -114,10 +115,12 @@ class EventsEncodingSpec extends SparkSpec {
       "may lack DuckDB oracle SQL") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // each of these carries a green companion audit row (q119-q122;
-    // q171's twin is q172, q176's is q177, q178's is q179)
+    // q171's twin is q172, q176's is q177, q189's is q188). q178
+    // graduated to a real oracle in r14 (pinned merge table +
+    // recursive-CTE replay).
     assert(noOracle == Set("q42_dedup_minhash_lsh", "q43_dedup_simhash",
       "q46_ann_lsh", "q75_ann_ivf", "q171_dedup_then_ann",
-      "q176_ann_ivfpq", "q178_bpe_tokenize"),
+      "q176_ann_ivfpq", "q189_hybrid_served"),
       s"oracle-less queries drifted: $noOracle — new queries must ship " +
         "with oracleSql or a documented audit twin")
   }

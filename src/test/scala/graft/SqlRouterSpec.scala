@@ -282,6 +282,53 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"DROP TABLE $t")
   }
 
+  test("join-form UPDATE ... FROM: source-column SET, untouched slice, " +
+      "subquery source, multi-match guard, determinism") {
+    val t = s"updf_${System.nanoTime()}"
+    val src = s"updf_src_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, qty INT, tag STRING)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10, 'a'), (2, 20, 'b'), " +
+      "(3, 30, 'c')")
+    engine.sql(s"CREATE TABLE $src (id INT, bonus INT)")
+    engine.sql(s"INSERT INTO $src VALUES (1, 100), (3, 300), (9, 900)")
+    // matched rows take SET expressions (one reads a SOURCE column);
+    // unmatched target rows pass through; unmatched source rows ignored
+    val r = engine.sql(s"UPDATE $t SET qty = qty + $src.bonus, " +
+      s"tag = 'joined' FROM $src WHERE $t.id = $src.id")
+    assert(r.head().getLong(0) == 2)
+    val rows = engine.table(t).orderBy("id").collect()
+    assert(rows(0).getInt(1) == 110 && rows(0).getString(2) == "joined")
+    assert(rows(1).getInt(1) == 20 && rows(1).getString(2) == "b")
+    assert(rows(2).getInt(1) == 330 && rows(2).getString(2) == "joined")
+    // subquery source with alias + extra WHERE residual predicate
+    engine.sql(s"UPDATE $t SET tag = 'big' FROM " +
+      s"(SELECT id AS sid, bonus FROM $src) s " +
+      s"WHERE $t.id = s.sid AND s.bonus >= 300")
+    val rows2 = engine.table(t).orderBy("id").collect()
+    assert(rows2(0).getString(2) == "joined") // bonus 100 misses
+    assert(rows2(2).getString(2) == "big")
+    // a target row matching two source rows is a Constraint Error
+    // (deterministic stance, like MERGE), and the table is untouched
+    engine.sql(s"INSERT INTO $src VALUES (1, 101)")
+    val before = engine.table(t).orderBy("id").collect().toSeq
+    val dup = intercept[IllegalArgumentException](
+      engine.sql(s"UPDATE $t SET qty = $src.bonus FROM $src " +
+        s"WHERE $t.id = $src.id"))
+    assert(dup.getMessage.contains("more than once"))
+    assert(engine.table(t).orderBy("id").collect().toSeq == before)
+    // non-deterministic SET/WHERE rejected, same as plain UPDATE
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"UPDATE $t SET qty = CAST(rand() * 10 AS INT) " +
+        s"FROM $src WHERE $t.id = $src.id AND $src.bonus = 900"))
+      .getMessage.contains("non-deterministic"))
+    // a FROM inside a SET string literal or function call never splits
+    engine.sql(s"UPDATE $t SET tag = 'from the FROM trap' WHERE id = 2")
+    assert(engine.table(t).filter(col("id") === 2).head().getString(2)
+      == "from the FROM trap")
+    engine.sql(s"DROP TABLE $t")
+    engine.sql(s"DROP TABLE $src")
+  }
+
   test("routed DML honors backslash escapes inside string literals and " +
       "rejects non-deterministic expressions") {
     val t = s"upd_esc_${System.nanoTime()}"
