@@ -114,12 +114,25 @@ object Bench {
     // but rejects a real ramp; the pass budget rises to 6 (re-run
     // passes only repeat the uncertified rows, so extra passes are
     // cheap when the host is mostly quiet).
+    // Each calibration point is the MEDIAN of three sentinel runs. The
+    // queries are median-of-5, but through r13 the sentinel was a
+    // single shot — on a ~0.1 s measurement one scheduling blip or GC
+    // pause inflates a bracketing stamp 1.5×, failing the 1.25× gate
+    // for a whole group while the query medians beside it are clean
+    // (r14 diagnosis: stamps clustered 1.3–1.7× over a min-of-50 floor
+    // with no corresponding movement in any query median). The median
+    // measures sustained load — which is what the gate is for — and
+    // keeps a real ramp visible: three consecutive readings only stay
+    // high if the host is actually busy.
     def calibrate(): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries("q05_agg_global")(spark, "/root/testdata/sf0.001")
-        .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try SparkEntry.queries("q05_agg_global")(spark, "/root/testdata/sf0.001")
+          .write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      Vector.fill(3)(once()).sorted.apply(1)
     }
     calibrate() // untimed: the sentinel must not measure its own codegen
     // corpus-level shared stages (e.g. the shingle index q41/q42 both
