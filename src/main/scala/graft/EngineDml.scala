@@ -411,4 +411,62 @@ private[graft] trait EngineDml { self: Engine =>
     put(name, remaining, kept)
     before - kept
   }
+
+  /** Join-form DELETE — `DELETE FROM t USING src WHERE cond` (the
+    * DuckDB/Postgres spelling): target rows with at least one TRUE
+    * join match are removed; NULL/false matches keep their rows (SQL
+    * tri-state, same as the plain form). Unlike UPDATE FROM there is
+    * no multi-match hazard — any number of matches deletes the row
+    * once — so the shape is a single anti-join on the condition
+    * (shuffling on the extracted equi-keys), copy-on-write swap,
+    * nothing driver-side but the counters. */
+  def deleteUsing(name: String, source: DataFrame, sourceAlias: String,
+      cond: Option[String]): Long = withTableLock(name) {
+    val e = registry.getOrElse(name, missing(name))
+    if (sourceAlias.equalsIgnoreCase(name))
+      throw new IllegalArgumentException(
+        s"Binder Error: DELETE USING source alias '$sourceAlias' " +
+          "collides with the target table name")
+    val t = e.df.alias(name)
+    val s = source.alias(sourceAlias)
+    val on = cond.map(expr).getOrElse(lit(true))
+    cond.foreach(c =>
+      requireDeterministic(t.crossJoin(s), expr(c), "DELETE WHERE"))
+    val remaining = t.join(s, on, "left_anti")
+      .select(e.df.columns.map(c => col(s"$name.$c").as(c))
+        .toIndexedSeq: _*)
+    val kept = remaining.count()
+    val before = e.rows
+    put(name, remaining, kept)
+    before - kept
+  }
+
+  /** INSERT … ON CONFLICT — the DuckDB upsert spelling, riding the
+    * MERGE machinery: `conflictCols` are the merge keys; DO NOTHING
+    * inserts only unmatched source rows; DO UPDATE applies the SET
+    * list to matched target rows with the incoming row visible under
+    * the standard `excluded` alias. Engine-defined divergence,
+    * documented: DuckDB requires a UNIQUE constraint on the conflict
+    * target; managed tables here carry no uniqueness, so the conflict
+    * columns act directly as merge keys (a source row "conflicts" iff
+    * a target row matches on them) — same keys, same answer, no
+    * constraint catalog required. Returns (updated, inserted). */
+  def insertOnConflict(name: String, source: DataFrame,
+      conflictCols: Seq[String],
+      updateSet: Option[Seq[(String, String)]]): (Long, Long) = {
+    val doUpdate = updateSet.map(_.toSeq)
+    val e = registry.getOrElse(name, missing(name))
+    val insertAll = e.df.columns.toSeq
+    if (source.columns.length != e.df.columns.length)
+      throw new IllegalArgumentException(
+        s"Binder Error: INSERT arity ${source.columns.length} does not " +
+          s"match table $name (${e.df.columns.length} columns)")
+    // positional alignment, like plain INSERT: a VALUES source arrives
+    // with synthetic column names, and the merge keys must resolve
+    val aligned = source.toDF(insertAll: _*)
+    mergeIntoColumns(name, aligned, conflictCols,
+      ta = name, sa = "excluded",
+      updateSet = doUpdate,
+      insertSpec = Some((insertAll, insertAll.map(c => s"excluded.$c"))))
+  }
 }

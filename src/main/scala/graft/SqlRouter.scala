@@ -86,6 +86,10 @@ private[graft] object SqlRouter {
     """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*\(([\w\s,]+)\)\s+(VALUES\s*.+|SELECT\s+.+|FROM\s+.+)""".r
   private val DeleteSql =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+)""".r
+  // join-form DELETE (DuckDB/Postgres USING clause); the source and
+  // optional WHERE split structurally like the UPDATE FROM form
+  private val DeleteUsingSql =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+USING\s+(.+)""".r
   // head only — the SET list and optional WHERE split on the top-level
   // WHERE keyword (strings/parens honored), not inside this regex, so
   // a 'WHERE' inside a string literal or subquery cannot truncate the
@@ -234,29 +238,12 @@ private[graft] object SqlRouter {
       Some(emptyOk(e))
     case DropIndex(ifEx, idx) =>
       e.dropIndex(unq(idx), ifExists = ifEx != null); Some(emptyOk(e))
+    case s if insertConflictParts(s).isDefined =>
+      val (head, tail) = insertConflictParts(s).get
+      routeInsertConflict(e, head, tail)
     case InsertColsSql(name0, cols, source) =>
       val name = unq(name0)
-      // explicit column list (alter_table.test:99-101): remaining columns
-      // of the target fill with NULL
-      // resolve the user's column list against the target schema
-      // case-insensitively, like Spark's own identifier resolution
-      val target = e.table(name)
-      val colNames = cols.split(",").map(_.trim).map { c =>
-        target.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
-      }
-      val src = sourceDf(e, source).toDF(colNames.toIndexedSeq: _*)
-      val full = target.columns.foldLeft(src) { (df, c) =>
-        if (colNames.contains(c)) df
-        else {
-          // omitted columns fill with their SET DEFAULT expression when
-          // one is registered, NULL otherwise
-          val fill = e.columnDefault(name, c).map(expr)
-            .getOrElse(org.apache.spark.sql.functions.lit(null))
-          df.withColumn(c, fill.cast(target.schema(c).dataType))
-        }
-      }.select(target.columns.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
-      e.insertInto(name, full)
+      e.insertInto(name, insertFrame(e, name, Some(cols), source))
       Some(emptyOk(e))
     case InsertSql(name, source) =>
       e.insertInto(unq(name), sourceDf(e, source))
@@ -283,6 +270,13 @@ private[graft] object SqlRouter {
       }
       import e.spark.implicits._
       Some(Seq(n).toDF("updated_rows"))
+    case DeleteUsingSql(name0, rest) =>
+      val name = unq(name0)
+      val (srcPart, wherePart) = splitTopWhere(rest)
+      val (df, alias) = updateSource(e, srcPart)
+      val n = e.deleteUsing(name, df, alias, wherePart)
+      import e.spark.implicits._
+      Some(Seq(n).toDF("deleted_rows"))
     case DeleteSql(name, cond) =>
       val n = e.deleteFrom(unq(name), expr(cond))
       import e.spark.implicits._
@@ -494,6 +488,91 @@ private[graft] object SqlRouter {
     """(?is)\s*\((.+)\)\s*(?:AS\s+)?(\w+)\s*""".r
   private val UpdateSrcTable =
     """(?is)\s*([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s*""".r
+
+  /** Build the full-width insert frame for `INSERT INTO t [(cols)]
+    * source`: explicit-list columns resolve case-insensitively against
+    * the target schema (alter_table.test:99-101); omitted columns fill
+    * with their SET DEFAULT expression when registered, NULL otherwise.
+    * Shared by the plain INSERT route and ON CONFLICT. */
+  private def insertFrame(e: Engine, name: String, cols: Option[String],
+      source: String): DataFrame = {
+    val target = e.table(name)
+    cols match {
+      case None => sourceDf(e, source)
+      case Some(list) =>
+        val colNames = list.split(",").map(_.trim).map { c =>
+          target.columns.find(_.equalsIgnoreCase(c)).getOrElse(c)
+        }
+        val src = sourceDf(e, source).toDF(colNames.toIndexedSeq: _*)
+        target.columns.foldLeft(src) { (df, c) =>
+          if (colNames.contains(c)) df
+          else {
+            val fill = e.columnDefault(name, c).map(expr)
+              .getOrElse(org.apache.spark.sql.functions.lit(null))
+            df.withColumn(c, fill.cast(target.schema(c).dataType))
+          }
+        }.select(target.columns.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
+    }
+  }
+
+  // ON CONFLICT tails: conflict target column list, then DO NOTHING or
+  // DO UPDATE SET assignments (the incoming row binds under the
+  // standard `excluded` alias)
+  private val ConflictNothing =
+    """(?is)\s*\(([\w\s,]+)\)\s+DO\s+NOTHING\s*;?\s*""".r
+  private val ConflictUpdate =
+    """(?is)\s*\(([\w\s,]+)\)\s+DO\s+UPDATE\s+SET\s+(.+?)\s*;?\s*""".r
+
+  /** Split an INSERT statement at its top-level ON CONFLICT clause;
+    * None when the statement has none (or is not an INSERT). The
+    * scanner honors strings and parens, so an ON CONFLICT inside a
+    * VALUES string literal or a SELECT subquery never splits. */
+  private def insertConflictParts(sql: String): Option[(String, String)] = {
+    val upper = sql.trim
+    if (!upper.regionMatches(true, 0, "INSERT", 0, 6)) None
+    else splitTopKeyword(sql, "ON CONFLICT") match {
+      case (head, Some(tail)) => Some((head, tail))
+      case _ => None
+    }
+  }
+
+  /** Route `INSERT INTO t [(cols)] source ON CONFLICT (keys) DO …`:
+    * the insert frame builds exactly like a plain INSERT (defaults
+    * fill), then upserts through the MERGE machinery with the conflict
+    * columns as keys ([[graft.EngineDml.insertOnConflict]]). */
+  private def routeInsertConflict(e: Engine, head: String,
+      tail: String): Option[DataFrame] = {
+    val (name, full) = head match {
+      case InsertColsSql(n0, cols, source) =>
+        val n = unq(n0); (n, insertFrame(e, n, Some(cols), source))
+      case InsertSql(n0, source) =>
+        val n = unq(n0); (n, insertFrame(e, n, None, source))
+      case _ =>
+        parseErr("malformed INSERT before ON CONFLICT")
+    }
+    val (keysRaw, updateSet) = tail match {
+      case ConflictNothing(keys) => (keys, None)
+      case ConflictUpdate(keys, sets) =>
+        (keys, Some(splitTopComma(sets).map {
+          case AssignSql(qual, c, ex) =>
+            if (qual != null && !qual.equalsIgnoreCase(name))
+              parseErr("ON CONFLICT DO UPDATE SET must assign columns " +
+                s"of the target table (got $qual.$c)")
+            c -> ex
+          case bad =>
+            parseErr(s"malformed ON CONFLICT assignment: '${bad.trim}'")
+        }))
+      case _ =>
+        parseErr("malformed ON CONFLICT clause (expected " +
+          "(cols) DO NOTHING | (cols) DO UPDATE SET ...)")
+    }
+    val keys = keysRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val (updated, inserted) =
+      e.insertOnConflict(name, full, keys, updateSet)
+    import e.spark.implicits._
+    Some(Seq((updated, inserted)).toDF("updated_rows", "inserted_rows"))
+  }
 
   /** Resolve the FROM clause of a join-form UPDATE to a frame plus the
     * alias its columns bind under in SET/WHERE expressions. */

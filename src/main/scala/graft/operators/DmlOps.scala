@@ -104,6 +104,91 @@ object DmlOps {
       engine.table(name)
     })
 
+  /** Join-form DELETE end-to-end ([[graft.EngineDml.deleteUsing]]):
+    * `DELETE FROM t USING src WHERE …` removes target rows with a TRUE
+    * join match — one anti-join, copy-on-write. The oracle expresses
+    * the final state as a NOT-EXISTS filter over the base tables, so
+    * the hash-check proves both the deleted and the kept slice
+    * (including rows whose predicate evaluates NULL — kept). */
+  val deleteUsingRoundtrip: NamedQuery = NamedQuery("q192_delete_using",
+    Some("""SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+           |FROM lineitem l WHERE l_orderkey <= 300 AND NOT EXISTS (
+           |  SELECT 1 FROM orders o
+           |  WHERE o.o_orderkey = l.l_orderkey
+           |    AND o.o_totalprice > 150000)""".stripMargin),
+    (s, d) => {
+      val engine = Engine(s)
+      val name = "graft_delu_tgt"
+      val src = "graft_delu_src"
+      engine.dropTable(name, ifExists = true)
+      engine.dropTable(src, ifExists = true)
+      engine.createTableAs(name, Tables.t(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("qty")))
+      engine.createTableAs(src, Tables.t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice")))
+      engine.sql(s"DELETE FROM $name USING $src " +
+        s"WHERE $name.l_orderkey = $src.o_orderkey " +
+        s"AND $src.o_totalprice > 150000")
+      engine.table(name)
+    })
+
+  /** Upsert end-to-end ([[graft.EngineDml.insertOnConflict]]):
+    * `INSERT … ON CONFLICT (key) DO UPDATE SET … ` over a managed
+    * orders slice, with one SET expression reading the incoming row
+    * through the standard `excluded` alias. The source holds existing
+    * keys (conflict → update) and new keys (insert); the oracle
+    * reconstructs the final state as existing-rows-with-CASE plus the
+    * unmatched source rows, so the hash-check proves both halves and
+    * the excluded binding. */
+  val insertConflictRoundtrip: NamedQuery = NamedQuery("q193_insert_conflict",
+    Some("""WITH src AS (
+           |  SELECT o_orderkey + CASE WHEN o_orderkey % 2 = 0
+           |           THEN 0 ELSE 1000000 END AS o_orderkey,
+           |         o_custkey, round(o_totalprice, 2) AS price,
+           |         'upsert' AS tag
+           |  FROM orders WHERE o_orderkey <= 200)
+           |SELECT t.o_orderkey, t.o_custkey,
+           |  CASE WHEN s.o_orderkey IS NOT NULL
+           |       THEN round(s.price + 1, 2) ELSE t.price END AS price,
+           |  CASE WHEN s.o_orderkey IS NOT NULL
+           |       THEN concat(t.tag, '+', s.tag) ELSE t.tag END AS tag
+           |FROM (SELECT o_orderkey, o_custkey,
+           |        round(o_totalprice, 2) AS price, 'base' AS tag
+           |      FROM orders WHERE o_orderkey <= 400) t
+           |LEFT JOIN src s ON s.o_orderkey = t.o_orderkey
+           |UNION ALL
+           |SELECT s.o_orderkey, s.o_custkey, s.price, s.tag
+           |FROM src s WHERE NOT EXISTS (
+           |  SELECT 1 FROM orders t2 WHERE t2.o_orderkey <= 400
+           |    AND t2.o_orderkey = s.o_orderkey)""".stripMargin),
+    (s, d) => {
+      val engine = Engine(s)
+      val name = "graft_conf_tgt"
+      engine.dropTable(name, ifExists = true)
+      engine.createTableAs(name, Tables.t(s, d, "orders")
+        .filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          lit("base").as("tag")))
+      // half the source keys collide with the target (even keys ≤ 200),
+      // half are fresh (odd keys shifted out of range)
+      val src = Tables.t(s, d, "orders")
+        .filter(col("o_orderkey") <= 200)
+        .select((col("o_orderkey") + when(col("o_orderkey") % 2 === 0, 0)
+            .otherwise(1000000)).as("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          lit("upsert").as("tag"))
+      src.createOrReplaceTempView("graft_conf_src")
+      engine.sql(s"INSERT INTO $name SELECT * FROM graft_conf_src " +
+        "ON CONFLICT (o_orderkey) DO UPDATE SET " +
+        s"price = round(excluded.price + 1, 2), " +
+        s"tag = concat($name.tag, '+', excluded.tag)")
+      engine.table(name)
+    })
+
   /** Materialized-aggregate rewrite end-to-end: register lineitem as a
     * managed table, materialize (returnflag, linestatus)-grouped
     * partials for four measures, and run a covered SQL aggregate — the
@@ -199,6 +284,7 @@ object DmlOps {
     })
 
   def defs: Seq[NamedQuery] =
-    Seq(dmlRoundtrip, updateRoundtrip, updateFromRoundtrip, matviewAgg,
+    Seq(dmlRoundtrip, updateRoundtrip, updateFromRoundtrip,
+      deleteUsingRoundtrip, insertConflictRoundtrip, matviewAgg,
       matviewRefresh)
 }

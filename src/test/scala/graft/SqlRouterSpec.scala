@@ -329,6 +329,67 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"DROP TABLE $src")
   }
 
+  test("DELETE ... USING: join delete, tri-state WHERE, subquery source") {
+    val t = s"delu_${System.nanoTime()}"
+    val src = s"delu_src_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    engine.sql(s"CREATE TABLE $src (id INT, cut INT)")
+    engine.sql(s"INSERT INTO $src VALUES (1, 1), (3, NULL), (9, 1)")
+    // id=1 matches TRUE; id=3's predicate is NULL (kept — tri-state);
+    // id=9 has no target row; duplicates in the source delete once
+    val r = engine.sql(s"DELETE FROM $t USING $src " +
+      s"WHERE $t.id = $src.id AND $src.cut = 1")
+    assert(r.columns.sameElements(Array("deleted_rows")))
+    assert(r.head().getLong(0) == 1)
+    assert(engine.table(t).orderBy("id").collect().map(_.getInt(0)).toSeq
+      == Seq(2, 3, 4))
+    // subquery source; multiple matches still delete the row once
+    engine.sql(s"INSERT INTO $src VALUES (2, 1), (2, 1)")
+    val r2 = engine.sql(s"DELETE FROM $t USING " +
+      s"(SELECT id AS sid FROM $src WHERE cut = 1) s WHERE $t.id = s.sid")
+    assert(r2.head().getLong(0) == 1)
+    assert(engine.table(t).count() == 2)
+    engine.sql(s"DROP TABLE $t"); engine.sql(s"DROP TABLE $src")
+  }
+
+  test("INSERT ... ON CONFLICT: DO NOTHING skips matches, DO UPDATE " +
+      "upserts with the excluded alias, dup-key sources error") {
+    val t = s"conf_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT, tag STRING)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10, 'a'), (2, 20, 'b')")
+    // DO NOTHING: conflicting key 1 skipped, new key 3 inserted
+    val r = engine.sql(s"INSERT INTO $t VALUES (1, 99, 'x'), " +
+      "(3, 30, 'c') ON CONFLICT (id) DO NOTHING")
+    assert(r.columns.sameElements(Array("updated_rows", "inserted_rows")))
+    assert(r.head().getLong(1) == 1)
+    val afterNothing = engine.table(t).orderBy("id").collect()
+    assert(afterNothing.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(afterNothing(0).getInt(1) == 10) // untouched
+    // DO UPDATE: matched row takes assignments; excluded = incoming row;
+    // unmatched inserts; unnamed columns keep target values
+    val r2 = engine.sql(s"INSERT INTO $t VALUES (2, 200, 'B2'), " +
+      s"(4, 40, 'd') ON CONFLICT (id) DO UPDATE SET v = excluded.v, " +
+      s"tag = concat($t.tag, '+', excluded.tag)")
+    assert(r2.head().getLong(0) == 1 && r2.head().getLong(1) == 1)
+    val rows = engine.table(t).orderBy("id").collect()
+    assert(rows(1).getInt(1) == 200 && rows(1).getString(2) == "b+B2")
+    assert(rows(3).getInt(1) == 40 && rows(3).getString(2) == "d")
+    // explicit column list composes: omitted columns fill NULL/default
+    engine.sql(s"INSERT INTO $t (id, v) VALUES (5, 50), (2, 2000) " +
+      "ON CONFLICT (id) DO UPDATE SET v = excluded.v")
+    val rows2 = engine.table(t).orderBy("id").collect()
+    assert(rows2(1).getInt(1) == 2000 && rows2(1).getString(2) == "b+B2")
+    assert(rows2(4).getInt(1) == 50 && rows2(4).isNullAt(2))
+    // DO UPDATE with duplicate conflict keys in one statement errors
+    // (one target row would be updated twice), same stance as MERGE
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"INSERT INTO $t VALUES (1, 1, 'p'), (1, 2, 'q') " +
+        "ON CONFLICT (id) DO UPDATE SET v = excluded.v")).getMessage
+      .contains("more than once"))
+    engine.sql(s"DROP TABLE $t")
+  }
+
   test("routed DML honors backslash escapes inside string literals and " +
       "rejects non-deterministic expressions") {
     val t = s"upd_esc_${System.nanoTime()}"
