@@ -31,6 +31,23 @@ private[graft] trait EngineIndexes { self: Engine =>
       throw new IllegalArgumentException(
         s"Catalog Error: Index with name \"$indexName\" does not exist!")
 
+  /** Conflict-target inference for `INSERT OR REPLACE / OR IGNORE`:
+    * DuckDB resolves those shorthands through the table's unique
+    * constraint; here the index registry plays that role — the
+    * shorthand works iff the table has exactly ONE distinct indexed
+    * column-set whose columns all exist in the schema (ANN/tokenizer
+    * artifacts register non-column entries and are filtered out).
+    * None ⇒ the router tells the user to spell ON CONFLICT (…)
+    * explicitly. */
+  private[graft] def soleIndexCols(table: String): Option[Seq[String]] = {
+    val cols = registry.get(table).map(_.df.columns.toSet)
+      .getOrElse(return None)
+    val sets = indexRegistry.values.toSeq
+      .collect { case (t, c) if t == table && c.forall(cols) => c }
+      .distinct
+    sets match { case Seq(one) => Some(one); case _ => None }
+  }
+
   /** Build a persisted IVF index over a table's embedding column:
     * sampled-k-means centroids and cell assignments land as managed
     * tables (`<index>_centroids`, `<index>_cells`), so the training

@@ -90,6 +90,10 @@ private[graft] object SqlRouter {
   // optional WHERE split structurally like the UPDATE FROM form
   private val DeleteUsingSql =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+USING\s+(.+)""".r
+  // DuckDB upsert shorthands; the conflict target is inferred from the
+  // table's single registered index (Engine.soleIndexCols)
+  private val InsertOrSql =
+    """(?is)\s*INSERT\s+OR\s+(REPLACE|IGNORE)\s+INTO\s+([\w.]+)(?:\s*\(([\w\s,]+)\))?\s+(VALUES\s*.+?|SELECT\s+.+?|FROM\s+.+?)\s*;?\s*""".r
   // head only — the SET list and optional WHERE split on the top-level
   // WHERE keyword (strings/parens honored), not inside this regex, so
   // a 'WHERE' inside a string literal or subquery cannot truncate the
@@ -241,6 +245,23 @@ private[graft] object SqlRouter {
     case s if insertConflictParts(s).isDefined =>
       val (head, tail) = insertConflictParts(s).get
       routeInsertConflict(e, head, tail)
+    case InsertOrSql(mode, name0, cols, source) =>
+      val name = unq(name0)
+      val keys = e.soleIndexCols(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"Binder Error: INSERT OR ${mode.toUpperCase} needs exactly " +
+            s"one index on $name to infer the conflict target — create " +
+            "one, or spell INSERT ... ON CONFLICT (cols) explicitly"))
+      val full = insertFrame(e, name, Option(cols), source)
+      import e.spark.implicits._
+      val (updated, inserted) =
+        if (mode.equalsIgnoreCase("REPLACE"))
+          // whole-row replace ≡ the whole-row MERGE (dup-key sources
+          // error there, matching DuckDB's can-not-update-twice rule)
+          e.mergeInto(name,
+            full.toDF(e.table(name).columns.toIndexedSeq: _*), keys)
+        else e.insertOnConflict(name, full, keys, None)
+      Some(Seq((updated, inserted)).toDF("updated_rows", "inserted_rows"))
     case InsertColsSql(name0, cols, source) =>
       val name = unq(name0)
       e.insertInto(name, insertFrame(e, name, Some(cols), source))

@@ -390,6 +390,35 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"DROP TABLE $t")
   }
 
+  test("INSERT OR REPLACE / OR IGNORE infer the conflict target from " +
+      "the table's single index") {
+    val t = s"ior_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    // no index yet: the shorthand cannot infer its conflict target
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"INSERT OR REPLACE INTO $t VALUES (1, 11)")).getMessage
+      .contains("infer the conflict target"))
+    engine.sql(s"CREATE INDEX ior_ix_$t ON $t (id)")
+    // OR REPLACE: whole-row replace on the indexed key; new key inserts
+    val r = engine.sql(s"INSERT OR REPLACE INTO $t VALUES (1, 11), (3, 30)")
+    assert(r.head().getLong(0) == 1 && r.head().getLong(1) == 1)
+    val rows = engine.table(t).orderBy("id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((1, 11), (2, 20), (3, 30)))
+    // OR IGNORE: conflicting row skipped, fresh row inserted
+    val r2 = engine.sql(s"INSERT OR IGNORE INTO $t VALUES (2, 999), (4, 40)")
+    assert(r2.head().getLong(1) == 1)
+    val rows2 = engine.table(t).orderBy("id").collect()
+    assert(rows2(1).getInt(1) == 20 && rows2(3).getInt(1) == 40)
+    // two distinct indexed column-sets → ambiguous again
+    engine.sql(s"CREATE INDEX ior_ix2_$t ON $t (v)")
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"INSERT OR IGNORE INTO $t VALUES (5, 50)")).getMessage
+      .contains("infer the conflict target"))
+    engine.sql(s"DROP TABLE $t")
+  }
+
   test("routed DML honors backslash escapes inside string literals and " +
       "rejects non-deterministic expressions") {
     val t = s"upd_esc_${System.nanoTime()}"
