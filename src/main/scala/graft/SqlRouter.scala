@@ -34,7 +34,7 @@ private[graft] object SqlRouter {
     "CreateTable", "CreateTableAsSelect", "ReplaceTable", "DropTable",
     "AddColumns", "DropColumns", "RenameColumn", "AlterColumn",
     "AlterColumns", "RenameTable", "CreateIndex", "DropIndex",
-    "CreateMaterializedViewAsSelect")
+    "CreateMaterializedViewAsSelect", "TruncateTable")
 
   /** Some(true) → Spark parses this as a routed command family;
     * Some(false) → Spark parses it as something else (pure query, or a
@@ -90,6 +90,9 @@ private[graft] object SqlRouter {
   // optional WHERE split structurally like the UPDATE FROM form
   private val DeleteUsingSql =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+USING\s+(.+)""".r
+  // TRUNCATE [TABLE] name — empty the table, keep schema/constraints
+  private val TruncateSql =
+    """(?is)\s*TRUNCATE\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*""".r
   // DuckDB upsert shorthands; the conflict target is inferred from the
   // table's single registered index (Engine.soleIndexCols)
   private val InsertOrSql =
@@ -300,6 +303,12 @@ private[graft] object SqlRouter {
       Some(Seq(n).toDF("deleted_rows"))
     case DeleteSql(name, cond) =>
       val n = e.deleteFrom(unq(name), expr(cond))
+      import e.spark.implicits._
+      Some(Seq(n).toDF("deleted_rows"))
+    case TruncateSql(name) if e.tableExists(unq(name)) =>
+      // DELETE-all through the same copy-on-write path: schema, NOT
+      // NULL/ENUM metadata, defaults, and version history all survive
+      val n = e.deleteFrom(unq(name), expr("true"))
       import e.spark.implicits._
       Some(Seq(n).toDF("deleted_rows"))
     case DeleteAllSql(name) if e.tableExists(unq(name)) =>

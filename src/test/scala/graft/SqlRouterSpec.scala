@@ -419,6 +419,27 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"DROP TABLE $t")
   }
 
+  test("TRUNCATE empties the table but keeps schema, constraints, and " +
+      "insertability") {
+    val t = s"trunc_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, tag STRING)")
+    engine.sql(s"ALTER TABLE $t ALTER COLUMN id SET NOT NULL")
+    engine.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    val r = engine.sql(s"TRUNCATE TABLE $t")
+    assert(r.columns.sameElements(Array("deleted_rows")))
+    assert(r.head().getLong(0) == 2)
+    assert(engine.table(t).count() == 0)
+    assert(engine.table(t).columns.sameElements(Array("id", "tag")))
+    // constraints survive the truncate
+    intercept[IllegalArgumentException](
+      engine.sql(s"INSERT INTO $t VALUES (NULL, 'x')"))
+    // the bare spelling (no TABLE keyword) routes too
+    engine.sql(s"INSERT INTO $t VALUES (3, 'c')")
+    assert(engine.sql(s"TRUNCATE $t").head().getLong(0) == 1)
+    assert(engine.table(t).count() == 0)
+    engine.sql(s"DROP TABLE $t")
+  }
+
   test("routed DML honors backslash escapes inside string literals and " +
       "rejects non-deterministic expressions") {
     val t = s"upd_esc_${System.nanoTime()}"
