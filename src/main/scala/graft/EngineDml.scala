@@ -453,7 +453,12 @@ private[graft] trait EngineDml { self: Engine =>
     * constraint catalog required. Returns (updated, inserted). */
   def insertOnConflict(name: String, source: DataFrame,
       conflictCols: Seq[String],
-      updateSet: Option[Seq[(String, String)]]): (Long, Long) = {
+      updateSet: Option[Seq[(String, String)]]): (Long, Long) =
+      withTableLock(name) {
+    // the whole verb runs under the (reentrant) table lock — the arity
+    // check and positional alignment below read the schema, and a
+    // concurrent ALTER TABLE between them and the merge would misalign
+    // the frame (updateFrom/deleteUsing take the same whole-verb lock)
     val doUpdate = updateSet.map(_.toSeq)
     val e = registry.getOrElse(name, missing(name))
     val insertAll = e.df.columns.toSeq
@@ -463,10 +468,52 @@ private[graft] trait EngineDml { self: Engine =>
           s"match table $name (${e.df.columns.length} columns)")
     // positional alignment, like plain INSERT: a VALUES source arrives
     // with synthetic column names, and the merge keys must resolve
-    val aligned = source.toDF(insertAll: _*)
+    val aligned0 = source.toDF(insertAll: _*)
+    // DO NOTHING: a batch may conflict with ITSELF — DuckDB inserts the
+    // first row per conflict key and ignores the rest. Keep one row per
+    // non-NULL key set in statement order (monotonically_increasing_id
+    // is monotone in partition-then-row order, which is the VALUES /
+    // source order within the single evaluation this window needs);
+    // NULL-key rows never conflict and all pass through. DO UPDATE
+    // keeps the full batch: mergeStats' duplicate probe raises there,
+    // matching DuckDB's can-not-update-the-same-row-twice rule.
+    val aligned = if (updateSet.isDefined) aligned0 else {
+      val keyCols = conflictCols.map(k =>
+        aligned0.columns.find(_.equalsIgnoreCase(k)).getOrElse(k))
+      val anyNull = keyCols.map(aligned0.col(_).isNull).reduce(_ || _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy(col("__graft_ord"))
+      aligned0.withColumn("__graft_ord", monotonically_increasing_id())
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1 || anyNull)
+        .drop("__graft_ord", "__graft_rn")
+    }
     mergeIntoColumns(name, aligned, conflictCols,
       ta = name, sa = "excluded",
       updateSet = doUpdate,
       insertSpec = Some((insertAll, insertAll.map(c => s"excluded.$c"))))
+  }
+
+  /** INSERT OR REPLACE rides the whole-row MERGE, whose documented
+    * N-to-1 collapse on duplicate TARGET key values would silently
+    * shrink the table; DuckDB refuses the shorthand absent a UNIQUE
+    * constraint. The index registry is advisory (no uniqueness is
+    * enforced on managed tables), so the route probes the target for
+    * duplicate key values first and raises a Constraint Error instead
+    * of collapsing. One aggregate-only action on the conflict columns;
+    * NULL keys never conflict and are exempt. */
+  private[graft] def requireUniqueKeys(name: String, keys: Seq[String],
+      ctx: String): Unit = {
+    val e = registry.getOrElse(name, missing(name))
+    val keysNonNull = keys.map(e.df.col(_).isNotNull).reduce(_ && _)
+    val dup = e.df.filter(keysNonNull).groupBy(keys.map(e.df.col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).head(1)
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Constraint Error: $ctx needs unique values on its inferred " +
+          s"conflict target $name(${keys.mkString(",")}); found " +
+          s"duplicate key (${dup.head.toSeq.init.mkString(",")}) — " +
+          "the whole-row replace would collapse those rows into one")
   }
 }

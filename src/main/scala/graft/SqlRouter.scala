@@ -147,11 +147,16 @@ private[graft] object SqlRouter {
     }
 
   private def regexRoutable(q: String): Boolean = {
+    // every verb route() intercepts must appear here (SqlRouterSpec
+    // asserts the wouldRoute-must-match-route contract) — the ON
+    // CONFLICT form is covered via InsertSql/InsertColsSql, whose
+    // source tail swallows the clause
     val patterns = Seq(CreateTable, CreateTableAs, DropTable, AlterColType,
       AlterSetNotNull, AlterDropNotNull, AlterDropDefault, AlterSetDefault,
       CreateType, DropType, AlterAdd, AlterDrop, AlterRenameCol,
-      AlterRenameTable, CreateIndex, DropIndex, InsertColsSql, InsertSql,
-      DeleteSql, DeleteAllSql, UpdateSql, MergeHead, CreateMatViewSql,
+      AlterRenameTable, CreateIndex, DropIndex, InsertOrSql, InsertColsSql,
+      InsertSql, DeleteUsingSql, DeleteSql, DeleteAllSql, TruncateSql,
+      UpdateSql, MergeHead, CreateMatViewSql,
       RefreshMatViewSql, DropMatViewSql, OptimizeSql,
       CreateClassifierSql, DropClassifierSql, ClassifySql)
     patterns.exists(_.pattern.matcher(q).matches())
@@ -258,11 +263,16 @@ private[graft] object SqlRouter {
       val full = insertFrame(e, name, Option(cols), source)
       import e.spark.implicits._
       val (updated, inserted) =
-        if (mode.equalsIgnoreCase("REPLACE"))
+        if (mode.equalsIgnoreCase("REPLACE")) {
+          // duplicate TARGET keys would make the whole-row MERGE
+          // collapse N rows into one — refuse, like DuckDB refuses the
+          // shorthand absent a UNIQUE constraint
+          e.requireUniqueKeys(name, keys, "INSERT OR REPLACE")
           // whole-row replace ≡ the whole-row MERGE (dup-key sources
           // error there, matching DuckDB's can-not-update-twice rule)
           e.mergeInto(name,
             full.toDF(e.table(name).columns.toIndexedSeq: _*), keys)
+        }
         else e.insertOnConflict(name, full, keys, None)
       Some(Seq((updated, inserted)).toDF("updated_rows", "inserted_rows"))
     case InsertColsSql(name0, cols, source) =>
@@ -305,9 +315,13 @@ private[graft] object SqlRouter {
       val n = e.deleteFrom(unq(name), expr(cond))
       import e.spark.implicits._
       Some(Seq(n).toDF("deleted_rows"))
-    case TruncateSql(name) if e.tableExists(unq(name)) =>
+    case TruncateSql(name) =>
       // DELETE-all through the same copy-on-write path: schema, NOT
-      // NULL/ENUM metadata, defaults, and version history all survive
+      // NULL/ENUM metadata, defaults, and version history all survive.
+      // Routed unconditionally (wouldRoute must match route; a missing
+      // table raises the catalog error inside deleteFrom) — falling
+      // through would hand Spark an eager TruncateTableCommand that
+      // dies on the engine temp view anyway
       val n = e.deleteFrom(unq(name), expr("true"))
       import e.spark.implicits._
       Some(Seq(n).toDF("deleted_rows"))
@@ -548,23 +562,61 @@ private[graft] object SqlRouter {
 
   // ON CONFLICT tails: conflict target column list, then DO NOTHING or
   // DO UPDATE SET assignments (the incoming row binds under the
-  // standard `excluded` alias)
+  // standard `excluded` alias). The bare (target-less) forms infer the
+  // keys from the table's sole registered index, like INSERT OR …
   private val ConflictNothing =
     """(?is)\s*\(([\w\s,]+)\)\s+DO\s+NOTHING\s*;?\s*""".r
   private val ConflictUpdate =
     """(?is)\s*\(([\w\s,]+)\)\s+DO\s+UPDATE\s+SET\s+(.+?)\s*;?\s*""".r
+  private val ConflictNothingBare =
+    """(?is)\s*DO\s+NOTHING\s*;?\s*""".r
+  private val ConflictUpdateBare =
+    """(?is)\s*DO\s+UPDATE\s+SET\s+(.+?)\s*;?\s*""".r
 
   /** Split an INSERT statement at its top-level ON CONFLICT clause;
-    * None when the statement has none (or is not an INSERT). The
-    * scanner honors strings and parens, so an ON CONFLICT inside a
+    * None when the statement has none (or is not an INSERT). The two
+    * keywords match as separate whitespace-delimited tokens (any
+    * whitespace, including newlines and runs of spaces), and the
+    * clause must be followed by a '(' conflict target or the DO
+    * keyword — so a join condition on a column literally named
+    * `conflict` (`… JOIN u ON conflict = u.k`) never trips the route.
+    * The scanner honors strings and parens, so an ON CONFLICT inside a
     * VALUES string literal or a SELECT subquery never splits. */
   private def insertConflictParts(sql: String): Option[(String, String)] = {
-    val upper = sql.trim
-    if (!upper.regionMatches(true, 0, "INSERT", 0, 6)) None
-    else splitTopKeyword(sql, "ON CONFLICT") match {
-      case (head, Some(tail)) => Some((head, tail))
-      case _ => None
+    if (!sql.trim.regionMatches(true, 0, "INSERT", 0, 6)) return None
+    val s = sql
+    var depth = 0; var inStr = false; var i = 0
+    def wb(j: Int): Boolean =
+      j < 0 || j >= s.length ||
+        (!Character.isLetterOrDigit(s.charAt(j)) && s.charAt(j) != '_')
+    def skipWs(j0: Int): Int = {
+      var j = j0
+      while (j < s.length && Character.isWhitespace(s.charAt(j))) j += 1
+      j
     }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      // backslash-escaped chars never close the literal; doubled ''
+      // falls out of quote-toggling (same scanner as splitTopKeyword)
+      if (inStr) { if (c == '\\') i += 1 else if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'O' | 'o' if depth == 0 &&
+            s.regionMatches(true, i, "ON", 0, 2) && wb(i - 1) && wb(i + 2) =>
+          val j = skipWs(i + 2)
+          if (s.regionMatches(true, j, "CONFLICT", 0, 8) && wb(j + 8)) {
+            val k = skipWs(j + 8)
+            if (k < s.length && (s.charAt(k) == '(' ||
+                (s.regionMatches(true, k, "DO", 0, 2) && wb(k + 2))))
+              return Some((s.substring(0, i), s.substring(j + 8)))
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    None
   }
 
   /** Route `INSERT INTO t [(cols)] source ON CONFLICT (keys) DO …`:
@@ -581,21 +633,33 @@ private[graft] object SqlRouter {
       case _ =>
         parseErr("malformed INSERT before ON CONFLICT")
     }
+    def parseSets(sets: String): Seq[(String, String)] =
+      splitTopComma(sets).map {
+        case AssignSql(qual, c, ex) =>
+          if (qual != null && !qual.equalsIgnoreCase(name))
+            parseErr("ON CONFLICT DO UPDATE SET must assign columns " +
+              s"of the target table (got $qual.$c)")
+          c -> ex
+        case bad =>
+          parseErr(s"malformed ON CONFLICT assignment: '${bad.trim}'")
+      }
+    // target-less forms resolve through the same sole-index inference
+    // as INSERT OR REPLACE/IGNORE (DuckDB resolves them through the
+    // table's unique constraint; the index registry plays that role)
+    def inferredKeys: String = e.soleIndexCols(name)
+      .map(_.mkString(",")).getOrElse(
+        throw new IllegalArgumentException(
+          "Binder Error: ON CONFLICT without a target needs exactly " +
+            s"one index on $name to infer the conflict columns — " +
+            "create one, or spell ON CONFLICT (cols) explicitly"))
     val (keysRaw, updateSet) = tail match {
       case ConflictNothing(keys) => (keys, None)
-      case ConflictUpdate(keys, sets) =>
-        (keys, Some(splitTopComma(sets).map {
-          case AssignSql(qual, c, ex) =>
-            if (qual != null && !qual.equalsIgnoreCase(name))
-              parseErr("ON CONFLICT DO UPDATE SET must assign columns " +
-                s"of the target table (got $qual.$c)")
-            c -> ex
-          case bad =>
-            parseErr(s"malformed ON CONFLICT assignment: '${bad.trim}'")
-        }))
+      case ConflictUpdate(keys, sets) => (keys, Some(parseSets(sets)))
+      case ConflictNothingBare() => (inferredKeys, None)
+      case ConflictUpdateBare(sets) => (inferredKeys, Some(parseSets(sets)))
       case _ =>
         parseErr("malformed ON CONFLICT clause (expected " +
-          "(cols) DO NOTHING | (cols) DO UPDATE SET ...)")
+          "[(cols)] DO NOTHING | [(cols)] DO UPDATE SET ...)")
     }
     val keys = keysRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val (updated, inserted) =

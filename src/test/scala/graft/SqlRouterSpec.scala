@@ -440,6 +440,127 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"DROP TABLE $t")
   }
 
+  test("explain classifies the round-14 DML verbs as routed without " +
+      "executing them (wouldRoute ≡ route)") {
+    val t = s"expl_dml_${System.nanoTime()}"
+    val src = s"expl_src_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT)")
+    engine.sql(s"CREATE TABLE $src (id INT, v INT)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20)")
+    engine.sql(s"CREATE INDEX expl_ix_$t ON $t (id)")
+    // each verb classifies as routed DDL/DML and leaves the table alone
+    Seq(
+      s"TRUNCATE TABLE $t",
+      s"TRUNCATE $t",
+      s"DELETE FROM $t USING $src WHERE $t.id = $src.id",
+      s"INSERT OR REPLACE INTO $t VALUES (1, 11)",
+      s"INSERT OR IGNORE INTO $t VALUES (9, 90)",
+      s"INSERT INTO $t VALUES (9, 90) ON CONFLICT (id) DO NOTHING"
+    ).foreach { q =>
+      val exp = engine.explain(q).head()
+      assert(exp.getAs[String]("plan") == "routed DDL/DML", q)
+      assert(engine.table(t).count() == 2, s"explain executed: $q")
+    }
+    // TRUNCATE routes even when the table is missing (wouldRoute must
+    // match route) — the route raises the catalog error, not Spark
+    assert(engine.explain("TRUNCATE TABLE no_such_tbl").head()
+      .getAs[String]("plan") == "routed DDL/DML")
+    intercept[IllegalArgumentException](
+      engine.sql("TRUNCATE TABLE no_such_tbl"))
+    engine.sql(s"DROP TABLE $t"); engine.sql(s"DROP TABLE $src")
+  }
+
+  test("ON CONFLICT keyword matching: any whitespace between ON and " +
+      "CONFLICT; a join column named `conflict` never trips the route") {
+    val t = s"confws_${System.nanoTime()}"
+    val u = s"confws_u_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10)")
+    // newline + double-space spellings both route
+    val r = engine.sql(s"INSERT INTO $t VALUES (1, 99), (2, 20) ON\n" +
+      "CONFLICT (id) DO NOTHING")
+    assert(r.head().getLong(1) == 1)
+    engine.sql(s"INSERT INTO $t VALUES (3, 30) ON  CONFLICT  (id) " +
+      "DO UPDATE SET v = excluded.v")
+    assert(engine.table(t).count() == 3)
+    // a valid INSERT…SELECT joining ON a column literally named
+    // `conflict` takes the plain INSERT route (no parse error)
+    engine.sql(s"CREATE TABLE $u (conflict INT, w INT)")
+    engine.sql(s"INSERT INTO $u VALUES (4, 40)")
+    engine.sql(s"CREATE TABLE ${u}_k (k INT, w2 INT)")
+    engine.sql(s"INSERT INTO ${u}_k VALUES (4, 44)")
+    engine.sql(s"INSERT INTO $t SELECT $u.conflict, ${u}_k.w2 FROM $u " +
+      s"JOIN ${u}_k ON conflict = ${u}_k.k")
+    assert(engine.table(t).count() == 4)
+    engine.sql(s"DROP TABLE $t"); engine.sql(s"DROP TABLE $u")
+    engine.sql(s"DROP TABLE ${u}_k")
+  }
+
+  test("bare ON CONFLICT (no target) infers keys from the sole index, " +
+      "like INSERT OR …") {
+    val t = s"confbare_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10)")
+    // no index → the target-less form cannot infer its conflict columns
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"INSERT INTO $t VALUES (1, 99) ON CONFLICT DO NOTHING"))
+      .getMessage.contains("infer the conflict columns"))
+    engine.sql(s"CREATE INDEX confbare_ix ON $t (id)")
+    val r = engine.sql(
+      s"INSERT INTO $t VALUES (1, 99), (2, 20) ON CONFLICT DO NOTHING")
+    assert(r.head().getLong(1) == 1)
+    assert(engine.table(t).filter(col("id") === 1).head().getInt(1) == 10)
+    engine.sql(s"INSERT INTO $t VALUES (2, 200) " +
+      "ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert(engine.table(t).filter(col("id") === 2).head().getInt(1) == 200)
+    engine.sql(s"DROP TABLE $t")
+  }
+
+  test("DO NOTHING with a self-conflicting batch inserts the first row " +
+      "per key and ignores the rest (DuckDB semantics)") {
+    val t = s"confdup_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10)")
+    // key 2 appears three times: first (v=21) wins; key 1 conflicts
+    // with the table and is skipped entirely
+    val r = engine.sql(s"INSERT INTO $t VALUES (2, 21), (1, 99), " +
+      "(2, 22), (3, 30), (2, 23) ON CONFLICT (id) DO NOTHING")
+    assert(r.head().getLong(1) == 2)
+    val rows = engine.table(t).orderBy("id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((1, 10), (2, 21), (3, 30)))
+    // NULL keys never conflict — all NULL-key rows insert
+    val r2 = engine.sql(s"INSERT INTO $t VALUES (NULL, 1), (NULL, 2) " +
+      "ON CONFLICT (id) DO NOTHING")
+    assert(r2.head().getLong(1) == 2)
+    assert(engine.table(t).count() == 5)
+    // OR IGNORE rides the same path
+    engine.sql(s"CREATE INDEX confdup_ix ON $t (id)")
+    val r3 = engine.sql(s"INSERT OR IGNORE INTO $t VALUES (4, 41), (4, 42)")
+    assert(r3.head().getLong(1) == 1)
+    assert(engine.table(t).filter(col("id") === 4).head().getInt(1) == 41)
+    engine.sql(s"DROP TABLE $t")
+  }
+
+  test("INSERT OR REPLACE refuses a duplicate-key conflict target " +
+      "instead of collapsing N target rows into one") {
+    val t = s"iordup_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT)")
+    // the registry index is advisory: duplicates CAN exist on id
+    engine.sql(s"INSERT INTO $t VALUES (1, 10), (1, 11), (2, 20)")
+    engine.sql(s"CREATE INDEX iordup_ix ON $t (id)")
+    val msg = intercept[IllegalArgumentException](
+      engine.sql(s"INSERT OR REPLACE INTO $t VALUES (1, 99)")).getMessage
+    assert(msg.contains("Constraint Error") && msg.contains("unique"))
+    assert(engine.table(t).count() == 3, "failed REPLACE must not write")
+    // on a clean key set the verb still works
+    engine.sql(s"DELETE FROM $t WHERE v = 11")
+    val r = engine.sql(s"INSERT OR REPLACE INTO $t VALUES (1, 99)")
+    assert(r.head().getLong(0) == 1)
+    assert(engine.table(t).filter(col("id") === 1).head().getInt(1) == 99)
+    engine.sql(s"DROP TABLE $t")
+  }
+
   test("routed DML honors backslash escapes inside string literals and " +
       "rejects non-deterministic expressions") {
     val t = s"upd_esc_${System.nanoTime()}"
