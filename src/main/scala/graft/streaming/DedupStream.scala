@@ -115,12 +115,16 @@ object DedupStream {
     // StreamSinks: executors write this path on a real cluster
     val base = StreamSinks.freshBase(spark, queryName)
     val pairs = candidatePairs(docs)
-    val q = pairs.writeStream
-      .outputMode(OutputMode.Append)
-      .format("parquet").option("path", s"$base/out")
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    // per-(band, hash) bucket state is corpus-shaped — off-heap RocksDB,
+    // same rationale as the q109 event-id dedup state
+    val q = StreamSinks.withRocksDbState(spark) {
+      pairs.writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     // explicit schema: a zero-pair stream leaves no data files to infer
     // from, and the read must still return a typed empty frame

@@ -32,12 +32,17 @@ object EventsStream {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"),
         round(sum("value"), 2).as("sum_v"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // per-event_id state is INPUT-sized (every live id inside the
+    // watermark) — run it on RocksDB so the state lives off-heap
+    // (measured: the on-heap default OOMs an 8 GB heap at sf10)
+    val q = StreamSinks.withRocksDbState(spark) {
+      stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     spark.table(queryName)
   }

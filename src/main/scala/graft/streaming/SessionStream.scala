@@ -55,12 +55,16 @@ object SessionStream {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
 
-    val q = sessions.toDF().writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // per-user state is entity-sized (every live user) — off-heap
+    // RocksDB keeps the heap flat at any user cardinality
+    val q = StreamSinks.withRocksDbState(spark) {
+      sessions.toDF().writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
     q.awaitTermination()
     // update-mode memory sink may hold one row per user per batch — keep
     // the final state per user

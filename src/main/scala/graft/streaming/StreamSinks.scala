@@ -41,4 +41,34 @@ private[graft] object StreamSinks {
       graft.Engine.trackTmpArtifact(q.toUri.getPath)
     q.toString
   }
+
+  /** State-store provider for the keyed-per-entity streams (q109 dedup:
+    * one state row per event_id inside the watermark; sessionization:
+    * one per user; LSH buckets: one per (band, hash)). The default
+    * HDFS-backed provider keeps every key ON-HEAP in the executor JVM —
+    * measured at sf10 (≈60 M live event_ids inside the 2 h watermark)
+    * q109 OOMs the default 8 GB local heap and needs 24 GB. RocksDB
+    * (`spark.sql.streaming.stateStore.providerClass`, public Spark
+    * ≥3.2) keeps state off-heap with a bounded block cache and spills
+    * to local disk, so the same stream fits any heap — and it is what
+    * production stateful jobs run on a cluster. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Run `f` (which must START its streaming query inside — the conf is
+    * read at query initialization) under the RocksDB state store,
+    * restoring the previous provider after. Scoped per-query on purpose:
+    * window-agg streams (q67 hourly, monitors) carry output-sized state
+    * where the on-heap default is both fine and faster. */
+  def withRocksDbState[A](spark: SparkSession)(f: => A): A = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDbProvider)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
 }

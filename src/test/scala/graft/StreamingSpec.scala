@@ -40,6 +40,51 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("q109 keyed-state dedup runs on the RocksDB state store and " +
+      "restores the session default after") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    // per-event_id state is input-sized: the on-heap default OOMs an
+    // 8 GB heap at sf10, so the dedup stream must pin the RocksDB
+    // provider (observable as rocksdb* custom metrics on the state
+    // operator) — and must not leak the conf into the session
+    @volatile var sawRocks = false
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.stateOperators.exists(
+            _.customMetrics.keySet().asScala.exists(_.startsWith("rocksdb"))))
+          sawRocks = true
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val streamed = EventsStream.dedupCounts(spark, sf,
+        queryName = s"rocks_q109_${System.nanoTime()}")
+      // correctness is provider-independent: agree with the batch dedup
+      // (class-bounded frames — compare collected row sets)
+      val batch = Tables.t(spark, sf, "events")
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"),
+          round(sum("value"), 2).as("sum_v"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("event_type"), col("n_unique"), col("sum_v"))
+          .collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows(streamed) == rows(batch))
+      // listener delivery is async — flush the bus before asserting
+      org.apache.spark.GraftSparkBridge.waitForListeners(spark.sparkContext)
+      assert(sawRocks,
+        "q109's state operator reported no rocksdb* custom metrics")
+      assert(spark.conf.getOption(key) == before,
+        "state-store provider conf leaked into the session")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streamed median sketch is bit-identical to the batch sketch") {
     // the sketch buffer is a count histogram — merge order cannot change
     // it, so streaming micro-batches must reproduce the batch result
