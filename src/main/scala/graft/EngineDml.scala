@@ -32,10 +32,21 @@ private[graft] trait EngineDml { self: Engine =>
   /** INSERT: the reference buffers all rows driver-side then replays one
     * giant VALUES statement (distributed_insert.cpp:26-100); here appended
     * data stays distributed (unionByName of DataFrames). */
-  def insertInto(name: String, df: DataFrame): Unit = withTableLock(name) {
+  def insertInto(name: String, df: DataFrame): Unit = {
+    insertIntoReturning(name, df); ()
+  }
+
+  /** INSERT returning the validated delta frame (defaults filled,
+    * coercions applied) — the rows `INSERT … RETURNING` projects. The
+    * frame is a lazy plan over the PRE-swap lineage, so it stays a
+    * correct snapshot of exactly what was appended even after later
+    * DML replaces the table. */
+  private[graft] def insertIntoReturning(name: String,
+      df: DataFrame): DataFrame = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     val delta = coerceAndValidate(name, e, df)
     put(name, e.df.unionByName(delta), appendDelta = Some(delta))
+    delta
   }
 
   /** Shared INSERT/MERGE ingress path: positional column alignment, the
@@ -294,7 +305,16 @@ private[graft] trait EngineDml { self: Engine =>
     * the table untouched. Nothing ever collects to the driver; the
     * row count is unchanged by construction. Returns rows updated. */
   def updateWhere(name: String, sets: Seq[(String, String)],
-      cond: Option[Column]): Long = withTableLock(name) {
+      cond: Option[Column]): Long = updateWhereCore(name, sets, cond)._1
+
+  /** UPDATE returning the post-assignment rows ([[updateWhere]]'s delta
+    * slice) — what `UPDATE … RETURNING` projects. */
+  private[graft] def updateWhereReturning(name: String,
+      sets: Seq[(String, String)], cond: Option[Column]): DataFrame =
+    updateWhereCore(name, sets, cond)._2
+
+  private def updateWhereCore(name: String, sets: Seq[(String, String)],
+      cond: Option[Column]): (Long, DataFrame) = withTableLock(name) {
     require(sets.nonEmpty,
       "Parser Error: UPDATE requires at least one SET assignment")
     val e = registry.getOrElse(name, missing(name))
@@ -324,7 +344,7 @@ private[graft] trait EngineDml { self: Engine =>
     val delta = coerceAndValidate(name, e, updatedRows)
     val n = delta.count()
     put(name, untouched.unionByName(delta), before)
-    n
+    (n, delta)
   }
 
   /** Join-form UPDATE — `UPDATE t SET c = expr, … FROM src WHERE cond`
@@ -399,17 +419,28 @@ private[graft] trait EngineDml { self: Engine =>
 
   /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
     * (what Delta/Iceberg do per-file), never a driver-side row collect. */
-  def deleteFrom(name: String, cond: Column): Long = withTableLock(name) {
+  def deleteFrom(name: String, cond: Column): Long =
+    deleteFromCore(name, cond)._1
+
+  /** DELETE returning the removed rows (the predicate's TRUE slice over
+    * the pre-swap lineage) — what `DELETE … RETURNING` projects. */
+  private[graft] def deleteFromReturning(name: String,
+      cond: Column): DataFrame = deleteFromCore(name, cond)._2
+
+  private def deleteFromCore(name: String,
+      cond: Column): (Long, DataFrame) = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     // same double-evaluation hazard as updateWhere
     requireDeterministic(e.df, cond, "DELETE WHERE")
     // SQL DELETE removes only rows where the predicate is TRUE; a row
     // where it evaluates NULL must be KEPT (plain `!cond` would drop it)
-    val remaining = e.df.filter(!coalesce(cond, lit(false)))
+    val hit = coalesce(cond, lit(false))
+    val remaining = e.df.filter(!hit)
+    val deleted = e.df.filter(hit)
     val kept = remaining.count()
     val before = e.rows
     put(name, remaining, kept)
-    before - kept
+    (before - kept, deleted)
   }
 
   /** Join-form DELETE — `DELETE FROM t USING src WHERE cond` (the
@@ -493,6 +524,83 @@ private[graft] trait EngineDml { self: Engine =>
       ta = name, sa = "excluded",
       updateSet = doUpdate,
       insertSpec = Some((insertAll, insertAll.map(c => s"excluded.$c"))))
+  }
+
+  // ---- COPY TO / FROM — the DuckDB file-connector verbs ----------------
+
+  /** File formats the COPY verbs accept — DuckDB's core copy functions
+    * that map 1:1 onto Spark's built-in writers/readers (the reference
+    * loads exactly these via its extension mechanism,
+    * test_extension_loading.test). */
+  private val CopyFormats = Set("parquet", "csv", "json", "orc")
+
+  /** Resolve the format: explicit FORMAT option wins, else the path
+    * extension (DuckDB's inference rule). Unknown names raise the
+    * catalog error a DuckDB user expects. */
+  private def copyFormat(path: String, opts: Map[String, String]): String = {
+    val fmt = opts.get("format").orElse {
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      val dot = name.lastIndexOf('.')
+      if (dot > 0) Some(name.substring(dot + 1).toLowerCase) else None
+    }.getOrElse(throw new IllegalArgumentException(
+      "Binder Error: COPY needs a FORMAT option or a recognizable " +
+        s"file extension on '$path'"))
+    if (!CopyFormats(fmt))
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Copy Function with name "$fmt" does not exist!""")
+    fmt
+  }
+
+  private def copyOptioned[A](rw: A, fmt: String,
+      opts: Map[String, String],
+      set: (A, String, String) => A): A = {
+    var out = rw
+    if (fmt == "csv") {
+      // header defaults ON both directions so COPY TO → COPY FROM
+      // round-trips without options (documented divergence: DuckDB
+      // historically defaulted headerless CSV)
+      out = set(out, "header", opts.getOrElse("header", "true"))
+      opts.get("delimiter").foreach(d => out = set(out, "sep", d))
+    }
+    out
+  }
+
+  /** `COPY <table|(query)> TO '<path>' (opts)`: a DISTRIBUTED Spark
+    * write — every executor writes its partitions as part files under
+    * `path` (the lakehouse layout; DuckDB's single-file output does not
+    * survive 100 TB, and Spark's readers — and [[copyFrom]] — consume
+    * the directory transparently). Returns rows copied, counted by a
+    * plan observation on the same single pass, not a second scan. */
+  def copyTo(df: DataFrame, path: String,
+      opts: Map[String, String]): Long = {
+    val fmt = copyFormat(path, opts)
+    val obs = org.apache.spark.sql.Observation()
+    val w = copyOptioned(
+      df.observe(obs, count(lit(1)).as("n")).write.mode("overwrite"),
+      fmt, opts,
+      (w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+        k: String, v: String) => w.option(k, v))
+    w.format(fmt).save(path)
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** `COPY <table> FROM '<path>' (opts)`: a distributed read of the
+    * file/directory under the TARGET's schema (DuckDB also binds the
+    * payload to the table's columns), appended through the same
+    * [[insertInto]] ingress as any INSERT — coercions and NOT NULL /
+    * ENUM probes included, so a bad file rejects atomically. Returns
+    * rows appended. */
+  def copyFrom(name: String, path: String,
+      opts: Map[String, String]): Long = withTableLock(name) {
+    val e = registry.getOrElse(name, missing(name))
+    val fmt = copyFormat(path, opts)
+    val r = copyOptioned(spark.read.schema(e.df.schema), fmt, opts,
+      (r: org.apache.spark.sql.DataFrameReader, k: String, v: String) =>
+        r.option(k, v))
+    val df = r.format(fmt).load(path)
+    val n = df.count()
+    insertInto(name, df)
+    n
   }
 
   /** INSERT OR REPLACE rides the whole-row MERGE, whose documented

@@ -136,6 +136,17 @@ private[graft] object SqlRouter {
     """(?is)\s*DROP\s+CLASSIFIER\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   private val ClassifySql =
     """(?is)\s*CLASSIFY\s+([\w.]+)\s+ON\s+([\w.]+)\s*;?\s*""".r
+  // DuckDB file-connector verbs (engine-only spellings — Spark has no
+  // COPY statement, so these reach the regex routes): table form here;
+  // the `COPY (query) TO …` form is scanned structurally in
+  // routeCopyQuery (balanced parens — a regex can't delimit the query)
+  private val CopyToSql =
+    """(?is)\s*COPY\s+([\w.]+)\s+TO\s+'([^']+)'\s*(?:\((.*?)\))?\s*;?\s*""".r
+  private val CopyFromSql =
+    """(?is)\s*COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:\((.*?)\))?\s*;?\s*""".r
+  private val CopyQueryHead = """(?is)\s*COPY\s*\(.+""".r
+  private val CopyToTail =
+    """(?is)\s*TO\s+'([^']+)'\s*(?:\((.*?)\))?\s*;?\s*""".r
 
   /** True iff `route` would intercept this statement — WITHOUT executing
     * anything (explain/plan paths must stay side-effect-free: Spark runs
@@ -146,7 +157,11 @@ private[graft] object SqlRouter {
       case _ => regexRoutable(q)
     }
 
-  private def regexRoutable(q: String): Boolean = {
+  private def regexRoutable(q0: String): Boolean = {
+    // a trailing RETURNING clause strips before classification, exactly
+    // as route() strips it (DELETE FROM t RETURNING * must classify
+    // even though no bare pattern matches the suffixed form)
+    val q = returningParts(q0).map(_._1).getOrElse(q0)
     // every verb route() intercepts must appear here (SqlRouterSpec
     // asserts the wouldRoute-must-match-route contract) — the ON
     // CONFLICT form is covered via InsertSql/InsertColsSql, whose
@@ -158,7 +173,8 @@ private[graft] object SqlRouter {
       InsertSql, DeleteUsingSql, DeleteSql, DeleteAllSql, TruncateSql,
       UpdateSql, MergeHead, CreateMatViewSql,
       RefreshMatViewSql, DropMatViewSql, OptimizeSql,
-      CreateClassifierSql, DropClassifierSql, ClassifySql)
+      CreateClassifierSql, DropClassifierSql, ClassifySql,
+      CopyToSql, CopyFromSql, CopyQueryHead)
     patterns.exists(_.pattern.matcher(q).matches())
   }
 
@@ -175,7 +191,82 @@ private[graft] object SqlRouter {
       case _ => routeRegex(e, q)
     }
 
-  private def routeRegex(e: Engine, q: String): Option[DataFrame] = q match {
+  private def routeRegex(e: Engine, q: String): Option[DataFrame] =
+    returningParts(q) match {
+      case Some((head, proj)) => routeReturning(e, head, proj)
+      case None => routeRegexBody(e, q)
+    }
+
+  /** Split a DML statement at its top-level RETURNING clause (DuckDB's
+    * affected-rows projection; Postgres-compatible). Only
+    * INSERT/UPDATE/DELETE heads qualify; the scanner honors strings and
+    * parens, so a RETURNING inside a literal or subquery never splits. */
+  private def returningParts(sql: String): Option[(String, String)] = {
+    val t = sql.trim
+    val isDml = Seq("INSERT", "UPDATE", "DELETE")
+      .exists(v => t.regionMatches(true, 0, v, 0, v.length))
+    if (!isDml) None
+    else splitTopKeyword(sql, "RETURNING") match {
+      case (head, Some(proj)) if proj.trim.nonEmpty =>
+        Some((head, proj.trim.stripSuffix(";").trim))
+      case _ => None
+    }
+  }
+
+  /** Shared SET-list parser for UPDATE (plain and RETURNING forms). */
+  private def parseUpdateSets(name: String,
+      setPart: String): Seq[(String, String)] =
+    splitTopComma(setPart).map {
+      case AssignSql(qual, c, ex) =>
+        if (qual != null && !qual.equalsIgnoreCase(name))
+          parseErr("UPDATE SET must assign columns of the target " +
+            s"table (got $qual.$c)")
+        c -> ex
+      case bad => parseErr(s"malformed UPDATE assignment: '${bad.trim}'")
+    }
+
+  /** `INSERT/UPDATE/DELETE … RETURNING proj` — project the affected-row
+    * frame the copy-on-write verbs already compute (inserted rows with
+    * defaults filled, post-assignment updated rows, deleted rows). The
+    * join forms (UPDATE FROM / DELETE USING / ON CONFLICT / INSERT OR)
+    * raise a clear error rather than returning something approximate. */
+  private def routeReturning(e: Engine, head: String,
+      proj: String): Option[DataFrame] = {
+    def projected(df: DataFrame): Option[DataFrame] =
+      Some(df.selectExpr(splitTopComma(proj).map(_.trim): _*))
+    if (insertConflictParts(head).isDefined)
+      parseErr("RETURNING is not supported with ON CONFLICT")
+    head match {
+      case InsertOrSql(_, _, _, _) =>
+        parseErr("RETURNING is not supported with INSERT OR " +
+          "REPLACE/IGNORE")
+      case InsertColsSql(name0, cols, source) =>
+        val name = unq(name0)
+        projected(e.insertIntoReturning(name,
+          insertFrame(e, name, Some(cols), source)))
+      case InsertSql(name0, source) =>
+        val name = unq(name0)
+        projected(e.insertIntoReturning(name,
+          insertFrame(e, name, None, source)))
+      case UpdateSql(name0, rest) =>
+        val name = unq(name0)
+        val (headPart, wherePart) = splitTopWhere(rest)
+        val (setPart, fromPart) = splitTopKeyword(headPart, "FROM")
+        if (fromPart.isDefined)
+          parseErr("RETURNING is not supported with UPDATE … FROM")
+        projected(e.updateWhereReturning(name,
+          parseUpdateSets(name, setPart), wherePart.map(expr)))
+      case DeleteUsingSql(_, _) =>
+        parseErr("RETURNING is not supported with DELETE … USING")
+      case DeleteSql(name, cond) =>
+        projected(e.deleteFromReturning(unq(name), expr(cond)))
+      case DeleteAllSql(name) =>
+        projected(e.deleteFromReturning(unq(name), expr("true")))
+      case _ => parseErr("malformed DML statement before RETURNING")
+    }
+  }
+
+  private def routeRegexBody(e: Engine, q: String): Option[DataFrame] = q match {
     case CreateTable(ifNot, name0, cols) =>
       val name = unq(name0)
       val exists = e.tableNames.contains(name)
@@ -215,6 +306,16 @@ private[graft] object SqlRouter {
       e.dropClassifier(unq(name), ifExists = ifEx != null); Some(emptyOk(e))
     case ClassifySql(name, table) =>
       Some(e.classify(unq(name), unq(table)))
+    case CopyToSql(name, path, opts) =>
+      val n = e.copyTo(e.table(unq(name)), path, copyOpts(opts))
+      import e.spark.implicits._
+      Some(Seq(n).toDF("copied_rows"))
+    case CopyFromSql(name, path, opts) =>
+      val n = e.copyFrom(unq(name), path, copyOpts(opts))
+      import e.spark.implicits._
+      Some(Seq(n).toDF("copied_rows"))
+    case s if CopyQueryHead.pattern.matcher(s).matches() =>
+      routeCopyQuery(e, s)
     case DropTable(ifEx, name) =>
       e.dropTable(unq(name), ifExists = ifEx != null); Some(emptyOk(e))
     case AlterAdd(name, ifNot, col, typ, default) =>
@@ -288,14 +389,7 @@ private[graft] object SqlRouter {
       val name = unq(name0)
       val (head, wherePart) = splitTopWhere(rest)
       val (setPart, fromPart) = splitTopKeyword(head, "FROM")
-      val sets = splitTopComma(setPart).map {
-        case AssignSql(qual, c, ex) =>
-          if (qual != null && !qual.equalsIgnoreCase(name))
-            parseErr("UPDATE SET must assign columns of the target " +
-              s"table (got $qual.$c)")
-          c -> ex
-        case bad => parseErr(s"malformed UPDATE assignment: '${bad.trim}'")
-      }
+      val sets = parseUpdateSets(name, setPart)
       val n = fromPart match {
         case None => e.updateWhere(name, sets, wherePart.map(expr))
         case Some(src) =>
@@ -330,6 +424,52 @@ private[graft] object SqlRouter {
       import e.spark.implicits._
       Some(Seq(n).toDF("deleted_rows"))
     case _ => None
+  }
+
+  // ---- COPY option list + query form -------------------------------------
+
+  /** Parse a COPY option list: `FORMAT x`, `HEADER [bool]`,
+    * `DELIMITER 'c'` (DuckDB's core CSV/format options — the ones with
+    * a Spark-side equivalent). Unknown options raise a Binder Error
+    * rather than silently writing something different. */
+  private def copyOpts(raw: String): Map[String, String] =
+    Option(raw).map(_.trim).filter(_.nonEmpty).map { o =>
+      splitTopComma(o).map(_.trim).filter(_.nonEmpty).map { item =>
+        val parts = item.split("\\s+", 2)
+        val k = parts(0).toLowerCase
+        val v = if (parts.length > 1)
+          parts(1).trim.stripPrefix("'").stripSuffix("'") else "true"
+        k match {
+          case "format" => "format" -> v.toLowerCase
+          case "header" => "header" -> (v.toLowerCase match {
+            case "true" | "1" | "on" => "true"
+            case "false" | "0" | "off" => "false"
+            case other => parseErr(s"bad HEADER value: $other")
+          })
+          case "delimiter" | "delim" | "sep" => "delimiter" -> v
+          case other => throw new IllegalArgumentException(
+            s"Binder Error: unsupported COPY option: $other")
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** `COPY (query) TO '<path>' (opts)` — the query is delimited by a
+    * balanced-paren scan (its body may contain parens/strings freely),
+    * parsed by Spark, and written through the same engine verb as the
+    * table form. */
+  private def routeCopyQuery(e: Engine, s: String): Option[DataFrame] = {
+    val open = s.indexOf('(')
+    val close = matchParen(s, open)
+    val inner = s.substring(open + 1, close)
+    s.substring(close + 1) match {
+      case CopyToTail(path, opts) =>
+        val df = e.spark.sql(DuckSyntax.rewriteCasts(inner))
+        val n = e.copyTo(df, path, copyOpts(opts))
+        import e.spark.implicits._
+        Some(Seq(n).toDF("copied_rows"))
+      case _ =>
+        parseErr("malformed COPY (query) — expected TO '<path>' [(opts)]")
+    }
   }
 
   // ---- CREATE MATERIALIZED VIEW structural parser -----------------------

@@ -283,8 +283,91 @@ object DmlOps {
       out
     })
 
+  /** `COPY TO` / `COPY FROM` end-to-end through the router — the first
+    * verb a user migrating DuckDB scripts types after SELECT (the
+    * reference enables exactly these file connectors via its extension
+    * loading, test_extension_loading.test). A managed customer slice is
+    * COPY'd TO a CSV directory (distributed part-file write), COPY'd
+    * FROM into an empty clone (schema-bound read through the INSERT
+    * ingress), and the clone is aggregated with a null-safe mismatch
+    * count against the original — the oracle pins n_mismatch = 0, so a
+    * single value mangled by either direction fails the hash. The
+    * formats themselves are proven across q132 (CSV) / q133 (JSON) /
+    * q136 (ORC) / q137 (partitioned parquet); this row proves the SQL
+    * spelling and the counts the verb returns. */
+  val copyRoundtrip: NamedQuery = NamedQuery("q194_copy_roundtrip",
+    Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           |  round(sum(round(c_acctbal, 2)), 2) AS total,
+           |  CAST(0 AS BIGINT) AS n_mismatch
+           |FROM customer GROUP BY c_mktsegment""".stripMargin),
+    (s, d) => {
+      val engine = Engine(s)
+      val name = "graft_copy_src"
+      val back = "graft_copy_back"
+      engine.dropTable(name, ifExists = true)
+      engine.dropTable(back, ifExists = true)
+      engine.createTableAs(name, Tables.t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("bal")))
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_copy_rt"
+      val exported = engine.sql(s"COPY $name TO '$dir/c.csv' " +
+        "(FORMAT CSV, HEADER)").head().getLong(0)
+      engine.createTableAs(back, engine.table(name).limit(0))
+      val imported = engine.sql(s"COPY $back FROM '$dir/c.csv' " +
+        "(FORMAT CSV, HEADER)").head().getLong(0)
+      require(exported == imported,
+        s"COPY counts diverged: out $exported, in $imported")
+      val orig = engine.table(name).select(col("c_custkey"),
+        col("c_mktsegment").as("x_seg"), col("bal").as("x_bal"))
+      engine.table(back).join(orig, Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("total"),
+          count_if(!(col("c_mktsegment") <=> col("x_seg")) ||
+            !(col("bal") <=> col("x_bal"))).as("n_mismatch"))
+    })
+
+  /** `INSERT/UPDATE/DELETE … RETURNING` end-to-end (DuckDB/Postgres
+    * affected-rows projection): three statements against one managed
+    * orders slice, each projecting its affected rows — INSERT returns
+    * the inserted rows, UPDATE the post-assignment rows, DELETE the
+    * removed rows — unioned under a verb tag. The oracle reconstructs
+    * each projection as a pure SELECT over the base table (the insert
+    * slice halved, the update slice post-bump, the delete slice as
+    * inserted), so the hash-check proves the returned frames are
+    * exactly the affected snapshots, not the post-statement table. */
+  val returningRoundtrip: NamedQuery = NamedQuery("q195_returning",
+    Some("""SELECT o_orderkey + 10000 AS k,
+           |  round(round(o_totalprice, 2) * 2, 2) AS val, 'ins' AS verb
+           |FROM orders WHERE o_orderkey <= 50
+           |UNION ALL
+           |SELECT o_orderkey, round(round(o_totalprice, 2) + 5, 2), 'upd'
+           |FROM orders WHERE o_orderkey <= 100
+           |UNION ALL
+           |SELECT o_orderkey + 10000, round(o_totalprice, 2), 'del'
+           |FROM orders WHERE o_orderkey <= 50""".stripMargin),
+    (s, d) => {
+      val engine = Engine(s)
+      val name = "graft_ret_tgt"
+      engine.dropTable(name, ifExists = true)
+      engine.createTableAs(name, Tables.t(s, d, "orders")
+        .filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice"), 2).as("price")))
+      Tables.t(s, d, "orders").createOrReplaceTempView("graft_ret_orders")
+      val ins = engine.sql(s"INSERT INTO $name SELECT o_orderkey + 10000, " +
+        "round(o_totalprice, 2) FROM graft_ret_orders " +
+        "WHERE o_orderkey <= 50 " +
+        "RETURNING k, round(price * 2, 2) AS val, 'ins' AS verb")
+      val upd = engine.sql(s"UPDATE $name SET price = round(price + 5, 2) " +
+        "WHERE k <= 100 RETURNING k, price AS val, 'upd' AS verb")
+      // >= : the smallest shifted key is o_orderkey 0 → exactly 10000
+      val del = engine.sql(s"DELETE FROM $name WHERE k >= 10000 " +
+        "RETURNING k, price AS val, 'del' AS verb")
+      ins.unionAll(upd).unionAll(del)
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(dmlRoundtrip, updateRoundtrip, updateFromRoundtrip,
       deleteUsingRoundtrip, insertConflictRoundtrip, matviewAgg,
-      matviewRefresh)
+      matviewRefresh, copyRoundtrip, returningRoundtrip)
 }

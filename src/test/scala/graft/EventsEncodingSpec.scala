@@ -74,8 +74,9 @@ class EventsEncodingSpec extends SparkSpec {
     // r15: q187 plain-UPDATE roundtrip (183); r16: q188 hybrid dense
     // audit + q189 ANN-served hybrid + q190 NB discrimination (186);
     // r16b: q191 join-form UPDATE, q192 DELETE USING, q193 INSERT ON
-    // CONFLICT (189)
-    assert(SparkEntry.queries.size >= 189,
+    // CONFLICT (189); r17: q194 COPY TO/FROM roundtrip, q195
+    // RETURNING (191)
+    assert(SparkEntry.queries.size >= 191,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 

@@ -561,6 +561,98 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"DROP TABLE $t")
   }
 
+  test("COPY TO / COPY FROM route to the file connectors: parquet, " +
+      "csv (options), json, the (query) form, and format errors") {
+    val t = s"copy_${System.nanoTime()}"
+    val base = java.nio.file.Files.createTempDirectory("graft_copy").toString
+    engine.sql(s"CREATE TABLE $t (id INT, tag STRING, v DOUBLE)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 'a', 1.5), (2, 'b,c', 2.5), " +
+      "(3, NULL, 3.5)")
+    // explain classifies COPY as routed without writing anything
+    val exp = engine.explain(s"COPY $t TO '$base/never.parquet'").head()
+    assert(exp.getAs[String]("plan") == "routed DDL/DML")
+    assert(!new java.io.File(s"$base/never.parquet").exists())
+    // parquet by extension; count returned; read back equals the table
+    val n = engine.sql(s"COPY $t TO '$base/t.parquet'").head().getLong(0)
+    assert(n == 3)
+    assert(spark.read.parquet(s"$base/t.parquet").count() == 3)
+    // csv with explicit FORMAT + HEADER + DELIMITER survives a value
+    // containing the default delimiter; FROM appends through the
+    // INSERT ingress into an empty clone
+    engine.sql(s"COPY $t TO '$base/t_pipe' (FORMAT CSV, HEADER, " +
+      "DELIMITER '|')")
+    val t2 = s"${t}_back"
+    engine.sql(s"CREATE TABLE $t2 (id INT, tag STRING, v DOUBLE)")
+    val m = engine.sql(s"COPY $t2 FROM '$base/t_pipe' (FORMAT CSV, " +
+      "HEADER, DELIMITER '|')").head().getLong(0)
+    assert(m == 3)
+    assert(engine.table(t2).orderBy("id").collect().toSeq
+      == engine.table(t).orderBy("id").collect().toSeq)
+    // json round-trip via extension inference
+    engine.sql(s"COPY $t TO '$base/t.json'")
+    val t3 = s"${t}_j"
+    engine.sql(s"CREATE TABLE $t3 (id INT, tag STRING, v DOUBLE)")
+    assert(engine.sql(s"COPY $t3 FROM '$base/t.json'")
+      .head().getLong(0) == 3)
+    assert(engine.table(t3).count() == 3)
+    // the (query) form writes a projection — parens/commas inside the
+    // query body must not confuse the tail scan
+    val q = engine.sql(s"COPY (SELECT id, concat(tag, '(x,y)') AS tg " +
+      s"FROM $t WHERE id <= 2) TO '$base/q.parquet'")
+    assert(q.head().getLong(0) == 2)
+    assert(spark.read.parquet(s"$base/q.parquet").columns
+      .sameElements(Array("id", "tg")))
+    // unknown format → catalog error; missing extension → binder error
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"COPY $t TO '$base/x.avro' (FORMAT AVRO)")).getMessage
+      .contains("Copy Function"))
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"COPY $t TO '$base/noext'")).getMessage
+      .contains("FORMAT"))
+    Seq(t, t2, t3).foreach(x => engine.sql(s"DROP TABLE $x"))
+  }
+
+  test("RETURNING projects the affected rows: inserted (defaults " +
+      "filled), post-update, deleted; join forms refuse clearly") {
+    val t = s"ret_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT, tag STRING)")
+    engine.sql(s"ALTER TABLE $t ALTER COLUMN tag SET DEFAULT 'dft'")
+    // explain stays side-effect-free and classifies as routed
+    assert(engine.explain(s"DELETE FROM $t RETURNING *").head()
+      .getAs[String]("plan") == "routed DDL/DML")
+    assert(engine.table(t).count() == 0)
+    // INSERT … RETURNING *: the inserted rows, defaults filled
+    val ins = engine.sql(s"INSERT INTO $t (id, v) VALUES (1, 10), (2, 20) " +
+      "RETURNING *").orderBy("id").collect()
+    assert(ins.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+      == Seq((1, 10, "dft"), (2, 20, "dft")))
+    // UPDATE … RETURNING: post-assignment values, expressions + aliases
+    val upd = engine.sql(s"UPDATE $t SET v = v + 1 WHERE id = 1 " +
+      "RETURNING id, v * 10 AS v10").collect()
+    assert(upd.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 110)))
+    // DELETE … RETURNING: the removed rows (and they ARE removed)
+    val del = engine.sql(s"DELETE FROM $t WHERE id = 2 " +
+      "RETURNING id, tag").collect()
+    assert(del.map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((2, "dft")))
+    assert(engine.table(t).count() == 1)
+    // a RETURNING inside a string literal never splits the statement
+    engine.sql(s"INSERT INTO $t VALUES (3, 30, 'not RETURNING x')")
+    assert(engine.table(t).filter(col("id") === 3).head().getString(2)
+      == "not RETURNING x")
+    // join forms refuse with a clear error instead of guessing
+    Seq(
+      s"UPDATE $t SET v = 1 FROM $t s WHERE $t.id = s.id RETURNING *",
+      s"DELETE FROM $t USING $t s WHERE $t.id = s.id RETURNING *",
+      s"INSERT INTO $t VALUES (9, 9, 'x') ON CONFLICT (id) DO NOTHING " +
+        "RETURNING *"
+    ).foreach { bad =>
+      assert(intercept[IllegalArgumentException](engine.sql(bad))
+        .getMessage.contains("RETURNING is not supported"), bad)
+    }
+    engine.sql(s"DROP TABLE $t")
+  }
+
   test("routed DML honors backslash escapes inside string literals and " +
       "rejects non-deterministic expressions") {
     val t = s"upd_esc_${System.nanoTime()}"
