@@ -225,6 +225,122 @@ private[graft] trait EngineIndexes { self: Engine =>
     added
   }
 
+  /** Build a DURABLE BM25 inverted index over a managed documents
+    * table, persisted to parquet at `path` and registered as managed
+    * tables (the [[buildShingleIndex]] convention — catalog entries
+    * point at the artifact, a consumer plans a cold scan):
+    *
+    *  - `<idx>_postings` (w, doc_id, tf, dl): one row per distinct
+    *    (term, doc); dl DENORMALIZED into the posting so a probe never
+    *    joins a corpus-sized doc-length table. Written RANGE-SORTED on
+    *    `w`, so parquet row-group min/max statistics prune a per-query
+    *    term filter to the touched groups — per-query lexical cost is
+    *    O(Σ df(term)), not O(corpus).
+    *  - `<idx>_doclens` (doc_id, dl): feeds exact stats recompute on
+    *    refresh (and keeps refresh ≡ rebuild bit-exact: Σdl is exact
+    *    integer arithmetic, avgdl is that sum in ONE IEEE division).
+    *  - `<idx>_stats` (n, avgdl): the 1-row corpus frame every scoring
+    *    probe broadcasts.
+    *
+    * Per-term document frequency is NOT stored — it derives exactly
+    * from the probed postings slice (count per term), so appends can
+    * never serve a stale df. */
+  def buildTextIndex(indexName: String, docsTable: String, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+      withTableLock(indexName) {
+    val docs = table(docsTable).select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    writeTextIndex(docs, path, append = false)
+    registerTextIndex(indexName, path)
+    createIndex(indexName, docsTable, Seq(textCol), ifNotExists = true)
+  }
+
+  /** Incremental refresh after new documents arrived: only docs absent
+    * from the doclens table are tokenized and appended (anti-join on
+    * doc_id — O(batch) marginal cost, the corpus is never re-exploded);
+    * stats recompute from the doclens table, which is bit-exact vs a
+    * from-scratch build (exact-integer Σdl, one division). Returns
+    * newly indexed docs. */
+  def refreshTextIndex(indexName: String, docsTable: String, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Long =
+      withTableLock(indexName) {
+    val docs = table(docsTable).select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    val known = table(s"${indexName}_doclens").select("doc_id")
+    val newDocs = docs.join(known, Seq("doc_id"), "left_anti")
+    val added = newDocs.count()
+    if (added > 0) {
+      writeTextIndex(newDocs, path, append = true)
+      registerTextIndex(indexName, path)
+    }
+    added
+  }
+
+  private def writeTextIndex(docs: org.apache.spark.sql.DataFrame,
+      path: String, append: Boolean): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    val toks = docs.select(col("doc_id"),
+      graft.functions.TokenCount.tokenCount(col("text")).cast("long")
+        .as("dl"),
+      explode(split(col("text"), " ")).as("w"))
+    toks.groupBy("w", "doc_id").agg(count(lit(1)).as("tf"),
+        first(col("dl")).as("dl"))
+      // range-sort on the term so row-group stats prune term probes;
+      // 32 on the small tiers, data-proportional via AQE coalescing
+      .repartitionByRange(col("w")).sortWithinPartitions("w")
+      .write.mode(mode).parquet(s"$path/postings")
+    docs.select(col("doc_id"),
+        graft.functions.TokenCount.tokenCount(col("text")).cast("long")
+          .as("dl"))
+      .write.mode(mode).parquet(s"$path/doclens")
+  }
+
+  private def registerTextIndex(indexName: String, path: String): Unit = {
+    put(s"${indexName}_postings", spark.read.parquet(s"$path/postings"))
+    put(s"${indexName}_doclens", spark.read.parquet(s"$path/doclens"))
+    put(s"${indexName}_stats",
+      spark.read.parquet(s"$path/doclens")
+        .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")))
+  }
+
+  /** Probe a [[buildTextIndex]] artifact: BM25 top-k for `terms`
+    * (Robertson k1/b defaults, the q165 formulation). The postings scan
+    * touches only row groups whose `w` range covers a query term; df
+    * per term derives from the probed slice; corpus stats broadcast
+    * from the 1-row frame. Determinism matches q165 exactly: at most
+    * ONE posting exists per (term, doc), so the per-term partial sums
+    * below are single values and the final score is the same
+    * fixed-term-order addition of identical IEEE doubles — the served
+    * top-k is EXACTLY the full-pass top-k whenever ≥ k docs match a
+    * term (docs matching no term score 0 and cannot enter a positive
+    * top-k). */
+  def bm25Search(indexName: String, terms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 probe needs at least one term")
+    val post = table(s"${indexName}_postings")
+      .filter(col("w").isin(terms: _*))
+    val dfs = post.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = table(s"${indexName}_stats")
+    val scored = post.join(broadcast(dfs), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1) /
+          (col("tf") +
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl")) * lit(k1)))
+    // pivot to per-term columns, then add in FIXED term order — the
+    // q165 oracle's summation-order contract (a groupBy float sum
+    // would reintroduce order drift)
+    val perTerm = scored.groupBy("doc_id").agg(
+      sum(when(col("w") === terms.head, col("s"))).as("s0"),
+      terms.zipWithIndex.drop(1).map { case (t0, i) =>
+        sum(when(col("w") === t0, col("s"))).as(s"s$i") }: _*)
+    val total = terms.indices.map(i =>
+      coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
+    perTerm.select(col("doc_id"), round(total, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
   /** Curation report verb: per-(source, rule) C4-gate kill rates over
     * a managed documents-shaped table (columns `text`, `source`) — the
     * operational readout of the q151 gate. One corpus pass, one

@@ -36,7 +36,7 @@ private[graft] trait TextRetrieval extends Serializable {
     * prefix producing per-doc tf/dl (`d`) + corpus stats (`st`), the
     * score formula in both SQL and Column form, and the Spark frame
     * of (doc_id, bm25 rounded 4dp). */
-  private[operators] object Bm25 {
+  private[graft] object Bm25 {
     val terms = Seq("join", "vector", "stream")
     val k1 = "1.2"; val b = "0.75"
     val tfSql: String = terms.zipWithIndex.map { case (t, i) =>
@@ -242,6 +242,34 @@ private[graft] trait TextRetrieval extends Serializable {
             .as("rescore_ok"))
     }, conf = NamedQuery.NoAqe)
 
+  /** The lexical top-k SERVED from the engine's persisted inverted
+    * index ([[graft.EngineIndexes.buildTextIndex]] /
+    * [[graft.EngineIndexes.bm25Search]]) — train-once/probe-many like
+    * [[denseServed]], but EXACT: at most one posting exists per
+    * (term, doc), so the probe reproduces q165's fixed-term-order
+    * float arithmetic bit-for-bit and the served top-k equals the
+    * full-pass top-k (q196 pins that with q165's own oracle). Per-query
+    * cost is O(Σ df(term)) postings-row-group reads, not a corpus
+    * pass. */
+  private[graft] def lexServed(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): DataFrame = {
+    val eng = graft.Engine(s)
+    eng.registerTable("hyb_documents", s"$d/documents.parquet")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_textidx_" +
+      s"${ProcessHandle.current.pid}"
+    eng.buildTextIndex("hyb_text", "hyb_documents", path)
+    eng.bm25Search("hyb_text", Bm25.terms, k = k)
+  }
+
+  /** The index-served lexical list, hash-checked against q165's OWN
+    * oracle (the full-pass BM25 SQL): unlike the dense ANN twin, the
+    * inverted-index probe is exact, so membership, scores, and order
+    * all hash-match — a q188-style audit with equality instead of a
+    * recall floor. */
+  val bm25Served: NamedQuery = NamedQuery("q196_bm25_served",
+    bm25.oracle,
+    (s, d) => lexServed(s, d, 10), conf = NamedQuery.NoAqe)
+
   /** The hybrid fusion SERVED the way a production retrieval stack
     * runs it: q184's RRF composition with the dense list probed from
     * the engine's persisted IVF-PQ index ([[denseServed]]) instead of
@@ -253,8 +281,10 @@ private[graft] trait TextRetrieval extends Serializable {
   val hybridServed: NamedQuery = NamedQuery("q189_hybrid_served", None,
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val lex = Bm25.scored(s, d)
-        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      // both lists index-served: lexical from the persisted inverted
+      // index (exact — q196 pins it), dense from the IVF-PQ index
+      // (recall-floored — q188 pins it)
+      val lex = lexServed(s, d, 20)
         .withColumn("r_lex", row_number()
           .over(Window.orderBy(col("bm25").desc, col("doc_id")))
           .cast("long"))
