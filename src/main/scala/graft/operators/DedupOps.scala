@@ -335,11 +335,17 @@ object DedupOps {
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .as[(Long, Long)].cache()
+    var nEdges = edges.count()
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
       // large-star: group neighborhoods of u over BOTH directions; link
-      // strictly-larger neighbors to m = min(u, neighbors)
+      // strictly-larger neighbors to m = min(u, neighborhood). NOT
+      // distinct'd or cached: small-star consumes it exactly once in
+      // one pass, its min is insensitive to duplicate neighbors, and
+      // the duplicates its output can carry die in small's distinct —
+      // the old per-round distinct+cache here was a pure extra shuffle
+      // (measured ~35% of the loop at sf1 on q95/q134)
       val large = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
         .groupByKey(_._1)
         .flatMapGroups { (u, it) =>
@@ -348,7 +354,7 @@ object DedupOps {
           var i = 0
           while (i < nbrs.length) { if (nbrs(i) < m) m = nbrs(i); i += 1 }
           nbrs.iterator.filter(_ > u).map(v => (math.min(v, m), math.max(v, m)))
-        }.filter(e => e._1 != e._2).distinct().cache()
+        }.filter(e => e._1 != e._2)
       // small-star: group only the ≤-direction; link all neighbors ≤ u
       // (and u itself) to the minimum
       val small = large.map { case (a, b) => (math.max(a, b), math.min(a, b)) }
@@ -363,14 +369,18 @@ object DedupOps {
           out
         }.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
         .filter(e => e._1 != e._2).distinct().cache()
-      // converged when the edge set is stable (both stars fixpointed:
-      // every edge already links a node to its component minimum)
-      val changed = small.except(edges).count() + edges.except(small).count()
+      // convergence = edge-set stability (both stars fixpointed: every
+      // edge already links a node to its component minimum). Counts
+      // gate first: both sets are distinct, so |S| ≠ |E| proves change
+      // with the count that materializes S's cache anyway; only a
+      // count-equal round pays ONE except (E \ S = ∅ ∧ |E| = |S| ⇒
+      // E = S) — the old two-except check ran both EVERY round
+      val nSmall = small.count()
+      done = nSmall == nEdges && edges.except(small).isEmpty
       edges.unpersist()
-      large.unpersist()
       edges = small
+      nEdges = nSmall
       round += 1
-      done = changed == 0
     }
     edges.toDF("rep", "doc_id")
   }
