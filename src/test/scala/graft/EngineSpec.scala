@@ -328,6 +328,82 @@ class EngineSpec extends SparkSpec {
     engine.unregisterTable("shref"); engine.unregisterTable("shref_full")
   }
 
+  test("text index: persisted artifact, term-probe equals the full " +
+      "BM25 pass, refresh ≡ rebuild, stats stay exact") {
+    val t = s"txtidx_docs_${System.nanoTime()}"
+    engine.createTable(t, "doc_id BIGINT, text STRING")
+    engine.insertValues(t, Seq(
+      Row(1L, "join stream join vector filter scan"),
+      Row(2L, "vector vector stream merge sort"),
+      Row(3L, "unrelated words entirely about nothing"),
+      Row(4L, "join filter join join scan scan stream")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_txtidx")
+      .toString
+    engine.buildTextIndex("txtidx", t, s"$dir/index")
+    // artifact reads from STORAGE (cold round-trip), not a cache
+    val post = engine.table("txtidx_postings")
+    assert(post.columns.toSeq == Seq("w", "doc_id", "tf", "dl"))
+    assert(post.inputFiles.nonEmpty &&
+      post.inputFiles.forall(_.contains("index")))
+    // the probe reproduces the full-pass BM25 exactly (same fixed-order
+    // float arithmetic — one posting per (term, doc))
+    // k=3: exactly the docs matching >=1 term (a zero-score doc can
+    // pad the FULL pass's tail but never enter the index probe --
+    // the documented >=k-matching equality condition)
+    def viaIndex = engine.bm25Search("txtidx", Seq("join", "vector"), 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = {
+      // reference full pass: per-doc tf over the docs table, same formula
+      val docs = engine.table(t)
+      val withTf = docs.select(col("doc_id"),
+        graft.functions.TokenCount.tokenCount(col("text")).as("dl"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(
+            split(col("text"), " "), w => w === lit("join"))).as("tf0"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.filter(
+            split(col("text"), " "), w => w === lit("vector"))).as("tf1"))
+      val stats = withTf.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"),
+        sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"))
+      val score = Seq(0, 1).map { i =>
+        org.apache.spark.sql.functions.log(lit(1) +
+          (col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5)) *
+          col(s"tf$i") * 2.2 /
+          (col(s"tf$i") + (lit(0.25) + lit(0.75) * col("dl") /
+            col("avgdl")) * 1.2)
+      }.reduce(_ + _)
+      withTf.crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.round(score, 4).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    assert(viaIndex == full, s"index probe $viaIndex != full pass $full")
+    // refresh: only the new docs index (O(batch)); artifact equals a
+    // from-scratch rebuild row-for-row, stats recompute exactly
+    engine.insertValues(t, Seq(
+      Row(5L, "join vector newdoc stream stream")))
+    assert(engine.refreshTextIndex("txtidx", t, s"$dir/index") == 1)
+    engine.buildTextIndex("txtidx_full", t, s"$dir/index_full")
+    def rows(n: String) = engine.table(n).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows("txtidx_postings") == rows("txtidx_full_postings"))
+    assert(rows("txtidx_doclens") == rows("txtidx_full_doclens"))
+    assert(rows("txtidx_stats") == rows("txtidx_full_stats"))
+    // the refreshed probe serves the new doc
+    assert(viaIndex == engine.bm25Search("txtidx_full",
+      Seq("join", "vector"), 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // no-op refresh
+    assert(engine.refreshTextIndex("txtidx", t, s"$dir/index") == 0)
+    engine.dropTable(t)
+    Seq("txtidx", "txtidx_full").foreach { ix =>
+      Seq("postings", "doclens", "stats").foreach(s =>
+        engine.unregisterTable(s"${ix}_$s"))
+    }
+  }
+
   test("merge: NULL keys always insert and are never duplicates") {
     val t = freshTable("merge_null")
     engine.insertValues(t, Seq(Row(1, "alice")))
