@@ -575,11 +575,18 @@ private[graft] trait EngineDml { self: Engine =>
       opts: Map[String, String]): Long = {
     val fmt = copyFormat(path, opts)
     val obs = org.apache.spark.sql.Observation()
-    val w = copyOptioned(
+    val w0 = copyOptioned(
       df.observe(obs, count(lit(1)).as("n")).write.mode("overwrite"),
       fmt, opts,
       (w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
         k: String, v: String) => w.option(k, v))
+    // PARTITION_BY → the Hive directory layout (q137's partitioned
+    // sink): one subdirectory per key value, readable with partition
+    // pruning by Spark AND DuckDB's hive_partitioning reader
+    val w = opts.get("partition_by") match {
+      case Some(cols) => w0.partitionBy(cols.split(",").toIndexedSeq: _*)
+      case None => w0
+    }
     w.format(fmt).save(path)
     obs.get("n").asInstanceOf[Long]
   }

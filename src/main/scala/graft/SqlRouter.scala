@@ -429,9 +429,11 @@ private[graft] object SqlRouter {
   // ---- COPY option list + query form -------------------------------------
 
   /** Parse a COPY option list: `FORMAT x`, `HEADER [bool]`,
-    * `DELIMITER 'c'` (DuckDB's core CSV/format options — the ones with
-    * a Spark-side equivalent). Unknown options raise a Binder Error
-    * rather than silently writing something different. */
+    * `DELIMITER 'c'`, `PARTITION_BY (cols)` (DuckDB's core options —
+    * the ones with a Spark-side equivalent; PARTITION_BY maps to the
+    * Hive-layout partitioned write q137 proves). Unknown options raise
+    * a Binder Error rather than silently writing something
+    * different. */
   private def copyOpts(raw: String): Map[String, String] =
     Option(raw).map(_.trim).filter(_.nonEmpty).map { o =>
       splitTopComma(o).map(_.trim).filter(_.nonEmpty).map { item =>
@@ -447,6 +449,12 @@ private[graft] object SqlRouter {
             case other => parseErr(s"bad HEADER value: $other")
           })
           case "delimiter" | "delim" | "sep" => "delimiter" -> v
+          case "partition_by" =>
+            // `(a, b)` or a bare single column
+            val cols = v.stripPrefix("(").stripSuffix(")")
+              .split(",").map(_.trim).filter(_.nonEmpty)
+            if (cols.isEmpty) parseErr("empty PARTITION_BY column list")
+            "partition_by" -> cols.mkString(",")
           case other => throw new IllegalArgumentException(
             s"Binder Error: unsupported COPY option: $other")
         }

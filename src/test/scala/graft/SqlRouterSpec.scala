@@ -602,6 +602,17 @@ class SqlRouterSpec extends SparkSpec {
     assert(q.head().getLong(0) == 2)
     assert(spark.read.parquet(s"$base/q.parquet").columns
       .sameElements(Array("id", "tg")))
+    // PARTITION_BY writes the Hive layout (one dir per key value) and
+    // the read-back sees every row with the partition column intact
+    engine.sql(s"COPY $t TO '$base/part' (FORMAT PARQUET, " +
+      "PARTITION_BY (tag))")
+    // three key values: 'a', 'b,c', and NULL (the Hive default dir)
+    val partDirs = new java.io.File(s"$base/part").listFiles()
+      .filter(_.getName.startsWith("tag=")).map(_.getName).sorted
+    assert(partDirs.length == 3, partDirs.mkString(","))
+    val back = spark.read.parquet(s"$base/part")
+    assert(back.count() == 3 &&
+      back.columns.toSet == Set("id", "tag", "v"))
     // unknown format → catalog error; missing extension → binder error
     assert(intercept[IllegalArgumentException](
       engine.sql(s"COPY $t TO '$base/x.avro' (FORMAT AVRO)")).getMessage
