@@ -296,6 +296,13 @@ class Engine private[graft] (val spark: SparkSession)
   // validation probes: single-table writer serialization, the semantics
   // Delta/Iceberg provide via optimistic commit-retry. Readers are
   // never blocked (they hold a plan reference).
+  /** Train-once/probe-many memo for serving-index helpers
+    * (TextRetrieval): index name → corpus dir its artifacts were built
+    * over IN THIS ENGINE. Lives on the engine because the artifacts
+    * live in this engine's registry — a fresh Engine starts empty and
+    * must rebuild. */
+  private[graft] val servedIndexDir = TrieMap.empty[String, String]
+
   private val tableLocks = TrieMap.empty[String, Object]
   private[graft] def withTableLock[A](name: String)(f: => A): A =
     tableLocks.getOrElseUpdate(name, new Object).synchronized(f)

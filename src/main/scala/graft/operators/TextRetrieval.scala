@@ -106,11 +106,26 @@ private[graft] trait TextRetrieval extends Serializable {
     * (tools/HybProbe), which the q188 audit floors at 0.55. k is
     * requested +1 to absorb the self-match before the exclusion
     * filter. */
+  /** Train-once/probe-many for the serving indexes (the
+    * [[graft.operators.DedupOps.sharedShingles]] convention): the
+    * latest session engine remembers which corpus dir each hyb_*
+    * artifact was built over ([[graft.Engine.servedIndexDir]]) and
+    * rebuilds only when the dir changes or the engine is fresh — a
+    * repeated q188/q189/q196 pays the probe, not a re-train, and two
+    * dirs in one session can never serve a stale index (the new dir's
+    * build overwrites the tables and the memo). */
+  private def servingEngine(
+      s: org.apache.spark.sql.SparkSession): graft.Engine =
+    graft.Engine.forSession(s).getOrElse(graft.Engine(s))
+
   private[graft] def denseServed(s: org.apache.spark.sql.SparkSession,
       d: String, qv: Array[Float]): DataFrame = {
-    val eng = graft.Engine(s)
-    eng.registerTable("hyb_embeddings", s"$d/embeddings.parquet")
-    eng.buildAnnIndex("hyb_ann", "hyb_embeddings", pq = true)
+    val eng = servingEngine(s)
+    if (!eng.servedIndexDir.get("hyb_ann").contains(d)) {
+      eng.registerTable("hyb_embeddings", s"$d/embeddings.parquet")
+      eng.buildAnnIndex("hyb_ann", "hyb_embeddings", pq = true)
+      eng.servedIndexDir("hyb_ann") = d
+    }
     val nlist = eng.table("hyb_ann_centroids").count().toInt
     val nprobe = math.max(8, (nlist + 2) / 3)
     eng.annSearch("hyb_ann", qv, k = 21, nprobe = nprobe)
@@ -253,11 +268,14 @@ private[graft] trait TextRetrieval extends Serializable {
     * pass. */
   private[graft] def lexServed(s: org.apache.spark.sql.SparkSession,
       d: String, k: Int): DataFrame = {
-    val eng = graft.Engine(s)
-    eng.registerTable("hyb_documents", s"$d/documents.parquet")
-    val path = s"${sys.props("java.io.tmpdir")}/graft_textidx_" +
-      s"${ProcessHandle.current.pid}"
-    eng.buildTextIndex("hyb_text", "hyb_documents", path)
+    val eng = servingEngine(s)
+    if (!eng.servedIndexDir.get("hyb_text").contains(d)) {
+      eng.registerTable("hyb_documents", s"$d/documents.parquet")
+      val path = s"${sys.props("java.io.tmpdir")}/graft_textidx_" +
+        s"${ProcessHandle.current.pid}"
+      eng.buildTextIndex("hyb_text", "hyb_documents", path)
+      eng.servedIndexDir("hyb_text") = d
+    }
     eng.bm25Search("hyb_text", Bm25.terms, k = k)
   }
 
