@@ -87,6 +87,28 @@ private[graft] trait EngineIndexes { self: Engine =>
     * search path's raw-float rescoring fetch against the base table. */
   private val annMeta = TrieMap.empty[String, (String, String)]
 
+  /** The base table an index was registered over, for the SQL refresh
+    * spellings (`REFRESH TEXT/ANN INDEX name` — the user names only
+    * the index; the registry remembers its table). */
+  private[graft] def indexTable(indexName: String): String =
+    indexRegistry.getOrElse(indexName,
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Index with name "$indexName" does not """ +
+          "exist!"))._1
+
+  /** (idCol, embCol) for the SQL `REFRESH ANN INDEX` route — refresh
+    * must encode against the columns the index was built with. */
+  private[graft] def annIndexCols(indexName: String): (String, String) =
+    annMeta.getOrElse(indexName, ("vec_id", "embedding"))
+
+  /** Default durable-artifact path for SQL-spelled index builds (the
+    * defaultMvPath convention): per-process temp dir locally; a
+    * production deployment sets an explicit shared-storage path via
+    * the programmatic API. */
+  private[graft] def defaultIndexPath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_idx_" +
+      s"${ProcessHandle.current.pid}_$name"
+
   private def booksToDf(
       books: Array[Array[Array[Float]]]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._

@@ -136,6 +136,18 @@ private[graft] object SqlRouter {
     """(?is)\s*DROP\s+CLASSIFIER\s+(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*""".r
   private val ClassifySql =
     """(?is)\s*CLASSIFY\s+([\w.]+)\s+ON\s+([\w.]+)\s*;?\s*""".r
+  // serving-index lifecycle (engine-only spellings, the classifier
+  // convention): inverted text index and IVF[-PQ] ANN index, each with
+  // build + incremental refresh. Matched BEFORE the generic
+  // CreateIndex/DropIndex regexes in the route order below.
+  private val CreateTextIndexSql =
+    """(?is)\s*CREATE\s+TEXT\s+INDEX\s+([\w.]+)\s+ON\s+([\w.]+)(?:\s*\((\w+)\))?\s*;?\s*""".r
+  private val RefreshTextIndexSql =
+    """(?is)\s*REFRESH\s+TEXT\s+INDEX\s+([\w.]+)\s*;?\s*""".r
+  private val CreateAnnIndexSql =
+    """(?is)\s*CREATE\s+ANN\s+INDEX\s+([\w.]+)\s+ON\s+([\w.]+)(?:\s*\((\w+)\))?(?:\s+(PQ))?\s*;?\s*""".r
+  private val RefreshAnnIndexSql =
+    """(?is)\s*REFRESH\s+ANN\s+INDEX\s+([\w.]+)\s*;?\s*""".r
   // DuckDB file-connector verbs (engine-only spellings — Spark has no
   // COPY statement, so these reach the regex routes): table form here;
   // the `COPY (query) TO …` form is scanned structurally in
@@ -174,6 +186,8 @@ private[graft] object SqlRouter {
       UpdateSql, MergeHead, CreateMatViewSql,
       RefreshMatViewSql, DropMatViewSql, OptimizeSql,
       CreateClassifierSql, DropClassifierSql, ClassifySql,
+      CreateTextIndexSql, RefreshTextIndexSql,
+      CreateAnnIndexSql, RefreshAnnIndexSql,
       CopyToSql, CopyFromSql, CopyQueryHead)
     patterns.exists(_.pattern.matcher(q).matches())
   }
@@ -306,6 +320,27 @@ private[graft] object SqlRouter {
       e.dropClassifier(unq(name), ifExists = ifEx != null); Some(emptyOk(e))
     case ClassifySql(name, table) =>
       Some(e.classify(unq(name), unq(table)))
+    case CreateTextIndexSql(name0, table, textCol) =>
+      val name = unq(name0)
+      e.buildTextIndex(name, unq(table), e.defaultIndexPath(name),
+        textCol = Option(textCol).getOrElse("text"))
+      Some(emptyOk(e))
+    case RefreshTextIndexSql(name0) =>
+      val name = unq(name0)
+      val n = e.refreshTextIndex(name, e.indexTable(name),
+        e.defaultIndexPath(name))
+      import e.spark.implicits._
+      Some(Seq(n).toDF("indexed_docs"))
+    case CreateAnnIndexSql(name0, table, embCol, pq) =>
+      e.buildAnnIndex(unq(name0), unq(table),
+        embCol = Option(embCol).getOrElse("embedding"), pq = pq != null)
+      Some(emptyOk(e))
+    case RefreshAnnIndexSql(name0) =>
+      val name = unq(name0)
+      val (idCol, embCol) = e.annIndexCols(name)
+      val n = e.refreshAnnIndex(name, e.indexTable(name), idCol, embCol)
+      import e.spark.implicits._
+      Some(Seq(n).toDF("indexed_vecs"))
     case CopyToSql(name, path, opts) =>
       val n = e.copyTo(e.table(unq(name)), path, copyOpts(opts))
       import e.spark.implicits._

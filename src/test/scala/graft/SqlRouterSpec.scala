@@ -664,6 +664,51 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"DROP TABLE $t")
   }
 
+  test("CREATE/REFRESH TEXT INDEX and ANN INDEX route to the serving-" +
+      "index lifecycle; explain stays side-effect-free") {
+    val t = s"sidx_docs_${System.nanoTime()}"
+    val v = s"sidx_vecs_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (doc_id BIGINT, text STRING)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 'join stream join vector'), " +
+      "(2, 'vector vector merge'), (3, 'other words only')")
+    // explain classifies without building anything
+    assert(engine.explain(s"CREATE TEXT INDEX tix_$t ON $t (text)")
+      .head().getAs[String]("plan") == "routed DDL/DML")
+    assert(!engine.tableExists(s"tix_${t}_postings"))
+    engine.sql(s"CREATE TEXT INDEX tix_$t ON $t (text)")
+    assert(engine.tableExists(s"tix_${t}_postings"))
+    val top = engine.bm25Search(s"tix_$t", Seq("vector"), 2).collect()
+    assert(top.length == 2 && top.head.getLong(0) == 2L)
+    // refresh via SQL: only the new doc indexes; count returned
+    engine.sql(s"INSERT INTO $t VALUES (4, 'vector vector vector zzz')")
+    val r = engine.sql(s"REFRESH TEXT INDEX tix_$t")
+    assert(r.columns.sameElements(Array("indexed_docs")))
+    assert(r.head().getLong(0) == 1)
+    assert(engine.bm25Search(s"tix_$t", Seq("vector"), 1).head()
+      .getLong(0) == 4L)
+    // ANN lifecycle: PQ build + refresh over an embeddings-shaped table
+    engine.registerTable(v, graft.Tables.t(spark, sf, "embeddings")
+      .limit(300).select(col("vec_id"), col("embedding")))
+    engine.sql(s"CREATE ANN INDEX aix_$t ON $v (embedding) PQ")
+    assert(engine.tableExists(s"aix_${t}_cells") &&
+      engine.tableExists(s"aix_${t}_codebooks"))
+    val qv = engine.table(v).select("embedding").head()
+      .getSeq[Float](0).toArray
+    assert(engine.annSearch(s"aix_$t", qv, k = 5).count() == 5)
+    engine.insertInto(v, engine.table(v).limit(7)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val ra = engine.sql(s"REFRESH ANN INDEX aix_$t")
+    assert(ra.head().getLong(0) == 7)
+    // refresh of a missing index raises the catalog error
+    assert(intercept[IllegalArgumentException](
+      engine.sql("REFRESH TEXT INDEX no_such_ix")).getMessage
+      .contains("does not exist"))
+    engine.sql(s"DROP TABLE $t")
+    Seq(s"tix_${t}_postings", s"tix_${t}_doclens", s"tix_${t}_stats",
+      s"aix_${t}_cells", s"aix_${t}_codebooks", s"aix_${t}_centroids", v)
+      .foreach(engine.unregisterTable)
+  }
+
   test("routed DML honors backslash escapes inside string literals and " +
       "rejects non-deterministic expressions") {
     val t = s"upd_esc_${System.nanoTime()}"
