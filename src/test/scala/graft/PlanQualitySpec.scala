@@ -36,6 +36,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(pushed != "[]", s"no pushed filters: $pushed")
   }
 
+  test("bm25Search pushes the term filter into the postings scan") {
+    // the sublinearity contract: a probe must read only the queried
+    // terms' row groups, so the In(w, …) predicate has to reach the
+    // parquet scan of the postings artifact (which is range-sorted on
+    // w — min/max stats then prune untouched groups)
+    val eng = Engine(spark)
+    val t = s"pq_tix_docs_${System.nanoTime()}"
+    eng.registerTable(t, Tables.t(spark, sf, "documents")
+      .select("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqtix")
+      .toString
+    eng.buildTextIndex("pq_tix", t, s"$dir/index")
+    val probe = eng.bm25Search("pq_tix", Seq("join", "vector"), 10)
+    val postScan = scans(probe).filter(
+      _.metadata.getOrElse("Location", "").contains("index"))
+    assert(postScan.nonEmpty, "no scan over the postings artifact")
+    val pushed = postScan.head.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("In(w") || pushed.contains("EqualTo(w"),
+      s"term filter not pushed to the postings scan: $pushed")
+    eng.unregisterTable(t)
+    Seq("postings", "doclens", "stats").foreach(s =>
+      eng.unregisterTable(s"pq_tix_$s"))
+  }
+
   test("q02 projection prunes the read schema") {
     val df = SparkEntry.queries("q02_projection")(spark, sf)
     val schema = scans(df).head.requiredSchema.fieldNames.toSet
