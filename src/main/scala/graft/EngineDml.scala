@@ -203,7 +203,14 @@ private[graft] trait EngineDml { self: Engine =>
       ta: String, sa: String,
       updateSet: Option[Seq[(String, String)]],
       insertSpec: Option[(Seq[String], Seq[String])]): (Long, Long) =
-      withTableLock(name) {
+    mergeIntoColumnsCore(name, source, keys, ta, sa, updateSet,
+      insertSpec)._1
+
+  private def mergeIntoColumnsCore(name: String, source: DataFrame,
+      keys: Seq[String], ta: String, sa: String,
+      updateSet: Option[Seq[(String, String)]],
+      insertSpec: Option[(Seq[String], Seq[String])])
+      : ((Long, Long), DataFrame) = withTableLock(name) {
     require(keys.nonEmpty, "MERGE requires at least one key column")
     require(updateSet.isDefined || insertSpec.isDefined,
       "MERGE requires at least one WHEN clause")
@@ -269,8 +276,8 @@ private[graft] trait EngineDml { self: Engine =>
     val delta = coerceAndValidate(name, e,
       updatedRows.unionByName(insertedRows))
     put(name, untouched.unionByName(delta))
-    (if (updateSet.isDefined) updated else 0L,
-      if (insertSpec.isDefined) inserted else 0L)
+    ((if (updateSet.isDefined) updated else 0L,
+      if (insertSpec.isDefined) inserted else 0L), delta)
   }
 
   def insertValues(name: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
@@ -365,7 +372,20 @@ private[graft] trait EngineDml { self: Engine =>
     * the id never enters the stored lineage. */
   def updateFrom(name: String, sets: Seq[(String, String)],
       source: DataFrame, sourceAlias: String,
-      cond: Option[String]): Long = withTableLock(name) {
+      cond: Option[String]): Long =
+    updateFromCore(name, sets, source, sourceAlias, cond)._1
+
+  /** Join-form UPDATE returning the post-assignment target rows — what
+    * `UPDATE … FROM … RETURNING` projects (target columns; standard
+    * target-row RETURNING scope). */
+  private[graft] def updateFromReturning(name: String,
+      sets: Seq[(String, String)], source: DataFrame,
+      sourceAlias: String, cond: Option[String]): DataFrame =
+    updateFromCore(name, sets, source, sourceAlias, cond)._2
+
+  private def updateFromCore(name: String, sets: Seq[(String, String)],
+      source: DataFrame, sourceAlias: String,
+      cond: Option[String]): (Long, DataFrame) = withTableLock(name) {
     require(sets.nonEmpty,
       "Parser Error: UPDATE requires at least one SET assignment")
     val e = registry.getOrElse(name, missing(name))
@@ -414,7 +434,7 @@ private[graft] trait EngineDml { self: Engine =>
     val delta = coerceAndValidate(name, e, updatedRows)
     val n = delta.count()
     put(name, untouched.unionByName(delta), before)
-    n
+    (n, delta)
   }
 
   /** DELETE as predicate inversion — a full-scan copy-on-write rewrite
@@ -452,7 +472,20 @@ private[graft] trait EngineDml { self: Engine =>
     * (shuffling on the extracted equi-keys), copy-on-write swap,
     * nothing driver-side but the counters. */
   def deleteUsing(name: String, source: DataFrame, sourceAlias: String,
-      cond: Option[String]): Long = withTableLock(name) {
+      cond: Option[String]): Long =
+    deleteUsingCore(name, source, sourceAlias, cond)._1
+
+  /** Join-form DELETE returning the removed target rows (the semi-join
+    * complement of the kept anti-join slice, over the pre-swap
+    * lineage) — what `DELETE … USING … RETURNING` projects. */
+  private[graft] def deleteUsingReturning(name: String,
+      source: DataFrame, sourceAlias: String,
+      cond: Option[String]): DataFrame =
+    deleteUsingCore(name, source, sourceAlias, cond)._2
+
+  private def deleteUsingCore(name: String, source: DataFrame,
+      sourceAlias: String,
+      cond: Option[String]): (Long, DataFrame) = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     if (sourceAlias.equalsIgnoreCase(name))
       throw new IllegalArgumentException(
@@ -466,10 +499,13 @@ private[graft] trait EngineDml { self: Engine =>
     val remaining = t.join(s, on, "left_anti")
       .select(e.df.columns.map(c => col(s"$name.$c").as(c))
         .toIndexedSeq: _*)
+    val deleted = t.join(s, on, "left_semi")
+      .select(e.df.columns.map(c => col(s"$name.$c").as(c))
+        .toIndexedSeq: _*)
     val kept = remaining.count()
     val before = e.rows
     put(name, remaining, kept)
-    before - kept
+    (before - kept, deleted)
   }
 
   /** INSERT … ON CONFLICT — the DuckDB upsert spelling, riding the
@@ -485,7 +521,21 @@ private[graft] trait EngineDml { self: Engine =>
   def insertOnConflict(name: String, source: DataFrame,
       conflictCols: Seq[String],
       updateSet: Option[Seq[(String, String)]]): (Long, Long) =
-      withTableLock(name) {
+    insertOnConflictCore(name, source, conflictCols, updateSet)._1
+
+  /** Upsert returning the affected rows — DO UPDATE's post-assignment
+    * matched rows plus the inserted rows (DuckDB's `ON CONFLICT …
+    * RETURNING` scope: rows the statement wrote, not rows it
+    * skipped). */
+  private[graft] def insertOnConflictReturning(name: String,
+      source: DataFrame, conflictCols: Seq[String],
+      updateSet: Option[Seq[(String, String)]]): DataFrame =
+    insertOnConflictCore(name, source, conflictCols, updateSet)._2
+
+  private def insertOnConflictCore(name: String, source: DataFrame,
+      conflictCols: Seq[String],
+      updateSet: Option[Seq[(String, String)]])
+      : ((Long, Long), DataFrame) = withTableLock(name) {
     // the whole verb runs under the (reentrant) table lock — the arity
     // check and positional alignment below read the schema, and a
     // concurrent ALTER TABLE between them and the merge would misalign
@@ -520,7 +570,7 @@ private[graft] trait EngineDml { self: Engine =>
         .filter(col("__graft_rn") === 1 || anyNull)
         .drop("__graft_ord", "__graft_rn")
     }
-    mergeIntoColumns(name, aligned, conflictCols,
+    mergeIntoColumnsCore(name, aligned, conflictCols,
       ta = name, sa = "excluded",
       updateSet = doUpdate,
       insertSpec = Some((insertAll, insertAll.map(c => s"excluded.$c"))))

@@ -240,20 +240,40 @@ private[graft] object SqlRouter {
     }
 
   /** `INSERT/UPDATE/DELETE … RETURNING proj` — project the affected-row
-    * frame the copy-on-write verbs already compute (inserted rows with
-    * defaults filled, post-assignment updated rows, deleted rows). The
-    * join forms (UPDATE FROM / DELETE USING / ON CONFLICT / INSERT OR)
-    * raise a clear error rather than returning something approximate. */
+    * frame the copy-on-write verbs already compute: inserted rows with
+    * defaults filled; post-assignment updated rows (plain AND join-form
+    * UPDATE — target columns, the standard target-row RETURNING scope);
+    * deleted rows (plain and USING); upserts return the rows the
+    * statement wrote (DO UPDATE's matched rows post-assignment plus the
+    * inserted rows — skipped DO NOTHING conflicts are not returned,
+    * DuckDB's scope). INSERT OR REPLACE re-expresses as the equivalent
+    * all-columns DO UPDATE (target-key uniqueness is enforced first,
+    * so the semantics coincide); OR IGNORE is DO NOTHING. */
   private def routeReturning(e: Engine, head: String,
       proj: String): Option[DataFrame] = {
     def projected(df: DataFrame): Option[DataFrame] =
       Some(df.selectExpr(splitTopComma(proj).map(_.trim): _*))
-    if (insertConflictParts(head).isDefined)
-      parseErr("RETURNING is not supported with ON CONFLICT")
+    insertConflictParts(head).foreach { case (ihead, tail) =>
+      val (name, full) = insertHeadFrame(e, ihead)
+      val (keys, updateSet) = parseConflictTail(e, name, tail)
+      return projected(
+        e.insertOnConflictReturning(name, full, keys, updateSet))
+    }
     head match {
-      case InsertOrSql(_, _, _, _) =>
-        parseErr("RETURNING is not supported with INSERT OR " +
-          "REPLACE/IGNORE")
+      case InsertOrSql(mode, name0, cols, source) =>
+        val name = unq(name0)
+        val keys = e.soleIndexCols(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"Binder Error: INSERT OR ${mode.toUpperCase} needs " +
+              s"exactly one index on $name to infer the conflict " +
+              "target — create one, or spell INSERT ... ON CONFLICT " +
+              "(cols) explicitly"))
+        val full = insertFrame(e, name, Option(cols), source)
+        val updateSet = if (mode.equalsIgnoreCase("REPLACE")) {
+          e.requireUniqueKeys(name, keys, "INSERT OR REPLACE")
+          Some(e.table(name).columns.toSeq.map(c => c -> s"excluded.$c"))
+        } else None
+        projected(e.insertOnConflictReturning(name, full, keys, updateSet))
       case InsertColsSql(name0, cols, source) =>
         val name = unq(name0)
         projected(e.insertIntoReturning(name,
@@ -266,12 +286,21 @@ private[graft] object SqlRouter {
         val name = unq(name0)
         val (headPart, wherePart) = splitTopWhere(rest)
         val (setPart, fromPart) = splitTopKeyword(headPart, "FROM")
-        if (fromPart.isDefined)
-          parseErr("RETURNING is not supported with UPDATE … FROM")
-        projected(e.updateWhereReturning(name,
-          parseUpdateSets(name, setPart), wherePart.map(expr)))
-      case DeleteUsingSql(_, _) =>
-        parseErr("RETURNING is not supported with DELETE … USING")
+        val sets = parseUpdateSets(name, setPart)
+        fromPart match {
+          case None =>
+            projected(e.updateWhereReturning(name, sets,
+              wherePart.map(expr)))
+          case Some(src) =>
+            val (df, alias) = updateSource(e, src)
+            projected(e.updateFromReturning(name, sets, df, alias,
+              wherePart))
+        }
+      case DeleteUsingSql(name0, rest) =>
+        val name = unq(name0)
+        val (srcPart, wherePart) = splitTopWhere(rest)
+        val (df, alias) = updateSource(e, srcPart)
+        projected(e.deleteUsingReturning(name, df, alias, wherePart))
       case DeleteSql(name, cond) =>
         projected(e.deleteFromReturning(unq(name), expr(cond)))
       case DeleteAllSql(name) =>
@@ -802,20 +831,26 @@ private[graft] object SqlRouter {
     None
   }
 
-  /** Route `INSERT INTO t [(cols)] source ON CONFLICT (keys) DO …`:
-    * the insert frame builds exactly like a plain INSERT (defaults
-    * fill), then upserts through the MERGE machinery with the conflict
-    * columns as keys ([[graft.EngineDml.insertOnConflict]]). */
-  private def routeInsertConflict(e: Engine, head: String,
-      tail: String): Option[DataFrame] = {
-    val (name, full) = head match {
-      case InsertColsSql(n0, cols, source) =>
-        val n = unq(n0); (n, insertFrame(e, n, Some(cols), source))
-      case InsertSql(n0, source) =>
-        val n = unq(n0); (n, insertFrame(e, n, None, source))
-      case _ =>
-        parseErr("malformed INSERT before ON CONFLICT")
-    }
+  /** Resolve an INSERT head (before ON CONFLICT / RETURNING) to the
+    * target name and the full-width insert frame (defaults fill,
+    * exactly like a plain INSERT). */
+  private def insertHeadFrame(e: Engine,
+      head: String): (String, DataFrame) = head match {
+    case InsertColsSql(n0, cols, source) =>
+      val n = unq(n0); (n, insertFrame(e, n, Some(cols), source))
+    case InsertSql(n0, source) =>
+      val n = unq(n0); (n, insertFrame(e, n, None, source))
+    case _ =>
+      parseErr("malformed INSERT before ON CONFLICT")
+  }
+
+  /** Parse an ON CONFLICT tail to (conflict keys, DO UPDATE set list /
+    * None for DO NOTHING). The target-less forms resolve through the
+    * same sole-index inference as INSERT OR REPLACE/IGNORE (DuckDB
+    * resolves them through the table's unique constraint; the index
+    * registry plays that role). */
+  private def parseConflictTail(e: Engine, name: String, tail: String)
+      : (Seq[String], Option[Seq[(String, String)]]) = {
     def parseSets(sets: String): Seq[(String, String)] =
       splitTopComma(sets).map {
         case AssignSql(qual, c, ex) =>
@@ -826,9 +861,6 @@ private[graft] object SqlRouter {
         case bad =>
           parseErr(s"malformed ON CONFLICT assignment: '${bad.trim}'")
       }
-    // target-less forms resolve through the same sole-index inference
-    // as INSERT OR REPLACE/IGNORE (DuckDB resolves them through the
-    // table's unique constraint; the index registry plays that role)
     def inferredKeys: String = e.soleIndexCols(name)
       .map(_.mkString(",")).getOrElse(
         throw new IllegalArgumentException(
@@ -844,7 +876,17 @@ private[graft] object SqlRouter {
         parseErr("malformed ON CONFLICT clause (expected " +
           "[(cols)] DO NOTHING | [(cols)] DO UPDATE SET ...)")
     }
-    val keys = keysRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    (keysRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq, updateSet)
+  }
+
+  /** Route `INSERT INTO t [(cols)] source ON CONFLICT (keys) DO …`:
+    * the insert frame builds exactly like a plain INSERT (defaults
+    * fill), then upserts through the MERGE machinery with the conflict
+    * columns as keys ([[graft.EngineDml.insertOnConflict]]). */
+  private def routeInsertConflict(e: Engine, head: String,
+      tail: String): Option[DataFrame] = {
+    val (name, full) = insertHeadFrame(e, head)
+    val (keys, updateSet) = parseConflictTail(e, name, tail)
     val (updated, inserted) =
       e.insertOnConflict(name, full, keys, updateSet)
     import e.spark.implicits._

@@ -651,17 +651,48 @@ class SqlRouterSpec extends SparkSpec {
     engine.sql(s"INSERT INTO $t VALUES (3, 30, 'not RETURNING x')")
     assert(engine.table(t).filter(col("id") === 3).head().getString(2)
       == "not RETURNING x")
-    // join forms refuse with a clear error instead of guessing
-    Seq(
-      s"UPDATE $t SET v = 1 FROM $t s WHERE $t.id = s.id RETURNING *",
-      s"DELETE FROM $t USING $t s WHERE $t.id = s.id RETURNING *",
-      s"INSERT INTO $t VALUES (9, 9, 'x') ON CONFLICT (id) DO NOTHING " +
-        "RETURNING *"
-    ).foreach { bad =>
-      assert(intercept[IllegalArgumentException](engine.sql(bad))
-        .getMessage.contains("RETURNING is not supported"), bad)
-    }
     engine.sql(s"DROP TABLE $t")
+  }
+
+  test("RETURNING on the join-form verbs: UPDATE FROM, DELETE USING, " +
+      "ON CONFLICT, INSERT OR REPLACE/IGNORE") {
+    val t = s"retj_${System.nanoTime()}"
+    val src = s"retj_src_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (id INT, v INT)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 10), (2, 20), (3, 30)")
+    engine.sql(s"CREATE TABLE $src (id INT, bump INT)")
+    engine.sql(s"INSERT INTO $src VALUES (1, 100), (3, 300)")
+    // UPDATE … FROM … RETURNING: post-assignment target rows
+    val uf = engine.sql(s"UPDATE $t SET v = s.bump FROM $src s " +
+      s"WHERE $t.id = s.id RETURNING id, v").orderBy("id").collect()
+    assert(uf.map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((1, 100), (3, 300)))
+    // DELETE … USING … RETURNING: the removed target rows
+    val du = engine.sql(s"DELETE FROM $t USING $src s " +
+      s"WHERE $t.id = s.id AND s.bump = 300 RETURNING *").collect()
+    assert(du.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((3, 300)))
+    assert(engine.table(t).count() == 2)
+    // ON CONFLICT RETURNING: written rows only (updated post-assignment
+    // + inserted; the skipped row of DO NOTHING is absent)
+    val oc = engine.sql(s"INSERT INTO $t VALUES (2, 999), (4, 40) " +
+      "ON CONFLICT (id) DO UPDATE SET v = excluded.v " +
+      "RETURNING id, v").orderBy("id").collect()
+    assert(oc.map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((2, 999), (4, 40)))
+    val ocn = engine.sql(s"INSERT INTO $t VALUES (2, 7), (5, 50) " +
+      "ON CONFLICT (id) DO NOTHING RETURNING id").collect()
+    assert(ocn.map(_.getInt(0)).toSeq == Seq(5))
+    // INSERT OR REPLACE/IGNORE RETURNING via the sole-index inference
+    engine.sql(s"CREATE INDEX retj_ix ON $t (id)")
+    val ior = engine.sql(s"INSERT OR REPLACE INTO $t VALUES (1, 111), " +
+      "(6, 60) RETURNING id, v").orderBy("id").collect()
+    assert(ior.map(r => (r.getInt(0), r.getInt(1))).toSeq
+      == Seq((1, 111), (6, 60)))
+    assert(engine.table(t).filter(col("id") === 1).head().getInt(1) == 111)
+    val ii = engine.sql(s"INSERT OR IGNORE INTO $t VALUES (6, 999), " +
+      "(7, 70) RETURNING id").collect()
+    assert(ii.map(_.getInt(0)).toSeq == Seq(7))
+    engine.sql(s"DROP TABLE $t"); engine.sql(s"DROP TABLE $src")
   }
 
   test("CREATE/REFRESH TEXT INDEX and ANN INDEX route to the serving-" +
