@@ -81,7 +81,8 @@ private[graft] final class TableEntry(val df: DataFrame, known: Long = -1L,
   */
 class Engine private[graft] (val spark: SparkSession)
     extends EngineVersioning with EngineSqlStats with EngineLayout
-    with EngineDdl with EngineDml with EngineIndexes with EngineViews {
+    with EngineDdl with EngineDml with EngineIndexes with EngineViews
+    with EngineExport {
   private[graft] val registry = TrieMap.empty[String, TableEntry]
   // ENUM type catalog — per-engine, like one DuckDB database instance's
   // type catalog (a second Engine on the same JVM gets a fresh catalog;

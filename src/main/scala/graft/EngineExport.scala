@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Whole-catalog `EXPORT DATABASE '<dir>'` / `IMPORT DATABASE '<dir>'`
+  * — the DuckDB verbs a user reaches for to move or back up an entire
+  * database. Data lands as one parquet directory per table
+  * (self-describing schema, distributed part-file writes — the same
+  * scale shape as COPY); engine-level catalog state that parquet
+  * cannot carry — ENUM types and column bindings, NOT NULL flags,
+  * SET DEFAULT expressions, degraded-type origins (SURVEY §1.2), and
+  * index-registry entries — rides small parquet manifest tables under
+  * `<dir>/catalog/`. A parquet manifest instead of DuckDB's schema.sql
+  * keeps arbitrary default expressions and enum values out of any
+  * hand-rolled SQL-escaping path, and the read-back is just a scan.
+  *
+  * IMPORT recreates tables with [[EngineDdl.createTableAs]] over the
+  * parquet read (schema travels with the data) and injects the
+  * manifest metadata directly into the catalog maps — no per-column
+  * re-validation scans (the exporting engine already enforced the
+  * constraints; re-probing N tables × M columns on import would read
+  * the whole database again). Existing table/enum names raise the
+  * standard catalog errors — IMPORT targets a fresh engine, like
+  * DuckDB's. */
+private[graft] trait EngineExport { self: Engine =>
+
+  /** Export every managed table + catalog metadata to `dir`. Returns
+    * the number of tables exported. */
+  def exportDatabase(dir: String): Long = {
+    import spark.implicits._
+    val names = tableNames
+    names.foreach { t =>
+      copyTo(table(t), s"$dir/data/$t.parquet", Map("format" -> "parquet"))
+    }
+    def one(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/catalog/$name.parquet")
+    one(names.toDF("table_name"), "tables")
+    one(enums.toSeq.flatMap { case (e, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (e, i, v) }
+    }.toDF("enum_name", "ord", "value"), "enums")
+    one(names.flatMap { t =>
+      table(t).columns.map { c =>
+        (t, c, notNullCols.contains((t, c)), defaults.get((t, c)),
+          enumCols.get((t, c)), typeOrigins.get((t, c)))
+      }
+    }.toDF("table_name", "column_name", "not_null", "default_expr",
+      "enum_type", "type_origin"), "columns")
+    one(indexRegistry.toSeq.map { case (ix, (t, cols)) =>
+      (ix, t, cols.mkString(","))
+    }.toDF("index_name", "table_name", "columns"), "indexes")
+    names.size.toLong
+  }
+
+  /** Import a database previously written by [[exportDatabase]].
+    * Returns the number of tables created. */
+  def importDatabase(dir: String): Long = {
+    val cat = spark.read.parquet(s"$dir/catalog/tables.parquet")
+      .collect().map(_.getString(0)).sorted
+    // enums first — enum column bindings reference the type registry
+    spark.read.parquet(s"$dir/catalog/enums.parquet")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).toSeq.sortBy(_._1).foreach { case (e, rows) =>
+        createEnum(e, rows.sortBy(_._2).map(_._3).toSeq)
+      }
+    cat.foreach { t =>
+      if (tableExists(t))
+        throw new IllegalArgumentException(
+          s"""Catalog Error: Table with name "$t" already exists!""")
+      createTableAs(t, spark.read.parquet(s"$dir/data/$t.parquet"))
+    }
+    spark.read.parquet(s"$dir/catalog/columns.parquet").collect()
+      .foreach { r =>
+        val key = (r.getString(0), r.getString(1))
+        if (r.getBoolean(2)) notNullCols.put(key, ())
+        if (!r.isNullAt(3)) defaults.put(key, r.getString(3))
+        if (!r.isNullAt(4)) enumCols.put(key, r.getString(4))
+        if (!r.isNullAt(5)) typeOrigins.put(key, r.getString(5))
+      }
+    spark.read.parquet(s"$dir/catalog/indexes.parquet").collect()
+      .foreach { r =>
+        createIndex(r.getString(0), r.getString(1),
+          r.getString(2).split(",").toSeq, ifNotExists = true)
+      }
+    cat.length.toLong
+  }
+}

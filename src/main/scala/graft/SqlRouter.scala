@@ -159,6 +159,13 @@ private[graft] object SqlRouter {
   private val CopyQueryHead = """(?is)\s*COPY\s*\(.+""".r
   private val CopyToTail =
     """(?is)\s*TO\s+'([^']+)'\s*(?:\((.*?)\))?\s*;?\s*""".r
+  // whole-catalog move/backup (DuckDB verbs; parquet layout + a parquet
+  // catalog manifest — EngineExport). An explicit FORMAT other than
+  // parquet raises rather than silently writing parquet.
+  private val ExportDbSql =
+    """(?is)\s*EXPORT\s+DATABASE\s+'([^']+)'\s*(?:\((.*?)\))?\s*;?\s*""".r
+  private val ImportDbSql =
+    """(?is)\s*IMPORT\s+DATABASE\s+'([^']+)'\s*;?\s*""".r
 
   /** True iff `route` would intercept this statement — WITHOUT executing
     * anything (explain/plan paths must stay side-effect-free: Spark runs
@@ -188,7 +195,8 @@ private[graft] object SqlRouter {
       CreateClassifierSql, DropClassifierSql, ClassifySql,
       CreateTextIndexSql, RefreshTextIndexSql,
       CreateAnnIndexSql, RefreshAnnIndexSql,
-      CopyToSql, CopyFromSql, CopyQueryHead)
+      CopyToSql, CopyFromSql, CopyQueryHead,
+      ExportDbSql, ImportDbSql)
     patterns.exists(_.pattern.matcher(q).matches())
   }
 
@@ -380,6 +388,16 @@ private[graft] object SqlRouter {
       Some(Seq(n).toDF("copied_rows"))
     case s if CopyQueryHead.pattern.matcher(s).matches() =>
       routeCopyQuery(e, s)
+    case ExportDbSql(path, opts) =>
+      copyOpts(opts).get("format").filter(_ != "parquet").foreach(f =>
+        parseErr(s"EXPORT DATABASE supports FORMAT PARQUET (got $f)"))
+      val n = e.exportDatabase(path)
+      import e.spark.implicits._
+      Some(Seq(n).toDF("tables_exported"))
+    case ImportDbSql(path) =>
+      val n = e.importDatabase(path)
+      import e.spark.implicits._
+      Some(Seq(n).toDF("tables_imported"))
     case DropTable(ifEx, name) =>
       e.dropTable(unq(name), ifExists = ifEx != null); Some(emptyOk(e))
     case AlterAdd(name, ifNot, col, typ, default) =>

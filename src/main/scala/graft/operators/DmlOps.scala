@@ -366,8 +366,55 @@ object DmlOps {
       ins.unionAll(upd).unionAll(del)
     })
 
+  /** `EXPORT DATABASE` / `IMPORT DATABASE` end-to-end: two managed
+    * tables (a nation clone plus a constraint-bearing table with a
+    * NOT NULL column and a SET DEFAULT) export to a directory, import
+    * into a FRESH engine (the restore scenario), and the engine-side
+    * require()s pin what parquet alone cannot carry — the NOT NULL
+    * still rejects, the default still fills. The returned frame
+    * aggregates the restored nation clone, so the oracle hash proves
+    * the data round-trip; the verb counts pin the catalog scope. */
+  val exportImport: NamedQuery = NamedQuery("q197_export_import",
+    Some("""SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           |  CAST(2 AS BIGINT) AS n_tables
+           |FROM nation GROUP BY n_regionkey""".stripMargin),
+    (s, d) => {
+      val engine = Engine(s)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_export_rt"
+      engine.createTableAs("graft_exp_nation", Tables.t(s, d, "nation"))
+      engine.sql("CREATE TABLE graft_exp_meta (id INT, tag STRING)")
+      engine.sql(
+        "ALTER TABLE graft_exp_meta ALTER COLUMN id SET NOT NULL")
+      engine.sql(
+        "ALTER TABLE graft_exp_meta ALTER COLUMN tag SET DEFAULT 'dft'")
+      engine.sql("INSERT INTO graft_exp_meta VALUES (1, 'a')")
+      val exported =
+        engine.sql(s"EXPORT DATABASE '$dir'").head().getLong(0)
+      // restore into a FRESH engine — nothing session-side may leak
+      val e2 = Engine(s)
+      val imported = e2.sql(s"IMPORT DATABASE '$dir'").head().getLong(0)
+      require(exported == 2 && imported == 2,
+        s"catalog scope drifted: exported $exported, imported $imported")
+      // constraint metadata survived the manifest round-trip
+      val nnHeld =
+        try { e2.sql("INSERT INTO graft_exp_meta VALUES (NULL, 'x')")
+          false }
+        catch { case _: IllegalArgumentException => true }
+      require(nnHeld, "NOT NULL did not survive IMPORT DATABASE")
+      e2.sql("INSERT INTO graft_exp_meta (id) VALUES (2)")
+      require(e2.table("graft_exp_meta").filter(col("id") === 2)
+        .head().getString(1) == "dft",
+        "SET DEFAULT did not survive IMPORT DATABASE")
+      e2.table("graft_exp_nation")
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          sum("n_nationkey").cast("long").as("key_sum"),
+          lit(2L).as("n_tables"))
+    })
+
   def defs: Seq[NamedQuery] =
     Seq(dmlRoundtrip, updateRoundtrip, updateFromRoundtrip,
       deleteUsingRoundtrip, insertConflictRoundtrip, matviewAgg,
-      matviewRefresh, copyRoundtrip, returningRoundtrip)
+      matviewRefresh, copyRoundtrip, returningRoundtrip, exportImport)
 }

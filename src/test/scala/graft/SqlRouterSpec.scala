@@ -740,6 +740,48 @@ class SqlRouterSpec extends SparkSpec {
       .foreach(engine.unregisterTable)
   }
 
+  test("EXPORT DATABASE / IMPORT DATABASE round-trip data, enums, " +
+      "constraints, defaults, and index registry entries") {
+    val base = java.nio.file.Files.createTempDirectory("graft_expdb")
+      .toString
+    val eng1 = graft.Engine(spark)
+    eng1.sql("CREATE TYPE exp_mood AS ENUM ('sad', 'ok', 'happy')")
+    eng1.sql("CREATE TABLE exp_t (id INT, m exp_mood, v DOUBLE)")
+    eng1.sql("ALTER TABLE exp_t ALTER COLUMN id SET NOT NULL")
+    eng1.sql("ALTER TABLE exp_t ALTER COLUMN v SET DEFAULT 1.5")
+    eng1.sql("INSERT INTO exp_t VALUES (1, 'happy', 2.0), (2, 'sad', 3.0)")
+    eng1.sql("CREATE INDEX exp_ix ON exp_t (id)")
+    // explain stays side-effect-free
+    assert(eng1.explain(s"EXPORT DATABASE '$base/db'").head()
+      .getAs[String]("plan") == "routed DDL/DML")
+    assert(!new java.io.File(s"$base/db").exists())
+    assert(eng1.sql(s"EXPORT DATABASE '$base/db'").head().getLong(0) == 1)
+    // restore into a fresh engine
+    val eng2 = graft.Engine(spark)
+    assert(eng2.sql(s"IMPORT DATABASE '$base/db'").head().getLong(0) == 1)
+    assert(eng2.table("exp_t").count() == 2)
+    // enum ORDER survives (declaration-order MIN, the q71 law)
+    assert(eng2.sql("SELECT min(m) FROM exp_t").head().getString(0)
+      == "sad")
+    intercept[IllegalArgumentException](
+      eng2.sql("INSERT INTO exp_t VALUES (NULL, 'ok', 0.0)"))
+    intercept[IllegalArgumentException](
+      eng2.sql("INSERT INTO exp_t VALUES (3, 'angry', 0.0)"))
+    eng2.sql("INSERT INTO exp_t (id, m) VALUES (3, 'ok')")
+    assert(eng2.table("exp_t").filter(col("id") === 3).head()
+      .getDouble(2) == 1.5)
+    assert(eng2.indexes.collect().exists(_.getString(0) == "exp_ix"))
+    // importing over an existing table raises the catalog error
+    assert(intercept[IllegalArgumentException](
+      eng2.sql(s"IMPORT DATABASE '$base/db'")).getMessage
+      .contains("already exists"))
+    // non-parquet export format refuses
+    assert(intercept[IllegalArgumentException](
+      eng1.sql(s"EXPORT DATABASE '$base/db2' (FORMAT CSV)")).getMessage
+      .contains("PARQUET"))
+    eng1.dropTable("exp_t"); eng2.dropTable("exp_t")
+  }
+
   test("routed DML honors backslash escapes inside string literals and " +
       "rejects non-deterministic expressions") {
     val t = s"upd_esc_${System.nanoTime()}"
