@@ -75,8 +75,9 @@ class EventsEncodingSpec extends SparkSpec {
     // audit + q189 ANN-served hybrid + q190 NB discrimination (186);
     // r16b: q191 join-form UPDATE, q192 DELETE USING, q193 INSERT ON
     // CONFLICT (189); r17: q194 COPY TO/FROM roundtrip, q195
-    // RETURNING (191)
-    assert(SparkEntry.queries.size >= 191,
+    // RETURNING, q196 index-served BM25, q197 EXPORT/IMPORT
+    // DATABASE (193)
+    assert(SparkEntry.queries.size >= 193,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
