@@ -651,10 +651,31 @@ private[graft] trait EngineDml { self: Engine =>
       opts: Map[String, String]): Long = withTableLock(name) {
     val e = registry.getOrElse(name, missing(name))
     val fmt = copyFormat(path, opts)
-    val r = copyOptioned(spark.read.schema(e.df.schema), fmt, opts,
+    val auto = opts.get("auto_detect").contains("true")
+    val base =
+      if (auto) {
+        // AUTO_DETECT (DuckDB's sniffing): let the reader infer the
+        // schema instead of binding the target's — the INSERT ingress
+        // coerces types afterwards
+        if (fmt == "csv") spark.read.option("inferSchema", "true")
+        else spark.read
+      } else spark.read.schema(e.df.schema)
+    val r = copyOptioned(base, fmt, opts,
       (r: org.apache.spark.sql.DataFrameReader, k: String, v: String) =>
         r.option(k, v))
-    val df = r.format(fmt).load(path)
+    val df0 = r.format(fmt).load(path)
+    // detected columns align BY NAME when they cover the target
+    // (JSON inference returns fields alphabetically — positional
+    // alignment would scramble them); headerless/renamed payloads fall
+    // back to positional, where the ingress arity check guards
+    val df = if (auto) {
+      val tcols = e.df.columns
+      if (tcols.forall(c => df0.columns.exists(_.equalsIgnoreCase(c))))
+        df0.select(tcols.map(c =>
+          df0.col(df0.columns.find(_.equalsIgnoreCase(c)).get))
+          .toIndexedSeq: _*)
+      else df0
+    } else df0
     val n = df.count()
     insertInto(name, df)
     n

@@ -531,6 +531,11 @@ private[graft] object SqlRouter {
             case other => parseErr(s"bad HEADER value: $other")
           })
           case "delimiter" | "delim" | "sep" => "delimiter" -> v
+          case "auto_detect" => "auto_detect" -> (v.toLowerCase match {
+            case "true" | "1" | "on" => "true"
+            case "false" | "0" | "off" => "false"
+            case other => parseErr(s"bad AUTO_DETECT value: $other")
+          })
           case "partition_by" =>
             // `(a, b)` or a bare single column
             val cols = v.stripPrefix("(").stripSuffix(")")

@@ -613,6 +613,15 @@ class SqlRouterSpec extends SparkSpec {
     val back = spark.read.parquet(s"$base/part")
     assert(back.count() == 3 &&
       back.columns.toSet == Set("id", "tag", "v"))
+    // AUTO_DETECT: schema inferred from the file, aligned by name —
+    // a JSON payload (alphabetical inference order) lands correctly
+    val t4 = s"${t}_auto"
+    engine.sql(s"CREATE TABLE $t4 (id INT, tag STRING, v DOUBLE)")
+    assert(engine.sql(s"COPY $t4 FROM '$base/t.json' (AUTO_DETECT)")
+      .head().getLong(0) == 3)
+    assert(engine.table(t4).orderBy("id").collect().toSeq
+      == engine.table(t).orderBy("id").collect().toSeq)
+    engine.sql(s"DROP TABLE $t4")
     // unknown format → catalog error; missing extension → binder error
     assert(intercept[IllegalArgumentException](
       engine.sql(s"COPY $t TO '$base/x.avro' (FORMAT AVRO)")).getMessage
