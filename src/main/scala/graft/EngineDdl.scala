@@ -90,6 +90,14 @@ private[graft] trait EngineDdl { self: Engine =>
     if (!registry.contains(name)) {
       if (ifExists) return else missing(name)
     }
+    // index metadata (serving tags, text/ANN build params) must not
+    // outlive the registry entries it describes
+    indexRegistry.toSeq.collect { case (ix, (t, _)) if t == name => ix }
+      .foreach { ix =>
+        annMeta.remove(ix); textMeta.remove(ix)
+        tokenizerMeta.remove(ix); classifierMeta.remove(ix)
+        servingIndexes.remove(ix)
+      }
     indexRegistry.filterInPlace { case (_, (t, _)) => t != name }
     defaults.filterInPlace { case ((t, _), _) => t != name }
     notNullCols.filterInPlace { case ((t, _), _) => t != name }

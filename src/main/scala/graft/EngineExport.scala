@@ -47,41 +47,99 @@ private[graft] trait EngineExport { self: Engine =>
     }.toDF("table_name", "column_name", "not_null", "default_expr",
       "enum_type", "type_origin"), "columns")
     one(indexRegistry.toSeq.map { case (ix, (t, cols)) =>
-      (ix, t, cols.mkString(","))
-    }.toDF("index_name", "table_name", "columns"), "indexes")
+      // serving-index kind + build metadata ride along so a restored
+      // engine refreshes against the right columns/path and keeps
+      // serving indexes out of conflict-target inference. The text/ANN
+      // ARTIFACT tables export as ordinary data tables; the text
+      // index's parquet path must still be reachable from the importing
+      // host for REFRESH — otherwise rebuild with CREATE TEXT INDEX.
+      val (kind, m1, m2, m3) =
+        textMeta.get(ix).map { case (p, i, c) => ("text", p, i, c) }
+          .orElse(annMeta.get(ix).map { case (i, e) => ("ann", i, e, null) })
+          .orElse(tokenizerMeta.get(ix).map(c => ("tokenizer", c, null, null)))
+          .orElse(classifierMeta.get(ix).map(c => ("classifier", c, null, null)))
+          .getOrElse(if (servingIndexes.contains(ix))
+            ("serving", null, null, null) else ("plain", null, null, null))
+      (ix, t, cols.mkString(","), kind, m1, m2, m3)
+    }.toDF("index_name", "table_name", "columns", "kind",
+      "meta1", "meta2", "meta3"), "indexes")
     names.size.toLong
   }
 
   /** Import a database previously written by [[exportDatabase]].
-    * Returns the number of tables created. */
+    * Every manifest name is validated against the live catalog AND
+    * cross-checked within the manifest BEFORE anything is created, so a
+    * collision or a hand-corrupted manifest raises with the catalog
+    * untouched instead of leaving a half-imported database. Returns the
+    * number of tables created. */
   def importDatabase(dir: String): Long = {
     val cat = spark.read.parquet(s"$dir/catalog/tables.parquet")
       .collect().map(_.getString(0)).sorted
-    // enums first — enum column bindings reference the type registry
-    spark.read.parquet(s"$dir/catalog/enums.parquet")
+    val enumRows = spark.read.parquet(s"$dir/catalog/enums.parquet")
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
-      .groupBy(_._1).toSeq.sortBy(_._1).foreach { case (e, rows) =>
-        createEnum(e, rows.sortBy(_._2).map(_._3).toSeq)
-      }
+    val colRows = spark.read.parquet(s"$dir/catalog/columns.parquet")
+      .collect()
+    // ---- validate everything up front (no catalog writes yet) ----
     cat.foreach { t =>
       if (tableExists(t))
         throw new IllegalArgumentException(
           s"""Catalog Error: Table with name "$t" already exists!""")
+    }
+    val newEnums = enumRows.map(_._1).toSet
+    newEnums.foreach { e =>
+      if (enums.contains(e))
+        throw new IllegalArgumentException(
+          s"Catalog Error: Type with name $e already exists!")
+    }
+    val catSet = cat.toSet
+    colRows.foreach { r =>
+      if (!catSet.contains(r.getString(0)))
+        throw new IllegalArgumentException(
+          "Catalog Error: IMPORT DATABASE manifest references unknown " +
+            s"""table "${r.getString(0)}"""")
+      if (!r.isNullAt(4) && !newEnums.contains(r.getString(4)))
+        throw new IllegalArgumentException(
+          "Catalog Error: IMPORT DATABASE manifest references unknown " +
+            s"""enum type "${r.getString(4)}"""")
+    }
+    // ---- create: enums first — enum column bindings reference them --
+    enumRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (e, rows) =>
+      createEnum(e, rows.sortBy(_._2).map(_._3).toSeq)
+    }
+    cat.foreach { t =>
       createTableAs(t, spark.read.parquet(s"$dir/data/$t.parquet"))
     }
-    spark.read.parquet(s"$dir/catalog/columns.parquet").collect()
-      .foreach { r =>
-        val key = (r.getString(0), r.getString(1))
-        if (r.getBoolean(2)) notNullCols.put(key, ())
-        if (!r.isNullAt(3)) defaults.put(key, r.getString(3))
-        if (!r.isNullAt(4)) enumCols.put(key, r.getString(4))
-        if (!r.isNullAt(5)) typeOrigins.put(key, r.getString(5))
+    colRows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      if (r.getBoolean(2)) notNullCols.put(key, ())
+      if (!r.isNullAt(3)) defaults.put(key, r.getString(3))
+      if (!r.isNullAt(4)) enumCols.put(key, r.getString(4))
+      if (!r.isNullAt(5)) typeOrigins.put(key, r.getString(5))
+    }
+    val idx = spark.read.parquet(s"$dir/catalog/indexes.parquet")
+    val hasKind = idx.columns.contains("kind") // pre-r16 manifests lack it
+    idx.collect().foreach { r =>
+      val name = r.getString(0)
+      createIndex(name, r.getString(1),
+        r.getString(2).split(",").toSeq, ifNotExists = true)
+      if (hasKind) {
+        def m(i: Int) = if (r.isNullAt(i)) null else r.getString(i)
+        r.getString(3) match {
+          case "text" =>
+            textMeta.put(name, (m(4), m(5), m(6)))
+            servingIndexes.put(name, ())
+          case "ann" =>
+            annMeta.put(name, (m(4), m(5)))
+            servingIndexes.put(name, ())
+          case "tokenizer" =>
+            tokenizerMeta.put(name, m(4)); servingIndexes.put(name, ())
+          case "classifier" =>
+            classifierMeta.put(name, m(4)); servingIndexes.put(name, ())
+          case "serving" => servingIndexes.put(name, ())
+          case _ => () // plain metadata index
+        }
       }
-    spark.read.parquet(s"$dir/catalog/indexes.parquet").collect()
-      .foreach { r =>
-        createIndex(r.getString(0), r.getString(1),
-          r.getString(2).split(",").toSeq, ifNotExists = true)
-      }
+    }
     cat.length.toLong
   }
 }

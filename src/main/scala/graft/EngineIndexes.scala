@@ -26,24 +26,32 @@ private[graft] trait EngineIndexes { self: Engine =>
     indexRegistry.put(indexName, (tableName, cols))
   }
 
-  def dropIndex(indexName: String, ifExists: Boolean = false): Unit =
+  def dropIndex(indexName: String, ifExists: Boolean = false): Unit = {
     if (indexRegistry.remove(indexName).isEmpty && !ifExists)
       throw new IllegalArgumentException(
         s"Catalog Error: Index with name \"$indexName\" does not exist!")
+    annMeta.remove(indexName); textMeta.remove(indexName)
+    servingIndexes.remove(indexName)
+    ()
+  }
 
   /** Conflict-target inference for `INSERT OR REPLACE / OR IGNORE`:
     * DuckDB resolves those shorthands through the table's unique
     * constraint; here the index registry plays that role — the
     * shorthand works iff the table has exactly ONE distinct indexed
-    * column-set whose columns all exist in the schema (ANN/tokenizer
-    * artifacts register non-column entries and are filtered out).
+    * column-set whose columns all exist in the schema. SERVING indexes
+    * (text/ANN/shingle/tokenizer/classifier artifacts) are excluded by
+    * tag, not by column-existence: a text index over a real `text`
+    * column must neither become an upsert key nor veto a working
+    * key-index inference (DuckDB infers only from UNIQUE constraints).
     * None ⇒ the router tells the user to spell ON CONFLICT (…)
     * explicitly. */
   private[graft] def soleIndexCols(table: String): Option[Seq[String]] = {
     val cols = registry.get(table).map(_.df.columns.toSet)
       .getOrElse(return None)
-    val sets = indexRegistry.values.toSeq
-      .collect { case (t, c) if t == table && c.forall(cols) => c }
+    val sets = indexRegistry.toSeq
+      .collect { case (n, (t, c))
+        if t == table && !servingIndexes.contains(n) && c.forall(cols) => c }
       .distinct
     sets match { case Seq(one) => Some(one); case _ => None }
   }
@@ -81,11 +89,25 @@ private[graft] trait EngineIndexes { self: Engine =>
       put(s"${indexName}_cells", SimilarityOps.ivfAssign(df, cents), n)
     annMeta.put(indexName, (idCol, embCol))
     createIndex(indexName, tableName, Seq(embCol), ifNotExists = true)
+    servingIndexes.put(indexName, ())
+    ()
   }
 
   /** (idCol, embCol) an ANN index was built with — needed by the PQ
-    * search path's raw-float rescoring fetch against the base table. */
-  private val annMeta = TrieMap.empty[String, (String, String)]
+    * search path's raw-float rescoring fetch against the base table.
+    * private[graft]: EXPORT DATABASE carries it in the index manifest
+    * so a restored engine refreshes against the right columns. */
+  private[graft] val annMeta = TrieMap.empty[String, (String, String)]
+
+  /** (path, idCol, textCol) a TEXT index was built with — the SQL
+    * `REFRESH TEXT INDEX` route resolves the artifact path and columns
+    * from the build (a custom-column index would otherwise be
+    * re-tokenized on the wrong column into an empty default path). */
+  private[graft] val textMeta = TrieMap.empty[String, (String, String, String)]
+
+  /** Names of serving indexes (text/ANN/shingle/tokenizer/classifier).
+    * [[soleIndexCols]] excludes them from conflict-target inference. */
+  private[graft] val servingIndexes = TrieMap.empty[String, Unit]
 
   /** The base table an index was registered over, for the SQL refresh
     * spellings (`REFRESH TEXT/ANN INDEX name` — the user names only
@@ -100,6 +122,20 @@ private[graft] trait EngineIndexes { self: Engine =>
     * must encode against the columns the index was built with. */
   private[graft] def annIndexCols(indexName: String): (String, String) =
     annMeta.getOrElse(indexName, ("vec_id", "embedding"))
+
+  /** (path, idCol, textCol) for the SQL `REFRESH TEXT INDEX` route.
+    * Raises if the name is not a [[buildTextIndex]] artifact — a plain
+    * metadata index has no postings to refresh. */
+  private[graft] def textIndexMeta(indexName: String): (String, String, String) =
+    textMeta.getOrElse(indexName, {
+      if (!indexRegistry.contains(indexName))
+        throw new IllegalArgumentException(
+          s"""Catalog Error: Index with name "$indexName" does not """ +
+            "exist!")
+      throw new IllegalArgumentException(
+        s"""Catalog Error: "$indexName" is not a TEXT index — build it """ +
+          "with CREATE TEXT INDEX first")
+    })
 
   /** Default durable-artifact path for SQL-spelled index builds (the
     * defaultMvPath convention): per-process temp dir locally; a
@@ -193,6 +229,8 @@ private[graft] trait EngineIndexes { self: Engine =>
       .write.mode("overwrite").parquet(path)
     put(indexName, spark.read.parquet(path))
     createIndex(indexName, docsTable, Seq("text"), ifNotExists = true)
+    servingIndexes.put(indexName, ())
+    ()
   }
 
   /** Incremental refresh of a [[buildShingleIndex]] artifact after new
@@ -275,6 +313,9 @@ private[graft] trait EngineIndexes { self: Engine =>
     writeTextIndex(docs, path, append = false)
     registerTextIndex(indexName, path)
     createIndex(indexName, docsTable, Seq(textCol), ifNotExists = true)
+    textMeta.put(indexName, (path, idCol, textCol))
+    servingIndexes.put(indexName, ())
+    ()
   }
 
   /** Incremental refresh after new documents arrived: only docs absent
@@ -286,6 +327,16 @@ private[graft] trait EngineIndexes { self: Engine =>
   def refreshTextIndex(indexName: String, docsTable: String, path: String,
       idCol: String = "doc_id", textCol: String = "text"): Long =
       withTableLock(indexName) {
+    // the index remembers its artifact path and columns: refreshing a
+    // different column into the postings, or appending to a foreign
+    // path, would silently corrupt the served index — fail loudly
+    textMeta.get(indexName).foreach { case (p, i, t) =>
+      if (p != path || i != idCol || t != textCol)
+        throw new IllegalArgumentException(
+          s"""Binder Error: Text index "$indexName" was built at """ +
+            s""""$p" over ($i, $t) — refresh must use the same path """ +
+            "and columns")
+    }
     val docs = table(docsTable).select(col(idCol).as("doc_id"),
       col(textCol).as("text"))
     val known = table(s"${indexName}_doclens").select("doc_id")
@@ -333,9 +384,11 @@ private[graft] trait EngineIndexes { self: Engine =>
     * ONE posting exists per (term, doc), so the per-term partial sums
     * below are single values and the final score is the same
     * fixed-term-order addition of identical IEEE doubles — the served
-    * top-k is EXACTLY the full-pass top-k whenever ≥ k docs match a
-    * term (docs matching no term score 0 and cannot enter a positive
-    * top-k). */
+    * top-k is EXACTLY the full-pass top-k. When fewer than k docs match
+    * any term, the result pads with zero-score docs in doc_id order,
+    * like the full pass (which scores the whole corpus); the pad's
+    * corpus-sized doclens scan runs ONLY on that small/filtered-corpus
+    * branch — the common ≥k-matches probe stays O(Σ df(term)). */
   def bm25Search(indexName: String, terms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 probe needs at least one term")
@@ -359,8 +412,21 @@ private[graft] trait EngineIndexes { self: Engine =>
         sum(when(col("w") === t0, col("s"))).as(s"s$i") }: _*)
     val total = terms.indices.map(i =>
       coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
-    perTerm.select(col("doc_id"), round(total, 4).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    val matched = perTerm.select(col("doc_id"), round(total, 4).as("bm25"))
+    val top = matched.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    // one extra probe-sized action gates the pad; a matched score can
+    // round to 0.0, so the pad unions BEFORE the final top-k order —
+    // ties between matched-0.0 and padded-0.0 docs resolve on doc_id,
+    // exactly the full pass's ordering
+    if (matched.count() >= k) top
+    else {
+      val pad = table(s"${indexName}_doclens").select(col("doc_id"))
+        .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(0.0).as("bm25"))
+        .orderBy(col("doc_id")).limit(k)
+      matched.unionByName(pad)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    }
   }
 
   /** Curation report verb: per-(source, rule) C4-gate kill rates over
@@ -448,6 +514,7 @@ private[graft] trait EngineIndexes { self: Engine =>
     put(s"${name}_merges", rows.toDF("rank", "lhs", "rhs"))
     tokenizerMeta.put(name, textCol)
     createIndex(name, tableName, Seq(textCol), ifNotExists = true)
+    servingIndexes.put(name, ())
     m.ranks.size
   }
 
@@ -472,7 +539,7 @@ private[graft] trait EngineIndexes { self: Engine =>
     BpeOps.encodeStats(spark, docs, merges)
   }
 
-  private val tokenizerMeta = TrieMap.empty[String, String]
+  private[graft] val tokenizerMeta = TrieMap.empty[String, String]
 
   // ---- NB classifier lifecycle (train offline / serve online) ----------
 
@@ -502,6 +569,7 @@ private[graft] trait EngineIndexes { self: Engine =>
     put(s"${name}_model", (modelRows ++ priorRows).toDF("w", "cls", "q"))
     classifierMeta.put(name, textCol)
     createIndex(name, tableName, Seq(textCol), ifNotExists = true)
+    servingIndexes.put(name, ())
     modelRows.iterator.map(_._1).toSet.size
   }
 
@@ -538,5 +606,5 @@ private[graft] trait EngineIndexes { self: Engine =>
     ()
   }
 
-  private val classifierMeta = TrieMap.empty[String, String]
+  private[graft] val classifierMeta = TrieMap.empty[String, String]
 }

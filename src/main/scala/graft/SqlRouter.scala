@@ -277,11 +277,15 @@ private[graft] object SqlRouter {
               "target — create one, or spell INSERT ... ON CONFLICT " +
               "(cols) explicitly"))
         val full = insertFrame(e, name, Option(cols), source)
-        val updateSet = if (mode.equalsIgnoreCase("REPLACE")) {
-          e.requireUniqueKeys(name, keys, "INSERT OR REPLACE")
-          Some(e.table(name).columns.toSeq.map(c => c -> s"excluded.$c"))
-        } else None
-        projected(e.insertOnConflictReturning(name, full, keys, updateSet))
+        // same one-lock scope as the non-RETURNING route: the
+        // uniqueness probe and the upsert must see the same table state
+        projected(e.withTableLock(name) {
+          val updateSet = if (mode.equalsIgnoreCase("REPLACE")) {
+            e.requireUniqueKeys(name, keys, "INSERT OR REPLACE")
+            Some(e.table(name).columns.toSeq.map(c => c -> s"excluded.$c"))
+          } else None
+          e.insertOnConflictReturning(name, full, keys, updateSet)
+        })
       case InsertColsSql(name0, cols, source) =>
         val name = unq(name0)
         projected(e.insertIntoReturning(name,
@@ -364,8 +368,12 @@ private[graft] object SqlRouter {
       Some(emptyOk(e))
     case RefreshTextIndexSql(name0) =>
       val name = unq(name0)
-      val n = e.refreshTextIndex(name, e.indexTable(name),
-        e.defaultIndexPath(name))
+      // refresh against the path and columns the index was BUILT with
+      // (recorded at build time, the annMeta pattern) — defaulting here
+      // would re-tokenize the wrong column into an empty default path
+      val (path, idCol, textCol) = e.textIndexMeta(name)
+      val n = e.refreshTextIndex(name, e.indexTable(name), path,
+        idCol, textCol)
       import e.spark.implicits._
       Some(Seq(n).toDF("indexed_docs"))
     case CreateAnnIndexSql(name0, table, embCol, pq) =>
@@ -449,12 +457,17 @@ private[graft] object SqlRouter {
         if (mode.equalsIgnoreCase("REPLACE")) {
           // duplicate TARGET keys would make the whole-row MERGE
           // collapse N rows into one — refuse, like DuckDB refuses the
-          // shorthand absent a UNIQUE constraint
-          e.requireUniqueKeys(name, keys, "INSERT OR REPLACE")
-          // whole-row replace ≡ the whole-row MERGE (dup-key sources
-          // error there, matching DuckDB's can-not-update-twice rule)
-          e.mergeInto(name,
-            full.toDF(e.table(name).columns.toIndexedSeq: _*), keys)
+          // shorthand absent a UNIQUE constraint. Probe and merge run
+          // under ONE table lock (reentrant — mergeInto re-takes it):
+          // a concurrent insert between them could otherwise introduce
+          // the very duplicates the probe is meant to exclude
+          e.withTableLock(name) {
+            e.requireUniqueKeys(name, keys, "INSERT OR REPLACE")
+            // whole-row replace ≡ the whole-row MERGE (dup-key sources
+            // error there, matching DuckDB's can-not-update-twice rule)
+            e.mergeInto(name,
+              full.toDF(e.table(name).columns.toIndexedSeq: _*), keys)
+          }
         }
         else e.insertOnConflict(name, full, keys, None)
       Some(Seq((updated, inserted)).toDF("updated_rows", "inserted_rows"))

@@ -791,6 +791,130 @@ class SqlRouterSpec extends SparkSpec {
     eng1.dropTable("exp_t"); eng2.dropTable("exp_t")
   }
 
+  test("REFRESH TEXT INDEX resolves the column and path the index was " +
+      "built with; wrong-args refresh and non-text refresh refuse") {
+    val t = s"tmeta_docs_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (doc_id BIGINT, body STRING)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 'alpha beta alpha'), " +
+      "(2, 'beta gamma gamma')")
+    // SQL build on a NON-default column records (path, idCol, textCol)
+    engine.sql(s"CREATE TEXT INDEX tm_$t ON $t (body)")
+    engine.sql(s"INSERT INTO $t VALUES (3, 'alpha alpha alpha zz')")
+    // refresh must tokenize `body` (there is no `text` column at all —
+    // the pre-fix default would have thrown or indexed nothing)
+    assert(engine.sql(s"REFRESH TEXT INDEX tm_$t").head().getLong(0) == 1)
+    assert(engine.bm25Search(s"tm_$t", Seq("alpha"), 1).head()
+      .getLong(0) == 3L)
+    // programmatic build at a CUSTOM path: SQL refresh resolves it
+    val dir = java.nio.file.Files.createTempDirectory("graft_tmeta")
+      .toString
+    engine.buildTextIndex(s"tm2_$t", t, s"$dir/custom", textCol = "body")
+    engine.sql(s"INSERT INTO $t VALUES (4, 'gamma gamma gamma gamma')")
+    assert(engine.sql(s"REFRESH TEXT INDEX tm2_$t").head().getLong(0) == 1)
+    assert(engine.bm25Search(s"tm2_$t", Seq("gamma"), 1).head()
+      .getLong(0) == 4L)
+    // refreshing with args that differ from the build refuses loudly
+    assert(intercept[IllegalArgumentException](
+      engine.refreshTextIndex(s"tm2_$t", t, s"$dir/other",
+        textCol = "body")).getMessage.contains("same path"))
+    // a plain metadata index has no postings — not a TEXT index
+    engine.sql(s"CREATE INDEX plain_$t ON $t (doc_id)")
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"REFRESH TEXT INDEX plain_$t")).getMessage
+      .contains("not a TEXT index"))
+    engine.sql(s"DROP TABLE $t")
+    Seq(s"tm_$t", s"tm2_$t").foreach { ix =>
+      Seq("postings", "doclens", "stats").foreach(s =>
+        engine.unregisterTable(s"${ix}_$s"))
+    }
+  }
+
+  test("serving indexes stay out of INSERT OR REPLACE conflict-target " +
+      "inference") {
+    val t = s"sinf_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (doc_id INT, text STRING)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 'alpha beta'), (2, 'beta beta')")
+    engine.sql(s"CREATE INDEX key_$t ON $t (doc_id)")
+    // a text index over a REAL column must not break the sole-index
+    // inference (pre-fix: two candidate column-sets -> refusal)
+    engine.sql(s"CREATE TEXT INDEX six_$t ON $t (text)")
+    engine.sql(s"INSERT OR REPLACE INTO $t VALUES (1, 'replaced')")
+    assert(engine.table(t).filter(col("doc_id") === 1).head()
+      .getString(1) == "replaced")
+    // ...and a text index as the ONLY index must not become the key
+    engine.sql(s"DROP INDEX key_$t")
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"INSERT OR REPLACE INTO $t VALUES (1, 'again')"))
+      .getMessage.contains("exactly one index"))
+    engine.sql(s"DROP TABLE $t")
+    Seq("postings", "doclens", "stats").foreach(s =>
+      engine.unregisterTable(s"six_${t}_$s"))
+  }
+
+  test("IMPORT DATABASE validates the whole manifest before creating " +
+      "anything and restores serving-index metadata") {
+    val base = java.nio.file.Files.createTempDirectory("graft_impdb")
+      .toString
+    val eng1 = Engine(spark)
+    eng1.sql("CREATE TABLE imp_docs (doc_id BIGINT, body STRING)")
+    eng1.sql("INSERT INTO imp_docs VALUES (1, 'alpha beta'), " +
+      "(2, 'beta gamma')")
+    eng1.sql("CREATE TEXT INDEX imp_tix ON imp_docs (body)")
+    assert(eng1.sql(s"EXPORT DATABASE '$base/db'").head().getLong(0) == 4)
+    // restore: text-index metadata (path, idCol, textCol) travels, so
+    // REFRESH resolves the built column on the restored engine
+    val eng2 = Engine(spark)
+    eng2.sql(s"IMPORT DATABASE '$base/db'")
+    eng2.sql("INSERT INTO imp_docs VALUES (3, 'gamma gamma gamma')")
+    assert(eng2.sql("REFRESH TEXT INDEX imp_tix").head().getLong(0) == 1)
+    assert(eng2.bm25Search("imp_tix", Seq("gamma"), 1).head()
+      .getLong(0) == 3L)
+    // serving tag travels too: the text index alone must not infer an
+    // upsert key on the restored engine
+    assert(intercept[IllegalArgumentException](
+      eng2.sql("INSERT OR REPLACE INTO imp_docs VALUES (1, 'x')"))
+      .getMessage.contains("exactly one index"))
+    // corrupt the manifest: a column row referencing an unknown table
+    // must raise BEFORE anything is created (atomic validation)
+    import spark.implicits._
+    Seq(("ghost_table", "c", false, null.asInstanceOf[String],
+      null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("table_name", "column_name", "not_null", "default_expr",
+        "enum_type", "type_origin")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/db/catalog/columns.parquet")
+    val eng3 = Engine(spark)
+    assert(intercept[IllegalArgumentException](
+      eng3.sql(s"IMPORT DATABASE '$base/db'")).getMessage
+      .contains("unknown table"))
+    assert(eng3.tableNames.isEmpty, "half-imported catalog after a " +
+      "manifest validation failure")
+  }
+
+  test("bm25Search pads zero-score docs in doc_id order when fewer " +
+      "than k docs match, like the full pass") {
+    val t = s"bmpad_${System.nanoTime()}"
+    engine.createTable(t, "doc_id BIGINT, text STRING")
+    engine.insertValues(t, Seq(
+      org.apache.spark.sql.Row(1L, "alpha beta alpha"),
+      org.apache.spark.sql.Row(2L, "beta beta gamma"),
+      org.apache.spark.sql.Row(3L, "unrelated words"),
+      org.apache.spark.sql.Row(4L, "nothing shared here")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmpad")
+      .toString
+    engine.buildTextIndex(s"bp_$t", t, s"$dir/index")
+    // 'alpha' matches only doc 1; k=3 pads docs 3 then 4? no — pads the
+    // LOWEST unmatched doc_ids: 2, 3 (doc 2 doesn't contain alpha)
+    val got = engine.bm25Search(s"bp_$t", Seq("alpha"), 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.length == 3)
+    assert(got.head._1 == 1L && got.head._2 > 0.0)
+    assert(got.drop(1) == Seq((2L, 0.0), (3L, 0.0)))
+    engine.dropTable(t)
+    Seq("postings", "doclens", "stats").foreach(s =>
+      engine.unregisterTable(s"bp_${t}_$s"))
+  }
+
   test("routed DML honors backslash escapes inside string literals and " +
       "rejects non-deterministic expressions") {
     val t = s"upd_esc_${System.nanoTime()}"
