@@ -94,7 +94,7 @@ private[graft] trait EngineDdl { self: Engine =>
     // outlive the registry entries it describes
     indexRegistry.toSeq.collect { case (ix, (t, _)) if t == name => ix }
       .foreach { ix =>
-        annMeta.remove(ix); textMeta.remove(ix)
+        annMeta.remove(ix); annPath.remove(ix); textMeta.remove(ix)
         tokenizerMeta.remove(ix); classifierMeta.remove(ix)
         servingIndexes.remove(ix)
       }

@@ -55,7 +55,8 @@ private[graft] trait EngineExport { self: Engine =>
       // host for REFRESH — otherwise rebuild with CREATE TEXT INDEX.
       val (kind, m1, m2, m3) =
         textMeta.get(ix).map { case (p, i, c) => ("text", p, i, c) }
-          .orElse(annMeta.get(ix).map { case (i, e) => ("ann", i, e, null) })
+          .orElse(annMeta.get(ix).map { case (i, e) =>
+            ("ann", i, e, annPath.get(ix).orNull) })
           .orElse(tokenizerMeta.get(ix).map(c => ("tokenizer", c, null, null)))
           .orElse(classifierMeta.get(ix).map(c => ("classifier", c, null, null)))
           .getOrElse(if (servingIndexes.contains(ix))
@@ -130,6 +131,7 @@ private[graft] trait EngineExport { self: Engine =>
             servingIndexes.put(name, ())
           case "ann" =>
             annMeta.put(name, (m(4), m(5)))
+            Option(m(6)).foreach(annPath.put(name, _))
             servingIndexes.put(name, ())
           case "tokenizer" =>
             tokenizerMeta.put(name, m(4)); servingIndexes.put(name, ())

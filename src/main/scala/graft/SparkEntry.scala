@@ -72,7 +72,13 @@ object SparkEntry {
       "q174_zorder_box" ->
         (("zorder_stage", BucketedOps.warmZOrder _)),
       "q175_time_range_daily" ->
-        (("timesort_stage", BucketedOps.warmTimeLayout _)))
+        (("timesort_stage", BucketedOps.warmTimeLayout _)),
+      // the BM25 inverted index + IVF-PQ index builds are the
+      // once-per-snapshot cost; the timed rows are the serving probes
+      "q196_bm25_served" ->
+        (("serving_index_stage", TextOps.warmServing _)),
+      "q189_hybrid_served" ->
+        (("serving_index_stage", TextOps.warmServing _)))
 
   /** Bench-time PRODUCTION formulations for queries whose correctness
     * row deliberately carries extra verification work. q94's `queries`
@@ -100,5 +106,6 @@ object SparkEntry {
     "q156_tpch_q5_bucketed", "q161_events_sessions_bucketed",
     "q162_asof_join_bucketed", "q163_shard_packing_bucketed",
     "q164_events_hourly_rollup",
-    "q174_zorder_box", "q175_time_range_daily")
+    "q174_zorder_box", "q175_time_range_daily",
+    "q196_bm25_served", "q189_hybrid_served")
 }

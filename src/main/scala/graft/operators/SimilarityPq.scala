@@ -218,7 +218,15 @@ private[graft] trait SimilarityPq extends Serializable {
       (qid, probed, centDots, lut, qNorm)
     }
     val bc = spark.sparkContext.broadcast(plans)
-    val short = cells.select("vec_id", "cell", "norm", "codes")
+    // pre-filter to the union of all queries' probed cells: on a
+    // persisted cell-sorted artifact (EngineIndexes.buildAnnIndex) the
+    // IN predicate pushes into the parquet scan and row-group min/max
+    // stats prune the unprobed cells — per-query IO O(nprobe·N/nlist).
+    // The per-row probed check below stays: with several queries the
+    // union is a superset of any one query's probe set.
+    val allProbed = plans.iterator.flatMap(_._2).toSeq.distinct
+    val short = cells.filter(col("cell").isin(allProbed: _*))
+      .select("vec_id", "cell", "norm", "codes")
       .as[(Long, Long, Float, Array[Byte])]
       .mapPartitions { it =>
         // per-partition top-`shortlist` heaps per query: emits
