@@ -12,8 +12,10 @@ Usage: python3 tools/bench_tier_duckdb.py <sfDir> <oracleDir> [q1,q2,...]
 import json
 import multiprocessing as mp
 import os
+import shutil
 import statistics
 import sys
+import tempfile
 import time
 
 import duckdb
@@ -21,6 +23,12 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# every graft.Bench basket row with a DuckDB-runnable oracle: the
+# original 20 comparables plus the bucketed/sorted production twins
+# (DuckDB runs the SAME SQL — its comparable is layout-independent)
+# and the served-BM25 row (DuckDB comparable is the full-pass BM25
+# formulation, q165's oracle). q42/q46/q171/q189 have engine-defined
+# rows (no oracle) and stay graft-only.
 BASKET = ["q05_agg_global", "q06_tpch_q1", "q12_join_agg",
           "q17_window_rank", "q30_events_hourly",
           "q41_dedup_ngram_jaccard", "q44_embedding_neardup",
@@ -28,7 +36,13 @@ BASKET = ["q05_agg_global", "q06_tpch_q1", "q12_join_agg",
           "q56_percentiles", "q97_shard_packing", "q57_events_sessions",
           "q58_asof_join", "q68_tpch_q3", "q69_tpch_q5",
           "q123_curation_pipeline", "q130_passage_dedup", "q138_tfidf",
-          "q140_range_join"]
+          "q140_range_join",
+          "q154_join_agg_bucketed", "q155_tpch_q3_bucketed",
+          "q156_tpch_q5_bucketed", "q161_events_sessions_bucketed",
+          "q162_asof_join_bucketed", "q163_shard_packing_bucketed",
+          "q164_events_hourly_rollup", "q173_substring_spans",
+          "q174_zorder_box", "q175_time_range_daily",
+          "q196_bm25_served"]
 
 Q94_APPROX = """SELECT l_returnflag,
   approx_quantile(l_extendedprice, 0.5) AS med,
@@ -40,9 +54,13 @@ TIMEOUT_S = int(os.environ.get("DUCKDB_TIMEOUT_S", "300"))
 REPEATS = int(os.environ.get("DUCKDB_REPEATS", "5"))
 
 
-def run_once(sf_dir, sql, q):
+def run_once(sf_dir, sql, q, tmp_dir):
     con = duckdb.connect()
     con.execute("PRAGMA threads=32")
+    # spill into a per-query dir the PARENT removes even after a
+    # timeout terminate — a killed q44/q123 subprocess otherwise leaks
+    # tens of GB of duckdb_temp_storage-*.tmp
+    con.execute(f"SET temp_directory='{tmp_dir}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
@@ -66,12 +84,17 @@ def main(sf_dir, oracle_dir, only=None):
             print(f"{name:28s} (no oracle SQL — skipped)")
             continue
         q = mp.Queue()
-        p = mp.Process(target=run_once, args=(sf_dir, oracle[name], q))
+        tmp_dir = tempfile.mkdtemp(prefix="duck_tier_")
+        p = mp.Process(target=run_once,
+                       args=(sf_dir, oracle[name], q, tmp_dir))
         p.start()
         p.join(TIMEOUT_S * REPEATS)
-        if p.is_alive():
+        timed_out = p.is_alive()
+        if timed_out:
             p.terminate()
             p.join()
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if timed_out:
             print(f"{name:28s} TIMEOUT >{TIMEOUT_S * REPEATS}s total")
             results[name] = None
             continue
