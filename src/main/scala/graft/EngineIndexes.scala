@@ -241,6 +241,42 @@ private[graft] trait EngineIndexes { self: Engine =>
     } finally { newVecs.unpersist(); () }
   }
 
+  /** Re-sort a serving artifact back into pruning order after
+    * refreshes: [[refreshAnnIndex]]/[[refreshTextIndex]] APPEND
+    * batch-local row groups (O(batch) by design), which probe pruning
+    * skips less and less well as the un-compacted tail grows. This is
+    * the index analog of table OPTIMIZE — run on a maintenance
+    * cadence, it restores the fresh-build layout exactly (row-identical
+    * artifact, EngineSpec law). One artifact-sized pass. */
+  def optimizeAnnIndex(indexName: String): Unit = withTableLock(indexName) {
+    val p = annPath.getOrElse(indexName,
+      throw new IllegalArgumentException(
+        s"""Catalog Error: "$indexName" is not a persisted ANN index"""))
+    resortParquet(s"$p/cells", "cell")
+    put(s"${indexName}_cells", spark.read.parquet(s"$p/cells"))
+  }
+
+  /** [[optimizeAnnIndex]] for a text index: re-sorts the postings on
+    * the term so row-group stats prune term probes again. */
+  def optimizeTextIndex(indexName: String): Unit =
+      withTableLock(indexName) {
+    val (p, _, _) = textIndexMeta(indexName)
+    resortParquet(s"$p/postings", "w")
+    put(s"${indexName}_postings", spark.read.parquet(s"$p/postings"))
+  }
+
+  private def resortParquet(path: String, sortCol: String): Unit = {
+    val tmp = path + "_opt_tmp"
+    spark.read.parquet(path)
+      .repartitionByRange(col(sortCol)).sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(tmp)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)
+    ()
+  }
+
   /** Build a DURABLE shingle index over a managed documents table:
     * materialize the df-capped distinct-shingle-hash stage to parquet
     * at `path` and register the COLD read-back as a managed table —

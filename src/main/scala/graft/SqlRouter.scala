@@ -148,6 +148,13 @@ private[graft] object SqlRouter {
     """(?is)\s*CREATE\s+ANN\s+INDEX\s+([\w.]+)\s+ON\s+([\w.]+)(?:\s*\((\w+)\))?(?:\s+(PQ))?\s*;?\s*""".r
   private val RefreshAnnIndexSql =
     """(?is)\s*REFRESH\s+ANN\s+INDEX\s+([\w.]+)\s*;?\s*""".r
+  // serving-index maintenance: re-sort the refresh-appended tail back
+  // into pruning order (the table-OPTIMIZE analog). Matched BEFORE the
+  // generic OptimizeSql in the route order below.
+  private val OptimizeTextIndexSql =
+    """(?is)\s*OPTIMIZE\s+TEXT\s+INDEX\s+([\w.]+)\s*;?\s*""".r
+  private val OptimizeAnnIndexSql =
+    """(?is)\s*OPTIMIZE\s+ANN\s+INDEX\s+([\w.]+)\s*;?\s*""".r
   // DuckDB file-connector verbs (engine-only spellings — Spark has no
   // COPY statement, so these reach the regex routes): table form here;
   // the `COPY (query) TO …` form is scanned structurally in
@@ -195,6 +202,7 @@ private[graft] object SqlRouter {
       CreateClassifierSql, DropClassifierSql, ClassifySql,
       CreateTextIndexSql, RefreshTextIndexSql,
       CreateAnnIndexSql, RefreshAnnIndexSql,
+      OptimizeTextIndexSql, OptimizeAnnIndexSql,
       CopyToSql, CopyFromSql, CopyQueryHead,
       ExportDbSql, ImportDbSql)
     patterns.exists(_.pattern.matcher(q).matches())
@@ -339,6 +347,10 @@ private[graft] object SqlRouter {
     case DropMatViewSql(ifEx, name) =>
       e.dropMaterializedAggregate(unq(name), ifExists = ifEx != null)
       Some(emptyOk(e))
+    case OptimizeTextIndexSql(name0) =>
+      e.optimizeTextIndex(unq(name0)); Some(emptyOk(e))
+    case OptimizeAnnIndexSql(name0) =>
+      e.optimizeAnnIndex(unq(name0)); Some(emptyOk(e))
     case OptimizeSql(name, files, zcols) =>
       val n = Option(files).map(_.toInt).getOrElse(0)
       Option(zcols) match {

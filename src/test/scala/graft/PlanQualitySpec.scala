@@ -60,6 +60,30 @@ class PlanQualitySpec extends SparkSpec {
       eng.unregisterTable(s"pq_tix_$s"))
   }
 
+  test("annSearch pushes the probed-cell filter into the cells scan") {
+    // the persisted-cells contract: a probe must read only the probed
+    // cells' row groups, so the In(cell, …) predicate has to reach the
+    // parquet scan of the artifact (range-sorted on cell — min/max
+    // stats then prune unprobed groups)
+    val eng = Engine(spark)
+    val t = s"pq_ann_vecs_${System.nanoTime()}"
+    eng.registerTable(t, Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding"))
+    eng.buildAnnIndex(s"pq_ann_$t", t)
+    val qv = eng.table(t).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val probe = eng.annSearch(s"pq_ann_$t", qv, k = 5)
+    val cellScan = scans(probe).filter(
+      _.metadata.getOrElse("Location", "").contains("cells"))
+    assert(cellScan.nonEmpty, "no scan over the cells artifact")
+    val pushed = cellScan.head.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("In(cell") || pushed.contains("EqualTo(cell"),
+      s"cell filter not pushed to the cells scan: $pushed")
+    eng.unregisterTable(t)
+    Seq("cells", "centroids").foreach(s =>
+      eng.unregisterTable(s"pq_ann_${t}_$s"))
+  }
+
   test("q02 projection prunes the read schema") {
     val df = SparkEntry.queries("q02_projection")(spark, sf)
     val schema = scans(df).head.requiredSchema.fieldNames.toSet

@@ -749,6 +749,70 @@ class SqlRouterSpec extends SparkSpec {
       .foreach(engine.unregisterTable)
   }
 
+  test("OPTIMIZE TEXT/ANN INDEX re-sorts the refresh-appended tail " +
+      "back into pruning order; results unchanged") {
+    def fileSorted(dir: String, colName: String): Boolean = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      files.forall { f =>
+        val vs = spark.read.parquet(f).select(colName).collect()
+        val s = vs.map(_.get(0).toString)
+        // string compare suffices: both artifacts sort on the native
+        // type; equal-key runs keep any order
+        (1 until s.length).forall(i => s(i - 1) <= s(i)) || {
+          // numeric columns need numeric order
+          val n = vs.map(_.get(0).asInstanceOf[Number].longValue())
+          (1 until n.length).forall(i => n(i - 1) <= n(i))
+        }
+      }
+    }
+    val t = s"optidx_${System.nanoTime()}"
+    engine.sql(s"CREATE TABLE $t (doc_id BIGINT, text STRING)")
+    engine.sql(s"INSERT INTO $t VALUES (1, 'zulu alpha'), " +
+      "(2, 'alpha mike'), (3, 'kilo zulu')")
+    val dir = java.nio.file.Files.createTempDirectory("graft_optidx")
+      .toString
+    engine.buildTextIndex(s"ot_$t", t, s"$dir/tix")
+    engine.sql(s"INSERT INTO $t VALUES (4, 'bravo alpha alpha')")
+    engine.sql(s"REFRESH TEXT INDEX ot_$t") // appends a batch-local tail
+    val before = engine.bm25Search(s"ot_$t", Seq("alpha"), 4).collect()
+      .map(_.toString).toSeq
+    engine.sql(s"OPTIMIZE TEXT INDEX ot_$t")
+    assert(fileSorted(s"$dir/tix/postings", "w"),
+      "postings not term-sorted after OPTIMIZE")
+    assert(engine.bm25Search(s"ot_$t", Seq("alpha"), 4).collect()
+      .map(_.toString).toSeq == before)
+    // ANN: build, refresh-append, optimize; probe unchanged, cells
+    // cell-sorted per file again
+    val v = s"optvec_${System.nanoTime()}"
+    engine.registerTable(v, graft.Tables.t(spark, sf, "embeddings")
+      .limit(400).select(col("vec_id"), col("embedding")))
+    engine.buildAnnIndex(s"oa_$t", v, path = s"$dir/aix")
+    engine.insertInto(v, engine.table(v).limit(9)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")))
+    assert(engine.refreshAnnIndex(s"oa_$t", v) == 9)
+    val qv = engine.table(v).select("embedding").head()
+      .getSeq[Float](0).toArray
+    val abefore = engine.annSearch(s"oa_$t", qv, k = 5).collect()
+      .map(_.toString).toSeq
+    engine.sql(s"OPTIMIZE ANN INDEX oa_$t")
+    assert(fileSorted(s"$dir/aix/cells", "cell"),
+      "cells not cell-sorted after OPTIMIZE")
+    assert(engine.annSearch(s"oa_$t", qv, k = 5).collect()
+      .map(_.toString).toSeq == abefore)
+    // a plain index has neither artifact
+    engine.sql(s"CREATE INDEX plainopt_$t ON $t (doc_id)")
+    assert(intercept[IllegalArgumentException](
+      engine.sql(s"OPTIMIZE ANN INDEX plainopt_$t")).getMessage
+      .contains("not a persisted ANN index"))
+    engine.sql(s"DROP TABLE $t")
+    Seq("postings", "doclens", "stats").foreach(s =>
+      engine.unregisterTable(s"ot_${t}_$s"))
+    Seq("cells", "centroids").foreach(s =>
+      engine.unregisterTable(s"oa_${t}_$s"))
+    engine.unregisterTable(v)
+  }
+
   test("EXPORT DATABASE / IMPORT DATABASE round-trip data, enums, " +
       "constraints, defaults, and index registry entries") {
     val base = java.nio.file.Files.createTempDirectory("graft_expdb")
