@@ -736,7 +736,7 @@ object TextOps extends TextRetrieval {
   def defs: Seq[NamedQuery] =
     Seq(tokens, quality, langId, fingerprint, rollingFp, bpeTokens,
       piiScrub, normalize, repetition, heavyHitters, tfidf, c4Gate,
-      curationReport, lmQuality, bm25, bm25Served, hybridRetrieval,
-      hybridDenseAudit, hybridServed, gopherGate, gopherRepetition,
-      fertility)
+      curationReport, lmQuality, bm25, bm25Served, bm25Maintained,
+      hybridRetrieval, hybridDenseAudit, hybridServed, gopherGate,
+      gopherRepetition, fertility)
 }

@@ -302,6 +302,32 @@ private[graft] trait TextRetrieval extends Serializable {
     bm25.oracle,
     (s, d) => lexServed(s, d, 10), conf = NamedQuery.NoAqe)
 
+  /** The full index-MAINTENANCE lifecycle, hash-proven end-to-end:
+    * build the inverted index over HALF the corpus (even doc_ids),
+    * incrementally refresh the other half in (the O(batch) append),
+    * OPTIMIZE the appended tail back into term-sorted pruning order,
+    * then probe — and the probe must equal the full-pass BM25 over the
+    * WHOLE corpus (q165's own oracle). One query pins that refresh
+    * covered exactly the appended half, optimize preserved every
+    * posting, and the maintained artifact serves bit-identically. */
+  val bm25Maintained: NamedQuery = NamedQuery("q198_index_maintenance",
+    bm25.oracle,
+    (s, d) => {
+      val eng = graft.Engine(s) // fresh engine: no serving-memo overlap
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      eng.registerTable("mnt_docs", docs.filter(col("doc_id") % 2 === 0))
+      eng.registerTable("mnt_docs_all", docs)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_mnt_tix_" +
+        s"${ProcessHandle.current.pid}"
+      eng.buildTextIndex("mnt_tix", "mnt_docs", path)
+      val appended = eng.refreshTextIndex("mnt_tix", "mnt_docs_all", path)
+      val odd = docs.filter(col("doc_id") % 2 =!= 0).count()
+      require(appended == odd,
+        s"refresh appended $appended docs, corpus grew by $odd")
+      eng.sql("OPTIMIZE TEXT INDEX mnt_tix")
+      eng.bm25Search("mnt_tix", Bm25.terms, k = 10)
+    }, conf = NamedQuery.NoAqe)
+
   /** The hybrid fusion SERVED the way a production retrieval stack
     * runs it: q184's RRF composition with the dense list probed from
     * the engine's persisted IVF-PQ index ([[denseServed]]) instead of

@@ -76,8 +76,8 @@ class EventsEncodingSpec extends SparkSpec {
     // r16b: q191 join-form UPDATE, q192 DELETE USING, q193 INSERT ON
     // CONFLICT (189); r17: q194 COPY TO/FROM roundtrip, q195
     // RETURNING, q196 index-served BM25, q197 EXPORT/IMPORT
-    // DATABASE (193)
-    assert(SparkEntry.queries.size >= 193,
+    // DATABASE (193); r18: q198 index-maintenance lifecycle (194)
+    assert(SparkEntry.queries.size >= 194,
       s"queries inventory shrank to ${SparkEntry.queries.size} keys")
   }
 
