@@ -466,5 +466,15 @@ object Engine {
     bySession.put(spark, e)
     e
   }
+
+  /** An engine that does NOT become the session's serving engine
+    * ([[forSession]] keeps resolving to the previous one): for
+    * query-local catalogs (q197 export round-trip, q198 index
+    * maintenance) whose construction must not hijack the memoized
+    * hyb_* serving artifacts out from under q188/q189/q196. */
+  def scratch(spark: SparkSession): Engine = {
+    graft.functions.DuckAliases.register(spark)
+    new Engine(spark)
+  }
 }
 

@@ -80,6 +80,9 @@ private[graft] trait EngineExport { self: Engine =>
       .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
     val colRows = spark.read.parquet(s"$dir/catalog/columns.parquet")
       .collect()
+    val idx = spark.read.parquet(s"$dir/catalog/indexes.parquet")
+    val hasKind = idx.columns.contains("kind") // pre-r16 manifests lack it
+    val idxRows = idx.collect()
     // ---- validate everything up front (no catalog writes yet) ----
     cat.foreach { t =>
       if (tableExists(t))
@@ -103,6 +106,18 @@ private[graft] trait EngineExport { self: Engine =>
           "Catalog Error: IMPORT DATABASE manifest references unknown " +
             s"""enum type "${r.getString(4)}"""")
     }
+    idxRows.foreach { r =>
+      // a silently-skipped name collision would attach the manifest's
+      // serving metadata to an UNRELATED live index — refuse up front
+      if (indexRegistry.contains(r.getString(0)))
+        throw new IllegalArgumentException(
+          s"""Catalog Error: Index with name "${r.getString(0)}" """ +
+            "already exists!")
+      if (!catSet.contains(r.getString(1)))
+        throw new IllegalArgumentException(
+          "Catalog Error: IMPORT DATABASE manifest references unknown " +
+            s"""table "${r.getString(1)}"""")
+    }
     // ---- create: enums first — enum column bindings reference them --
     enumRows.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (e, rows) =>
       createEnum(e, rows.sortBy(_._2).map(_._3).toSeq)
@@ -117,12 +132,9 @@ private[graft] trait EngineExport { self: Engine =>
       if (!r.isNullAt(4)) enumCols.put(key, r.getString(4))
       if (!r.isNullAt(5)) typeOrigins.put(key, r.getString(5))
     }
-    val idx = spark.read.parquet(s"$dir/catalog/indexes.parquet")
-    val hasKind = idx.columns.contains("kind") // pre-r16 manifests lack it
-    idx.collect().foreach { r =>
+    idxRows.foreach { r =>
       val name = r.getString(0)
-      createIndex(name, r.getString(1),
-        r.getString(2).split(",").toSeq, ifNotExists = true)
+      createIndex(name, r.getString(1), r.getString(2).split(",").toSeq)
       if (hasKind) {
         def m(i: Int) = if (r.isNullAt(i)) null else r.getString(i)
         r.getString(3) match {

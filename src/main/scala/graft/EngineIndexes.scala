@@ -31,7 +31,8 @@ private[graft] trait EngineIndexes { self: Engine =>
       throw new IllegalArgumentException(
         s"Catalog Error: Index with name \"$indexName\" does not exist!")
     annMeta.remove(indexName); annPath.remove(indexName)
-    textMeta.remove(indexName); servingIndexes.remove(indexName)
+    textMeta.remove(indexName); tokenizerMeta.remove(indexName)
+    classifierMeta.remove(indexName); servingIndexes.remove(indexName)
     ()
   }
 
@@ -231,7 +232,11 @@ private[graft] trait EngineIndexes { self: Engine =>
             // append the O(batch) encode to the persisted artifact;
             // appended row groups are batch-local (not cell-sorted), so
             // probe pruning degrades only by the un-compacted tail —
-            // re-sorting the corpus per refresh would defeat O(batch)
+            // re-sorting the corpus per refresh would defeat O(batch).
+            // The artifact must EXIST: appending into a missing dir
+            // (an IMPORTed index whose path didn't travel) would mint
+            // a batch-only artifact and silently drop the corpus
+            requireArtifact(s"$p/cells", indexName, "ANN")
             enc.write.mode("append").parquet(s"$p/cells")
             put(s"${indexName}_cells", spark.read.parquet(s"$p/cells"))
           case None => insertInto(s"${indexName}_cells", enc)
@@ -270,10 +275,20 @@ private[graft] trait EngineIndexes { self: Engine =>
     spark.read.parquet(path)
       .repartitionByRange(col(sortCol)).sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(tmp)
+    // swap old ASIDE first: a crash or failed rename between steps must
+    // never leave the durable artifact missing — worst case the old
+    // artifact survives under one of the two names
     val hp = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_opt_old")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hp, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)
+    fs.delete(old, true)
+    if (!fs.rename(hp, old))
+      throw new java.io.IOException(s"OPTIMIZE: could not move $hp aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)) {
+      fs.rename(old, hp) // restore the original artifact
+      throw new java.io.IOException(s"OPTIMIZE: could not install $tmp")
+    }
+    fs.delete(old, true)
     ()
   }
 
@@ -402,6 +417,10 @@ private[graft] trait EngineIndexes { self: Engine =>
             s""""$p" over ($i, $t) — refresh must use the same path """ +
             "and columns")
     }
+    // appending into a missing artifact dir (an IMPORTed index whose
+    // path is unreachable on this host) would re-register the postings
+    // over the batch alone and silently drop the corpus — refuse
+    requireArtifact(s"$path/postings", indexName, "TEXT")
     val docs = table(docsTable).select(col(idCol).as("doc_id"),
       col(textCol).as("text"))
     val known = table(s"${indexName}_doclens").select("doc_id")
@@ -412,6 +431,20 @@ private[graft] trait EngineIndexes { self: Engine =>
       registerTextIndex(indexName, path)
     }
     added
+  }
+
+  /** The persisted artifact a refresh appends to must exist — a
+    * restore whose artifact path didn't travel must rebuild, not
+    * silently serve the refresh batch alone. */
+  private def requireArtifact(path: String, indexName: String,
+      kind: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp))
+      throw new IllegalArgumentException(
+        s"""IO Error: $kind index "$indexName" artifact at "$path" is """ +
+          "unreachable from this engine — rebuild the index " +
+          s"(CREATE ${kind} INDEX) instead of refreshing")
   }
 
   private def writeTextIndex(docs: org.apache.spark.sql.DataFrame,
@@ -456,6 +489,35 @@ private[graft] trait EngineIndexes { self: Engine =>
     * branch — the common ≥k-matches probe stays O(Σ df(term)). */
   def bm25Search(indexName: String, terms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val matched = bm25Matched(indexName, terms, k1, b)
+    val top = matched.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    // ONE probe execution decides the result: k rows whose k-th score
+    // is positive cannot be displaced by any zero-score doc, so the
+    // common case returns them as a local frame (nothing re-executes
+    // when the caller consumes it). Fewer than k matches — or a k-th
+    // score that ROUNDS to 0.0, where an unmatched lower-doc_id doc
+    // ties and outranks it — falls to the pad plan, whose corpus-sized
+    // doclens scan runs only on that small/filtered-corpus branch.
+    val topRows = top.collect()
+    if (topRows.length == k && topRows.last.getDouble(1) > 0.0)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(topRows.toSeq, 1), top.schema)
+    else {
+      val pad = table(s"${indexName}_doclens").select(col("doc_id"))
+        .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(0.0).as("bm25"))
+        .orderBy(col("doc_id")).limit(k)
+      matched.unionByName(pad)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    }
+  }
+
+  /** The lazy matched-docs scoring plan behind [[bm25Search]] — the
+    * per-(term,doc) postings probe pivoted to one fixed-term-order
+    * score per matching doc. Split out so plan laws can pin the
+    * In(w,…) pushdown on the probe's scan (PlanQualitySpec). */
+  private[graft] def bm25Matched(indexName: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 probe needs at least one term")
     val post = table(s"${indexName}_postings")
       .filter(col("w").isin(terms: _*))
@@ -477,21 +539,7 @@ private[graft] trait EngineIndexes { self: Engine =>
         sum(when(col("w") === t0, col("s"))).as(s"s$i") }: _*)
     val total = terms.indices.map(i =>
       coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
-    val matched = perTerm.select(col("doc_id"), round(total, 4).as("bm25"))
-    val top = matched.orderBy(col("bm25").desc, col("doc_id")).limit(k)
-    // one extra probe-sized action gates the pad; a matched score can
-    // round to 0.0, so the pad unions BEFORE the final top-k order —
-    // ties between matched-0.0 and padded-0.0 docs resolve on doc_id,
-    // exactly the full pass's ordering
-    if (matched.count() >= k) top
-    else {
-      val pad = table(s"${indexName}_doclens").select(col("doc_id"))
-        .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit(0.0).as("bm25"))
-        .orderBy(col("doc_id")).limit(k)
-      matched.unionByName(pad)
-        .orderBy(col("bm25").desc, col("doc_id")).limit(k)
-    }
+    perTerm.select(col("doc_id"), round(total, 4).as("bm25"))
   }
 
   /** Curation report verb: per-(source, rule) C4-gate kill rates over

@@ -19,7 +19,7 @@ object DmlOps {
            |SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
            |FROM lineitem WHERE l_orderkey <= 50""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val name = "graft_dml_roundtrip"
       engine.dropTable(name, ifExists = true)
       val base = Tables.t(s, d, "lineitem")
@@ -47,7 +47,7 @@ object DmlOps {
            |     ELSE l_returnflag END AS f
            |FROM lineitem WHERE l_orderkey <= 300""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val name = "graft_update_roundtrip"
       engine.dropTable(name, ifExists = true)
       engine.createTableAs(name, Tables.t(s, d, "lineitem")
@@ -83,7 +83,7 @@ object DmlOps {
            |  ON l.l_orderkey = o.o_orderkey
            |WHERE l.l_orderkey <= 300""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val name = "graft_updfrom_tgt"
       val src = "graft_updfrom_src"
       engine.dropTable(name, ifExists = true)
@@ -117,7 +117,7 @@ object DmlOps {
            |  WHERE o.o_orderkey = l.l_orderkey
            |    AND o.o_totalprice > 150000)""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val name = "graft_delu_tgt"
       val src = "graft_delu_src"
       engine.dropTable(name, ifExists = true)
@@ -164,7 +164,7 @@ object DmlOps {
            |  SELECT 1 FROM orders t2 WHERE t2.o_orderkey <= 400
            |    AND t2.o_orderkey = s.o_orderkey)""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val name = "graft_conf_tgt"
       engine.dropTable(name, ifExists = true)
       engine.createTableAs(name, Tables.t(s, d, "orders")
@@ -208,7 +208,7 @@ object DmlOps {
            |FROM lineitem WHERE l_returnflag IN ('A', 'R')
            |GROUP BY l_returnflag, l_linestatus""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val base = "graft_mv_lineitem"
       val mv = "graft_mv_li_agg"
       engine.dropTable(mv, ifExists = true)
@@ -251,7 +251,7 @@ object DmlOps {
            |      SELECT * FROM lineitem WHERE l_orderkey <= 100) u
            |GROUP BY l_returnflag, l_linestatus""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val base = "graft_mvr_lineitem"
       val mv = "graft_mvr_li_agg"
       engine.dropTable(mv, ifExists = true)
@@ -301,7 +301,7 @@ object DmlOps {
            |  CAST(0 AS BIGINT) AS n_mismatch
            |FROM customer GROUP BY c_mktsegment""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val name = "graft_copy_src"
       val back = "graft_copy_back"
       engine.dropTable(name, ifExists = true)
@@ -346,7 +346,7 @@ object DmlOps {
            |SELECT o_orderkey + 10000, round(o_totalprice, 2), 'del'
            |FROM orders WHERE o_orderkey <= 50""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val name = "graft_ret_tgt"
       engine.dropTable(name, ifExists = true)
       engine.createTableAs(name, Tables.t(s, d, "orders")
@@ -380,7 +380,7 @@ object DmlOps {
            |  CAST(2 AS BIGINT) AS n_tables
            |FROM nation GROUP BY n_regionkey""".stripMargin),
     (s, d) => {
-      val engine = Engine(s)
+      val engine = Engine.scratch(s) // query-local catalog: keep the serving memo
       val dir = s"${sys.props("java.io.tmpdir")}/graft_export_rt"
       engine.createTableAs("graft_exp_nation", Tables.t(s, d, "nation"))
       engine.sql("CREATE TABLE graft_exp_meta (id INT, tag STRING)")
@@ -392,7 +392,7 @@ object DmlOps {
       val exported =
         engine.sql(s"EXPORT DATABASE '$dir'").head().getLong(0)
       // restore into a FRESH engine — nothing session-side may leak
-      val e2 = Engine(s)
+      val e2 = Engine.scratch(s)
       val imported = e2.sql(s"IMPORT DATABASE '$dir'").head().getLong(0)
       require(exported == 2 && imported == 2,
         s"catalog scope drifted: exported $exported, imported $imported")

@@ -313,7 +313,9 @@ private[graft] trait TextRetrieval extends Serializable {
   val bm25Maintained: NamedQuery = NamedQuery("q198_index_maintenance",
     bm25.oracle,
     (s, d) => {
-      val eng = graft.Engine(s) // fresh engine: no serving-memo overlap
+      // scratch: a query-local catalog that must not re-bind the
+      // session's serving engine (q196/q189 would lose their memo)
+      val eng = graft.Engine.scratch(s)
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       eng.registerTable("mnt_docs", docs.filter(col("doc_id") % 2 === 0))
       eng.registerTable("mnt_docs_all", docs)

@@ -48,7 +48,10 @@ class PlanQualitySpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_pqtix")
       .toString
     eng.buildTextIndex("pq_tix", t, s"$dir/index")
-    val probe = eng.bm25Search("pq_tix", Seq("join", "vector"), 10)
+    // bm25Matched is the lazy scoring plan bm25Search executes (the
+    // public verb returns the already-executed top-k as a local frame
+    // in the common case, so the law pins the plan one level down)
+    val probe = eng.bm25Matched("pq_tix", Seq("join", "vector"))
     val postScan = scans(probe).filter(
       _.metadata.getOrElse("Location", "").contains("index"))
     assert(postScan.nonEmpty, "no scan over the postings artifact")

@@ -938,6 +938,32 @@ class SqlRouterSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       eng2.sql("INSERT OR REPLACE INTO imp_docs VALUES (1, 'x')"))
       .getMessage.contains("exactly one index"))
+    // an index-name collision with a LIVE index refuses up front —
+    // silently skipping would attach the manifest's serving metadata
+    // to an unrelated index
+    val engC = Engine.scratch(spark)
+    engC.sql("CREATE TABLE other_t (k INT)")
+    engC.createIndex("imp_tix", "other_t", Seq("k"))
+    val collide = intercept[IllegalArgumentException](
+      engC.sql(s"IMPORT DATABASE '$base/db'")).getMessage
+    assert(collide.contains("imp_tix") && collide.contains("already"))
+    assert(engC.tableNames.toSet == Set("other_t"),
+      "index collision must refuse before creating anything")
+    // refresh against an unreachable artifact path refuses instead of
+    // re-registering a batch-only index (the restore-then-refresh trap)
+    val eng4 = Engine.scratch(spark)
+    eng4.sql("CREATE TABLE ur_docs (doc_id BIGINT, text STRING)")
+    eng4.sql("INSERT INTO ur_docs VALUES (1, 'alpha beta')")
+    val gone = java.nio.file.Files
+      .createTempDirectory("graft_gone").toString + "/idx"
+    eng4.buildTextIndex("ur_tix", "ur_docs", gone)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(gone), true)
+    eng4.sql("INSERT INTO ur_docs VALUES (2, 'beta gamma')")
+    assert(intercept[IllegalArgumentException](
+      eng4.sql("REFRESH TEXT INDEX ur_tix")).getMessage
+      .contains("unreachable"))
     // corrupt the manifest: a column row referencing an unknown table
     // must raise BEFORE anything is created (atomic validation)
     import spark.implicits._
