@@ -49,10 +49,7 @@ private[graft] trait EngineExport { self: Engine =>
     one(indexRegistry.toSeq.map { case (ix, (t, cols)) =>
       // serving-index kind + build metadata ride along so a restored
       // engine refreshes against the right columns/path and keeps
-      // serving indexes out of conflict-target inference. The text/ANN
-      // ARTIFACT tables export as ordinary data tables; the text
-      // index's parquet path must still be reachable from the importing
-      // host for REFRESH — otherwise rebuild with CREATE TEXT INDEX.
+      // serving indexes out of conflict-target inference
       val (kind, m1, m2, m3) =
         textMeta.get(ix).map { case (p, i, c) => ("text", p, i, c) }
           .orElse(annMeta.get(ix).map { case (i, e) =>
@@ -64,7 +61,32 @@ private[graft] trait EngineExport { self: Engine =>
       (ix, t, cols.mkString(","), kind, m1, m2, m3)
     }.toDF("index_name", "table_name", "columns", "kind",
       "meta1", "meta2", "meta3"), "indexes")
+    // text/ANN serving ARTIFACTS copy under <dir>/artifacts/<ix>/ so
+    // the export is SELF-CONTAINED: a cross-host import re-points the
+    // index at the copy and serves probes + refreshes without a
+    // rebuild. (The artifact's managed read-back tables also export as
+    // ordinary data tables above — cheap duplication that keeps plain
+    // table semantics for them.) An index whose artifact is already
+    // unreachable exports metadata-only, preserving the import-side
+    // rebuild refusal.
+    indexRegistry.keys.foreach { ix =>
+      textMeta.get(ix).map(_._1).orElse(annPath.get(ix)).foreach { src =>
+        copyArtifactDir(src, s"$dir/artifacts/$ix")
+      }
+    }
     names.size.toLong
+  }
+
+  private def copyArtifactDir(src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val sfs = sp.getFileSystem(conf)
+    if (!sfs.exists(sp)) return
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    val dfs = dp.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
+      false /* keep source */, true /* overwrite */, conf)
+    ()
   }
 
   /** Import a database previously written by [[exportDatabase]].
@@ -84,10 +106,22 @@ private[graft] trait EngineExport { self: Engine =>
     val hasKind = idx.columns.contains("kind") // pre-r16 manifests lack it
     val idxRows = idx.collect()
     // ---- validate everything up front (no catalog writes yet) ----
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
     cat.foreach { t =>
       if (tableExists(t))
         throw new IllegalArgumentException(
           s"""Catalog Error: Table with name "$t" already exists!""")
+      // a manifest table whose data directory is missing would throw
+      // mid-create-loop and leave a half-imported catalog — refuse
+      // before anything is created
+      if (!exists(s"$dir/data/$t.parquet"))
+        throw new IllegalArgumentException(
+          "IO Error: IMPORT DATABASE manifest lists table " +
+            s""""$t" but "$dir/data/$t.parquet" is missing""")
     }
     val newEnums = enumRows.map(_._1).toSet
     newEnums.foreach { e =>
@@ -137,13 +171,27 @@ private[graft] trait EngineExport { self: Engine =>
       createIndex(name, r.getString(1), r.getString(2).split(",").toSeq)
       if (hasKind) {
         def m(i: Int) = if (r.isNullAt(i)) null else r.getString(i)
+        // prefer the export's own artifact copy (<dir>/artifacts/<ix>)
+        // over the build-time path: the copy travels with the manifest,
+        // so a cross-host restore serves probes AND refreshes without a
+        // rebuild. Pre-r17 exports (no copy) keep the recorded path and
+        // its unreachable-path refusal.
+        val artifactCopy = s"$dir/artifacts/$name"
         r.getString(3) match {
           case "text" =>
-            textMeta.put(name, (m(4), m(5), m(6)))
+            val p = if (exists(s"$artifactCopy/postings")) artifactCopy
+              else m(4)
+            textMeta.put(name, (p, m(5), m(6)))
             servingIndexes.put(name, ())
+            if (p != null && exists(s"$p/postings"))
+              registerTextIndex(name, p)
           case "ann" =>
             annMeta.put(name, (m(4), m(5)))
-            Option(m(6)).foreach(annPath.put(name, _))
+            val p = if (exists(s"$artifactCopy/cells")) artifactCopy
+              else m(6)
+            Option(p).foreach(annPath.put(name, _))
+            if (p != null && exists(s"$p/cells"))
+              put(s"${name}_cells", spark.read.parquet(s"$p/cells"))
             servingIndexes.put(name, ())
           case "tokenizer" =>
             tokenizerMeta.put(name, m(4)); servingIndexes.put(name, ())

@@ -30,9 +30,11 @@ private[graft] trait EngineIndexes { self: Engine =>
     if (indexRegistry.remove(indexName).isEmpty && !ifExists)
       throw new IllegalArgumentException(
         s"Catalog Error: Index with name \"$indexName\" does not exist!")
+    invalidateTextCaches(indexName)
     annMeta.remove(indexName); annPath.remove(indexName)
     textMeta.remove(indexName); tokenizerMeta.remove(indexName)
     classifierMeta.remove(indexName); servingIndexes.remove(indexName)
+    indexTail.remove(indexName)
     ()
   }
 
@@ -105,6 +107,7 @@ private[graft] trait EngineIndexes { self: Engine =>
     annPath.put(indexName, p)
     createIndex(indexName, tableName, Seq(embCol), ifNotExists = true)
     servingIndexes.put(indexName, ())
+    indexTail.put(indexName, (0L, n))
     ()
   }
 
@@ -241,6 +244,9 @@ private[graft] trait EngineIndexes { self: Engine =>
             put(s"${indexName}_cells", spark.read.parquet(s"$p/cells"))
           case None => insertInto(s"${indexName}_cells", enc)
         }
+        indexTail.put(indexName, indexTail.get(indexName)
+          .map { case (tail, base) => (tail + added, base) }
+          .getOrElse((added, 0L)))
       }
       added
     } finally { newVecs.unpersist(); () }
@@ -257,32 +263,76 @@ private[graft] trait EngineIndexes { self: Engine =>
     val p = annPath.getOrElse(indexName,
       throw new IllegalArgumentException(
         s"""Catalog Error: "$indexName" is not a persisted ANN index"""))
-    resortParquet(s"$p/cells", "cell")
+    requireArtifact(s"$p/cells", indexName, "ANN")
+    resortParquet(s"$p/cells", Seq("cell"))
     put(s"${indexName}_cells", spark.read.parquet(s"$p/cells"))
+    indexTail.put(indexName, (0L,
+      indexTail.get(indexName).map { case (t0, b) => t0 + b }
+        .getOrElse(0L)))
+    ()
   }
 
-  /** [[optimizeAnnIndex]] for a text index: re-sorts the postings on
-    * the term so row-group stats prune term probes again. */
+  /** [[optimizeAnnIndex]] for a text index: re-sorts the postings back
+    * into (term, impact-bucket, doc_id) pruning order, recomputes the
+    * probe metadata (termstats/impacts/stats) exactly from the
+    * postings — which also UPGRADES a pre-qi artifact and recovers a
+    * crashed refresh — and clears the refresh-dirty marker.
+    *
+    * Reader isolation: OPTIMIZE is a maintenance verb. The swap is
+    * crash-safe (the old artifact survives under one of two names at
+    * every step), but a probe whose plan was bound before the swap can
+    * transiently fail to list the replaced files; [[bm25Search]]
+    * re-plans and retries once on that error, while callers holding a
+    * raw frame over the artifact tables should quiesce probes around
+    * OPTIMIZE or re-call after it. */
   def optimizeTextIndex(indexName: String): Unit =
       withTableLock(indexName) {
     val (p, _, _) = textIndexMeta(indexName)
-    resortParquet(s"$p/postings", "w")
-    put(s"${indexName}_postings", spark.read.parquet(s"$p/postings"))
+    requireArtifact(s"$p/postings", indexName, "TEXT")
+    val hasQi = spark.read.parquet(s"$p/postings").columns.contains("qi")
+    resortParquet(s"$p/postings", Seq("w", "qi", "doc_id"),
+      addQi = !hasQi)
+    writeTextMeta(p)
+    clearDirty(p)
+    registerTextIndex(indexName, p)
+    invalidateTextCaches(indexName)
+    indexTail.put(indexName, (0L,
+      indexTail.get(indexName).map { case (t0, b) => t0 + b }
+        .getOrElse(0L)))
+    ()
   }
 
-  private def resortParquet(path: String, sortCol: String): Unit = {
+  private def resortParquet(path: String, sortCols: Seq[String],
+      addQi: Boolean = false): Unit = {
+    val base = spark.read.parquet(path)
+    val upgraded = if (addQi) base.withColumn("qi", qiCol) else base
+    writeSwapped(upgraded
+      .repartitionByRange(col(sortCols.head))
+      .sortWithinPartitions(sortCols.map(col): _*), path)
+  }
+
+  /** Write `df` to `path` crash-safely even when the plan READS from
+    * `path`: materialize to a tmp dir first, then swap the old
+    * artifact ASIDE before installing — a crash or failed rename
+    * between steps never leaves the durable artifact missing (worst
+    * case the old artifact survives under one of the two names). */
+  private def writeSwapped(df: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    writeTmp(df, path)
+    installTmp(path)
+  }
+
+  private def writeTmp(df: org.apache.spark.sql.DataFrame,
+      path: String): Unit =
+    df.write.mode("overwrite").parquet(path + "_opt_tmp")
+
+  private def installTmp(path: String): Unit = {
     val tmp = path + "_opt_tmp"
-    spark.read.parquet(path)
-      .repartitionByRange(col(sortCol)).sortWithinPartitions(sortCol)
-      .write.mode("overwrite").parquet(tmp)
-    // swap old ASIDE first: a crash or failed rename between steps must
-    // never leave the durable artifact missing — worst case the old
-    // artifact survives under one of the two names
     val hp = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + "_opt_old")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(old, true)
-    if (!fs.rename(hp, old))
+    if (fs.exists(hp) && !fs.rename(hp, old))
       throw new java.io.IOException(s"OPTIMIZE: could not move $hp aside")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)) {
       fs.rename(old, hp) // restore the original artifact
@@ -391,10 +441,14 @@ private[graft] trait EngineIndexes { self: Engine =>
     val docs = table(docsTable).select(col(idCol).as("doc_id"),
       col(textCol).as("text"))
     writeTextIndex(docs, path, append = false)
+    clearDirty(path)
+    writeTextMeta(path)
     registerTextIndex(indexName, path)
     createIndex(indexName, docsTable, Seq(textCol), ifNotExists = true)
     textMeta.put(indexName, (path, idCol, textCol))
     servingIndexes.put(indexName, ())
+    invalidateTextCaches(indexName)
+    indexTail.put(indexName, (0L, statsOf(indexName).map(_._1).getOrElse(0L)))
     ()
   }
 
@@ -421,14 +475,55 @@ private[graft] trait EngineIndexes { self: Engine =>
     // path is unreachable on this host) would re-register the postings
     // over the batch alone and silently drop the corpus — refuse
     requireArtifact(s"$path/postings", indexName, "TEXT")
+    if (isDirty(path))
+      throw new IllegalStateException(
+        s"""IO Error: a previous refresh of text index "$indexName" """ +
+          "did not complete — run OPTIMIZE TEXT INDEX " +
+          s"$indexName to repair the artifact before refreshing again")
     val docs = table(docsTable).select(col(idCol).as("doc_id"),
       col(textCol).as("text"))
     val known = table(s"${indexName}_doclens").select("doc_id")
     val newDocs = docs.join(known, Seq("doc_id"), "left_anti")
     val added = newDocs.count()
     if (added > 0) {
-      writeTextIndex(newDocs, path, append = true)
-      registerTextIndex(indexName, path)
+      // persist the batch once: the postings append and the O(vocab)
+      // metadata merge both re-derive from it, and re-tokenizing the
+      // batch is the only repeatable cost worth caching (O(batch))
+      val batch = newDocs.persist()
+      try {
+        if (spark.read.parquet(s"$path/postings").columns.contains("qi")) {
+          // marker bounds the merge→append→install window: a crash
+          // inside leaves probes on the classic live-stats path
+          // (correct), never on stale metadata; OPTIMIZE recomputes
+          // from the postings and clears it. The merge STAGES before
+          // the append (see [[mergeTextMetaToTmp]]).
+          setDirty(path)
+          mergeTextMetaToTmp(path, batch)
+          writeTextIndex(batch, path, append = true)
+          installTextMeta(path)
+          clearDirty(path)
+        } else {
+          // pre-qi artifact: append in its own layout (a mixed-schema
+          // parquet dir would corrupt read-back); OPTIMIZE upgrades it
+          val toks = batch.select(col("doc_id"),
+            graft.functions.TokenCount.tokenCount(col("text")).cast("long")
+              .as("dl"),
+            explode(split(col("text"), " ")).as("w"))
+          toks.groupBy("w", "doc_id").agg(count(lit(1)).as("tf"),
+              first(col("dl")).as("dl"))
+            .repartitionByRange(col("w")).sortWithinPartitions("w")
+            .write.mode("append").parquet(s"$path/postings")
+          batch.select(col("doc_id"),
+              graft.functions.TokenCount.tokenCount(col("text"))
+                .cast("long").as("dl"))
+            .write.mode("append").parquet(s"$path/doclens")
+        }
+        registerTextIndex(indexName, path)
+        invalidateTextCaches(indexName)
+        indexTail.put(indexName, indexTail.get(indexName)
+          .map { case (tail, base) => (tail + added, base) }
+          .getOrElse((added, 0L)))
+      } finally { batch.unpersist(); () }
     }
     added
   }
@@ -447,18 +542,48 @@ private[graft] trait EngineIndexes { self: Engine =>
           s"(CREATE ${kind} INDEX) instead of refreshing")
   }
 
-  private def writeTextIndex(docs: org.apache.spark.sql.DataFrame,
-      path: String, append: Boolean): Unit = {
-    val mode = if (append) "append" else "overwrite"
+  /** Impact-bucket quantization for postings. `qi = ⌊log2(dl/tf)·8⌋`
+    * clamped to [0, 63] — small qi = high per-term impact. The bucket
+    * key is PARAMETER-FREE and refresh-stable (it depends only on the
+    * posting's own tf/dl, never on corpus stats), yet admits an exact
+    * score upper bound at probe time for ANY (k1, b, avgdl): within
+    * bucket c every posting has v = dl/tf ≥ 2^(c/8), and the BM25
+    * term score tf(k1+1)/(tf + (1−b)k1 + b·k1·dl/avgdl) =
+    * (k1+1)/(1 + (1−b)k1/tf + b·k1·v/avgdl) ≤ (k1+1)/(1 + b·k1·v/avgdl)
+    * — monotone decreasing in v, so the bucket's lower edge bounds the
+    * whole bucket. [[fastBm25]]'s early-termination cut rests on this. */
+  private[graft] val QiScale = 8
+  private[graft] val QiMax = 63
+
+  private def qiCol: org.apache.spark.sql.Column =
+    least(lit(QiMax), greatest(lit(0),
+      floor(log(2.0, col("dl").cast("double") / col("tf")) * QiScale)))
+      .cast("int")
+
+  /** The (w, doc_id, tf, dl, qi) postings frame for a docs batch —
+    * shared by build and refresh so appended rows carry the same
+    * impact buckets as built ones. */
+  private def textPostings(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"),
       graft.functions.TokenCount.tokenCount(col("text")).cast("long")
         .as("dl"),
       explode(split(col("text"), " ")).as("w"))
     toks.groupBy("w", "doc_id").agg(count(lit(1)).as("tf"),
         first(col("dl")).as("dl"))
-      // range-sort on the term so row-group stats prune term probes;
-      // 32 on the small tiers, data-proportional via AQE coalescing
-      .repartitionByRange(col("w")).sortWithinPartitions("w")
+      .withColumn("qi", qiCol)
+  }
+
+  private def writeTextIndex(docs: org.apache.spark.sql.DataFrame,
+      path: String, append: Boolean): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    // range-sort on the term so row-group stats prune term probes,
+    // qi second so an impact-cut probe prunes a term's own suffix,
+    // doc_id third so a shortlist fetch prunes within (term, bucket);
+    // 32 on the small tiers, data-proportional via AQE coalescing
+    textPostings(docs)
+      .repartitionByRange(col("w"))
+      .sortWithinPartitions("w", "qi", "doc_id")
       .write.mode(mode).parquet(s"$path/postings")
     docs.select(col("doc_id"),
         graft.functions.TokenCount.tokenCount(col("text")).cast("long")
@@ -466,12 +591,115 @@ private[graft] trait EngineIndexes { self: Engine =>
       .write.mode(mode).parquet(s"$path/doclens")
   }
 
-  private def registerTextIndex(indexName: String, path: String): Unit = {
+  /** Probe-serving metadata, persisted beside the postings so a probe
+    * never runs corpus-sized jobs for it (VERDICT r16 #1):
+    *  - `termstats` (w, df, max_tf, min_dl): exact per-term document
+    *    frequency (deletes the probe's groupBy-df job) and the
+    *    monotone bound inputs for the term's maximum possible score.
+    *  - `impacts` (w, qi, cnt): per-(term, impact-bucket) posting
+    *    counts — the histogram [[fastBm25]] cuts prefixes from.
+    *  - `stats` (n, sumdl): exact-integer corpus stats; avgdl is ONE
+    *    IEEE division of them, bit-equal to avg(dl) over doclens
+    *    (every partial sum of longs < 2^53 is exact in a double).
+    * All three are derivable from the postings, so a crashed refresh
+    * recovers via OPTIMIZE (full recompute); [[refreshTextIndex]]
+    * merges them at O(vocab), never O(corpus). */
+  private def writeTextMeta(path: String): Unit = {
+    val post = spark.read.parquet(s"$path/postings")
+    writeSwapped(post.groupBy("w").agg(count(lit(1)).as("df"),
+        max("tf").as("max_tf"), min("dl").as("min_dl"))
+      .repartitionByRange(col("w")).sortWithinPartitions("w"),
+      s"$path/termstats")
+    writeSwapped(post.groupBy("w", "qi").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(col("w")).sortWithinPartitions("w", "qi"),
+      s"$path/impacts")
+    writeSwapped(spark.read.parquet(s"$path/doclens")
+      .agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).coalesce(1),
+      s"$path/stats")
+  }
+
+  /** O(vocab) metadata merge for a refresh batch: batch aggregates
+    * union-merge into the persisted files with exact-integer
+    * sum/max/min — associative, so the merged metadata is bit-equal to
+    * a from-scratch [[writeTextMeta]] over the grown corpus.
+    *
+    * The merge MATERIALIZES (to the `_opt_tmp` staging dirs) BEFORE the
+    * caller appends the batch to postings/doclens: the batch frame is
+    * an anti-join against the live doclens, and Spark's recache-by-path
+    * on the append would otherwise silently recompute it as EMPTY
+    * mid-merge. [[installTextMeta]] swaps the staged files in after the
+    * append. */
+  private def mergeTextMetaToTmp(path: String,
+      batchDocs: org.apache.spark.sql.DataFrame): Unit = {
+    val bp = textPostings(batchDocs)
+    val ts = spark.read.parquet(s"$path/termstats").unionByName(
+        bp.groupBy("w").agg(count(lit(1)).as("df"),
+          max("tf").as("max_tf"), min("dl").as("min_dl")))
+      .groupBy("w").agg(sum("df").as("df"), max("max_tf").as("max_tf"),
+        min("min_dl").as("min_dl"))
+    writeTmp(ts.repartitionByRange(col("w")).sortWithinPartitions("w"),
+      s"$path/termstats")
+    val im = spark.read.parquet(s"$path/impacts").unionByName(
+        bp.groupBy("w", "qi").agg(count(lit(1)).as("cnt")))
+      .groupBy("w", "qi").agg(sum("cnt").as("cnt"))
+    writeTmp(im.repartitionByRange(col("w"))
+      .sortWithinPartitions("w", "qi"), s"$path/impacts")
+    val bst = batchDocs.select(
+        graft.functions.TokenCount.tokenCount(col("text")).cast("long")
+          .as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("sumdl"))
+    writeTmp(spark.read.parquet(s"$path/stats").unionByName(bst)
+      .agg(sum("n").as("n"), sum("sumdl").as("sumdl")).coalesce(1),
+      s"$path/stats")
+  }
+
+  private def installTextMeta(path: String): Unit =
+    Seq("termstats", "impacts", "stats")
+      .foreach(s => installTmp(s"$path/$s"))
+
+  private def hadoopFs(path: String) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  private def artifactExists(path: String): Boolean = {
+    val (fs, hp) = hadoopFs(path); fs.exists(hp)
+  }
+
+  /** A refresh appends postings and THEN merges the metadata; the
+    * marker bounds the window where a crash leaves them inconsistent.
+    * While it exists, probes take the classic live-stats path (always
+    * correct) and [[fastBm25]] declines; OPTIMIZE recomputes the
+    * metadata from the postings and clears it. */
+  private def dirtyMarker(path: String) = s"$path/REFRESH_DIRTY"
+
+  private def setDirty(path: String): Unit = {
+    val (fs, hp) = hadoopFs(dirtyMarker(path)); fs.create(hp, true).close()
+  }
+  private def clearDirty(path: String): Unit = {
+    val (fs, hp) = hadoopFs(dirtyMarker(path)); fs.delete(hp, false); ()
+  }
+  private[graft] def isDirty(path: String): Boolean =
+    artifactExists(dirtyMarker(path))
+
+  private[graft] def registerTextIndex(indexName: String, path: String): Unit = {
     put(s"${indexName}_postings", spark.read.parquet(s"$path/postings"))
     put(s"${indexName}_doclens", spark.read.parquet(s"$path/doclens"))
-    put(s"${indexName}_stats",
-      spark.read.parquet(s"$path/doclens")
-        .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")))
+    // corpus stats serve from the persisted 1-row file when the
+    // artifact carries one (and is clean): n and Σdl are exact longs,
+    // avgdl their single IEEE division — value-equal to avg(dl) over
+    // doclens, without the per-probe corpus-sized doclens job
+    if (artifactExists(s"$path/stats") && !isDirty(path)) {
+      put(s"${indexName}_stats", spark.read.parquet(s"$path/stats")
+        .select(col("n"), (col("sumdl") / col("n")).as("avgdl")))
+      put(s"${indexName}_termstats",
+        spark.read.parquet(s"$path/termstats"))
+    } else {
+      put(s"${indexName}_stats",
+        spark.read.parquet(s"$path/doclens")
+          .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")))
+      unregisterTable(s"${indexName}_termstats")
+    }
   }
 
   /** Probe a [[buildTextIndex]] artifact: BM25 top-k for `terms`
@@ -489,7 +717,42 @@ private[graft] trait EngineIndexes { self: Engine =>
     * branch — the common ≥k-matches probe stays O(Σ df(term)). */
   def bm25Search(indexName: String, terms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val matched = bm25Matched(indexName, terms, k1, b)
+    require(terms.nonEmpty, "BM25 probe needs at least one term")
+    try bm25SearchImpl(indexName, terms, k, k1, b)
+    catch {
+      // a probe racing OPTIMIZE's artifact swap can transiently fail to
+      // list the replaced files — OPTIMIZE re-registered the artifact
+      // tables, so re-planning once lands on the installed layout
+      case e: Throwable if isFileGone(e) =>
+        bm25SearchImpl(indexName, terms, k, k1, b)
+    }
+  }
+
+  private def isFileGone(e: Throwable): Boolean = {
+    var cur = e; var depth = 0
+    while (cur != null && depth < 10) {
+      if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
+      cur = cur.getCause; depth += 1
+    }
+    false
+  }
+
+  private def bm25SearchImpl(indexName: String, terms: Seq[String],
+      k: Int, k1: Double, b: Double): DataFrame = {
+    if (k <= 0) // LIMIT 0 semantics, not a last-row crash
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        bm25Matched(indexName, terms, k1, b).schema)
+    fastBm25(indexName, terms, k, k1, b) match {
+      case Some(res) => return res
+      case None => ()
+    }
+    // metadata-bearing artifact but the early-termination path declined
+    // (un-certifiable cut, duplicate terms, pad semantics): serve the
+    // ONE-JOB plan — same pivot, df/n/avgdl as literals off the
+    // persisted metadata instead of two extra aggregation jobs
+    val matched = litMatched(indexName, terms, k1, b)
+      .getOrElse(bm25Matched(indexName, terms, k1, b))
     val top = matched.orderBy(col("bm25").desc, col("doc_id")).limit(k)
     // ONE probe execution decides the result: k rows whose k-th score
     // is positive cannot be displaced by any zero-score doc, so the
@@ -500,17 +763,25 @@ private[graft] trait EngineIndexes { self: Engine =>
     // doclens scan runs only on that small/filtered-corpus branch.
     val topRows = top.collect()
     if (topRows.length == k && topRows.last.getDouble(1) > 0.0)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(topRows.toSeq, 1), top.schema)
+      localFrame(topRows, top.schema)
     else {
       val pad = table(s"${indexName}_doclens").select(col("doc_id"))
         .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), lit(0.0).as("bm25"))
         .orderBy(col("doc_id")).limit(k)
-      matched.unionByName(pad)
+      val padded = matched.unionByName(pad)
         .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      // collected like the fast branch: both paths return a stable
+      // snapshot, so a caller holding the frame across a refresh never
+      // re-executes a moved plan
+      localFrame(padded.collect(), padded.schema)
     }
   }
+
+  private def localFrame(rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
 
   /** The lazy matched-docs scoring plan behind [[bm25Search]] — the
     * per-(term,doc) postings probe pivoted to one fixed-term-order
@@ -522,17 +793,27 @@ private[graft] trait EngineIndexes { self: Engine =>
     val post = table(s"${indexName}_postings")
       .filter(col("w").isin(terms: _*))
     val dfs = post.groupBy("w").agg(count(lit(1)).as("df"))
-    val stats = table(s"${indexName}_stats")
+    val stats = textStatsFrame(indexName)
     val scored = post.join(broadcast(dfs), Seq("w"))
       .crossJoin(broadcast(stats))
-      .withColumn("s",
-        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
-          col("tf") * (k1 + 1) /
-          (col("tf") +
-            (lit(1 - b) + lit(b) * col("dl") / col("avgdl")) * lit(k1)))
-    // pivot to per-term columns, then add in FIXED term order — the
-    // q165 oracle's summation-order contract (a groupBy float sum
-    // would reintroduce order drift)
+      .withColumn("s", bm25ScoreCol(k1, b))
+    bm25Pivot(scored, terms)
+  }
+
+  /** The per-posting BM25 addend over columns (tf, dl, df, n, avgdl) —
+    * ONE expression shape shared by the classic plan and [[fastBm25]]'s
+    * candidate rescore, so both produce bit-identical doubles from the
+    * same inputs. */
+  private def bm25ScoreCol(k1: Double, b: Double): org.apache.spark.sql.Column =
+    log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+      col("tf") * (k1 + 1) /
+      (col("tf") +
+        (lit(1 - b) + lit(b) * col("dl") / col("avgdl")) * lit(k1))
+
+  /** Pivot per-(term,doc) addends to one score per doc, added in FIXED
+    * term order — the q165 oracle's summation-order contract (a
+    * groupBy float sum would reintroduce order drift). */
+  private def bm25Pivot(scored: DataFrame, terms: Seq[String]): DataFrame = {
     val perTerm = scored.groupBy("doc_id").agg(
       sum(when(col("w") === terms.head, col("s"))).as("s0"),
       terms.zipWithIndex.drop(1).map { case (t0, i) =>
@@ -540,6 +821,232 @@ private[graft] trait EngineIndexes { self: Engine =>
     val total = terms.indices.map(i =>
       coalesce(col(s"s$i"), lit(0.0))).reduce(_ + _)
     perTerm.select(col("doc_id"), round(total, 4).as("bm25"))
+  }
+
+  /** The classic matched-docs plan with df/n/avgdl as LITERALS from
+    * the persisted metadata — value-identical scores to
+    * [[bm25Matched]] (df/n are the same exact integers; avgdl the same
+    * single IEEE division), in ONE job instead of three: no df
+    * aggregation, no corpus-stats aggregation, just the pruned
+    * postings scan into the pivot. None when the artifact carries no
+    * (clean) metadata — the pre-r17 artifact shape. */
+  private[graft] def litMatched(indexName: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Option[DataFrame] = {
+    val path = textMeta.get(indexName).map(_._1).getOrElse(return None)
+    if (isDirty(path) || !artifactExists(s"$path/termstats")) return None
+    val (n, sumdl) = statsOf(indexName).getOrElse(return None)
+    if (n == 0L) return None
+    val avgdl = sumdl.toDouble / n
+    val metas = termMetasOf(indexName, path, terms)
+    val present = terms.distinct.filter(t => metas.get(t).exists(_.isDefined))
+    if (present.isEmpty) return None // empty slice: classic is as cheap
+    val dfByW = present.tail.foldLeft(when(col("w") === present.head,
+      lit(metas(present.head).get.df))) { (acc, t) =>
+      acc.when(col("w") === t, lit(metas(t).get.df)) }
+    val scored = table(s"${indexName}_postings")
+      .filter(col("w").isin(terms.distinct: _*))
+      .withColumn("df", dfByW)
+      .withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
+      .withColumn("s", bm25ScoreCol(k1, b))
+    Some(bm25Pivot(scored, terms))
+  }
+
+  /** Corpus stats for the classic scoring plan. While a crashed
+    * refresh's dirty marker is up, the persisted stats file trails the
+    * appended postings — recompute live from doclens until OPTIMIZE
+    * repairs the artifact. */
+  private def textStatsFrame(indexName: String): DataFrame =
+    textMeta.get(indexName) match {
+      case Some((p, _, _)) if isDirty(p) =>
+        table(s"${indexName}_doclens")
+          .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      case _ => table(s"${indexName}_stats")
+    }
+
+  // ---- BM25 fast probe: persisted metadata + impact-ordered cut ---------
+
+  private case class TermMeta(df: Long, maxTf: Long, minDl: Long,
+      hist: Array[(Int, Long)])
+
+  /** Per-(index, term) metadata and per-index corpus stats, collected
+    * once from the metadata artifacts and cached — index metadata, not
+    * query results, so a serving deployment would cache it the same
+    * way. Invalidated on build/refresh/OPTIMIZE/drop. */
+  private val textTermCache = TrieMap.empty[(String, String), Option[TermMeta]]
+  private val textStatsCache = TrieMap.empty[String, (Long, Long)]
+  private val textFracCache = TrieMap.empty[String, Double]
+
+  private[graft] def invalidateTextCaches(indexName: String): Unit = {
+    textStatsCache.remove(indexName)
+    textTermCache.keySet.filter(_._1 == indexName)
+      .foreach(textTermCache.remove)
+    textFracCache.keySet.filter(_.startsWith(indexName + "|"))
+      .foreach(textFracCache.remove)
+  }
+
+  /** (n, Σdl) from the persisted stats file — exact longs. None for
+    * legacy artifacts, dirty artifacts, or a non-text index. */
+  private[graft] def statsOf(indexName: String): Option[(Long, Long)] =
+    textStatsCache.get(indexName).orElse {
+      textMeta.get(indexName).flatMap { case (p, _, _) =>
+        if (!artifactExists(s"$p/stats") || isDirty(p)) None
+        else spark.read.parquet(s"$p/stats").collect().headOption.map { r =>
+          val v = (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+          textStatsCache.put(indexName, v)
+          v
+        }
+      }
+    }
+
+  private def termMetasOf(indexName: String, path: String,
+      terms: Seq[String]): Map[String, Option[TermMeta]] = {
+    val missing = terms.distinct
+      .filterNot(t => textTermCache.contains((indexName, t)))
+    if (missing.nonEmpty) {
+      // two row-group-pruned lookups over vocab-sized artifacts (both
+      // term-sorted), collected driver-side: ≤ |terms|·(1 + buckets)
+      val ts = spark.read.parquet(s"$path/termstats")
+        .filter(col("w").isin(missing: _*)).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val hs = spark.read.parquet(s"$path/impacts")
+        .filter(col("w").isin(missing: _*)).collect()
+        .groupBy(_.getString(0))
+        .map { case (w, rows) =>
+          w -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1) }
+      missing.foreach { t =>
+        textTermCache.put((indexName, t),
+          ts.get(t).map { case (df, mtf, mdl) =>
+            TermMeta(df, mtf, mdl, hs.getOrElse(t, Array.empty)) })
+      }
+    }
+    terms.distinct.map(t => t -> textTermCache((indexName, t))).toMap
+  }
+
+  /** Early-terminating EXACT top-k over the impact-bucketed artifact —
+    * the serving path for probes on a metadata-bearing index. Two
+    * pruned jobs instead of corpus-scale work:
+    *
+    * Phase 1 scores only each term's high-impact posting PREFIX
+    * (buckets ≤ cut, covering ≥ max(1024, df/8) postings — the cut
+    * certified below usually sits at ~10–15% of df for common terms).
+    * Per-doc partial sums are LOWER bounds of true scores; the bucket
+    * lower-edge bound (see [[QiScale]]) caps anything in a suffix.
+    * With θ = the k-th best partial and U = Σ per-term suffix bounds:
+    * if U < θ − margin, no unseen doc can reach the top-k, and the
+    * candidate set {seen docs: partial + (U − Σ seen-term bounds)
+    * ≥ θ − margin} provably contains the true top-k.
+    *
+    * Phase 2 re-scores ONLY the candidates with the classic expression
+    * ([[bm25ScoreCol]]/[[bm25Pivot]]) and literal df/n/avgdl equal to
+    * the classic plan's computed values — the returned scores are
+    * bit-identical to the full probe's, so the q196 ≡ q165 hash law
+    * holds on this path too. The margin (2e-4 > two 4dp rounding
+    * quanta) ensures an excluded doc can't tie the rounded k-th score
+    * either.
+    *
+    * Declines (returns None → classic path) on: legacy/dirty
+    * artifacts, duplicate probe terms, < k matching docs, a k-th score
+    * rounding to 0 (pad semantics), or failed certification after one
+    * prefix deepening — every decline is correctness-neutral. */
+  private[graft] def fastBm25(indexName: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): Option[DataFrame] = {
+    if (terms.distinct.size != terms.size) return None
+    val path = textMeta.get(indexName).map(_._1).getOrElse(return None)
+    if (isDirty(path)) return None
+    if (!artifactExists(s"$path/termstats") ||
+      !artifactExists(s"$path/impacts")) return None
+    val (n, sumdl) = statsOf(indexName).getOrElse(return None)
+    if (n == 0L) return None
+    val avgdl = sumdl.toDouble / n
+    val metas = termMetasOf(indexName, path, terms)
+    val present = terms.filter(t => metas.get(t).exists(_.isDefined))
+    if (present.isEmpty) return None // nothing matches: classic pads
+    // cost gate: the cut saves (slice − prefix) shuffle+aggregation but
+    // spends two extra jobs; below this slice size the one-job literal
+    // plan ([[litMatched]]) wins on the job floor alone (measured at
+    // sf10: Σdf 1.2M → 0.66 s one-job vs 0.75 s cut path; the cut pays
+    // from the multi-million-row slices up). Session-tunable for
+    // experiments and the EngineSpec certification law.
+    val minRows = spark.conf
+      .getOption("graft.bm25.fastPathMinRows").map(_.toLong)
+      .getOrElse(4000000L)
+    if (metas.valuesIterator.flatten.map(_.df).sum < minRows) return None
+    def idfOf(df: Long): Double = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def gOf(tf: Double, dl: Double): Double =
+      tf * (k1 + 1) / (tf + (1 - b + b * dl / avgdl) * k1)
+    val post = table(s"${indexName}_postings")
+    // the certified cut depth is a property of the corpus's score
+    // distribution, not the query instant — remember it per term set
+    // so steady-state probes never pay an uncertified round
+    val fracKey = indexName + "|" + terms.sorted.mkString(",")
+    val fracs = Seq(textFracCache.getOrElse(fracKey, 0.25), 0.5).distinct
+    var attempt = 0
+    while (attempt < fracs.length) {
+      val targetFrac = fracs(attempt)
+      // per-term prefix cut: smallest impact bucket covering the
+      // target posting count; a term fully covered has suffix bound 0
+      val cuts: Map[String, (Int, Double)] = present.map { t =>
+        val m = metas(t).get
+        val target = math.max(1024L, math.ceil(m.df * targetFrac).toLong)
+        val maxBucket = m.hist.lastOption.map(_._1).getOrElse(QiMax)
+        var cum = 0L
+        var cut = maxBucket
+        var found = false
+        m.hist.foreach { case (qi, cnt) =>
+          if (!found) { cum += cnt; if (cum >= target) { cut = qi; found = true } }
+        }
+        val sb = if (cut >= maxBucket) 0.0 else {
+          val vLo = math.pow(2.0, (cut + 1).toDouble / QiScale)
+          val bucketUb = (k1 + 1) / (1 + b * k1 * vLo / avgdl)
+          val termUb = gOf(m.maxTf.toDouble, m.minDl.toDouble)
+          idfOf(m.df) * math.min(bucketUb, termUb) * (1 + 1e-9) + 1e-12
+        }
+        t -> ((cut, sb))
+      }.toMap
+      val bigU = cuts.valuesIterator.map(_._2).sum
+      val maxCut = cuts.valuesIterator.map(_._1).max
+      val prefixPred = present.map(t =>
+        col("w") === t && col("qi") <= cuts(t)._1).reduce(_ || _)
+      def byW(f: String => org.apache.spark.sql.Column) =
+        present.tail.foldLeft(when(col("w") === present.head,
+          f(present.head))) { (acc, t) => acc.when(col("w") === t, f(t)) }
+      val scored = post
+        .filter(col("w").isin(present: _*) && col("qi") <= maxCut &&
+          prefixPred)
+        .withColumn("df", byW(t => lit(metas(t).get.df)))
+        .withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
+        .withColumn("s", bm25ScoreCol(k1, b))
+        .withColumn("sb", byW(t => lit(cuts(t)._2)))
+      val p1 = scored.groupBy("doc_id")
+        .agg(sum(col("s")).as("partial"), sum(col("sb")).as("seensb"))
+        .persist()
+      try {
+        val top = p1.orderBy(col("partial").desc).limit(k).collect()
+        if (top.length < k) return None // pad semantics → classic
+        val thetaLow = top.last.getDouble(1)
+        val margin = 2e-4 + 1e-9 * math.abs(thetaLow)
+        if (bigU < thetaLow - margin) {
+          textFracCache.put(fracKey, targetFrac)
+          val cands = p1.filter(
+            col("partial") + (lit(bigU) - col("seensb")) >=
+              thetaLow - margin).select("doc_id")
+          val exact = post.filter(col("w").isin(present: _*))
+            .join(broadcast(cands), Seq("doc_id"), "left_semi")
+            .withColumn("df", byW(t => lit(metas(t).get.df)))
+            .withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
+            .withColumn("s", bm25ScoreCol(k1, b))
+          val resPlan = bm25Pivot(exact, terms)
+            .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+          val res = resPlan.collect()
+          return if (res.length == k && res.last.getDouble(1) > 0.0)
+            Some(localFrame(res, resPlan.schema))
+          else None // k-th rounds to 0 → classic pad path
+        }
+      } finally { p1.unpersist(); () }
+      attempt += 1 // uncertified: deepen the prefix once, then give up
+    }
+    None
   }
 
   /** Curation report verb: per-(source, rule) C4-gate kill rates over
@@ -597,11 +1104,41 @@ private[graft] trait EngineIndexes { self: Engine =>
       .limit(k)
   }
 
-  /** ≈ duckdb_indexes() introspection (index_operations.test:50-58). */
+  /** (refresh-appended tail rows, rows at last build/OPTIMIZE) per
+    * serving index — the maintenance-cadence signal. Probe pruning
+    * degrades only with the un-compacted tail, and OPTIMIZE costs ≤¼
+    * of a rebuild (BENCH_NOTES OptProbe), so the operating rule is:
+    * refresh per batch at O(batch), OPTIMIZE when `tail_frac` in the
+    * [[indexes]] introspection starts showing in probe latency (the
+    * measured knee is well above 5%, so single-digit tails are free). */
+  private[graft] val indexTail = TrieMap.empty[String, (Long, Long)]
+
+  /** What an index entry serves — mirrors the EXPORT manifest kinds. */
+  private[graft] def indexKind(ix: String): String =
+    if (textMeta.contains(ix)) "text"
+    else if (annMeta.contains(ix)) "ann"
+    else if (tokenizerMeta.contains(ix)) "tokenizer"
+    else if (classifierMeta.contains(ix)) "classifier"
+    else if (servingIndexes.contains(ix)) "serving"
+    else "plain"
+
+  /** ≈ duckdb_indexes() introspection (index_operations.test:50-58),
+    * extended with the serving-index maintenance columns: `kind`, and
+    * for text/ANN artifacts the refresh-appended `tail_rows` /
+    * `tail_frac` plus rows compacted at the last build/OPTIMIZE —
+    * the signal an operator schedules OPTIMIZE from (see
+    * [[indexTail]]). Original columns keep their names and positions,
+    * so duckdb_indexes() consumers are unaffected. */
   def indexes: DataFrame = {
     import spark.implicits._
-    indexRegistry.toSeq.map { case (i, (t, c)) => (i, t, c.mkString(",")) }
-      .toDF("index_name", "table_name", "columns")
+    indexRegistry.toSeq.map { case (i, (t, c)) =>
+      val (tail, base) = indexTail.getOrElse(i, (0L, 0L))
+      val frac = if (tail + base == 0L) 0.0
+        else BigDecimal(tail.toDouble / (tail + base))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, t, c.mkString(","), indexKind(i), tail, frac)
+    }.toDF("index_name", "table_name", "columns", "kind",
+      "tail_rows", "tail_frac")
   }
 
   // ---- persisted corpus tokenizer (BPE) ---------------------------------

@@ -342,7 +342,7 @@ class EngineSpec extends SparkSpec {
     engine.buildTextIndex("txtidx", t, s"$dir/index")
     // artifact reads from STORAGE (cold round-trip), not a cache
     val post = engine.table("txtidx_postings")
-    assert(post.columns.toSeq == Seq("w", "doc_id", "tf", "dl"))
+    assert(post.columns.toSeq == Seq("w", "doc_id", "tf", "dl", "qi"))
     assert(post.inputFiles.nonEmpty &&
       post.inputFiles.forall(_.contains("index")))
     // the probe reproduces the full-pass BM25 exactly (same fixed-order
@@ -395,13 +395,107 @@ class EngineSpec extends SparkSpec {
     assert(viaIndex == engine.bm25Search("txtidx_full",
       Seq("join", "vector"), 3).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // refresh-merged probe metadata ≡ a rebuild's from-scratch compute
+    // (exact-integer sum/max/min merges are associative)
+    Seq("termstats", "impacts", "stats").foreach { m =>
+      def art(d: String) = spark.read.parquet(s"$d/$m").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(art(s"$dir/index") == art(s"$dir/index_full"),
+        s"refresh-merged $m diverged from rebuild")
+    }
     // no-op refresh
     assert(engine.refreshTextIndex("txtidx", t, s"$dir/index") == 0)
     engine.dropTable(t)
     Seq("txtidx", "txtidx_full").foreach { ix =>
-      Seq("postings", "doclens", "stats").foreach(s =>
+      Seq("postings", "doclens", "stats", "termstats").foreach(s =>
         engine.unregisterTable(s"${ix}_$s"))
     }
+  }
+
+  test("bm25 fast probe: early-terminating path certifies on the real " +
+      "corpus and returns EXACTLY the classic probe's top-k; k<=0 is " +
+      "LIMIT-0; dirty marker falls back, refuses refresh, OPTIMIZE " +
+      "repairs; tail introspection tracks the maintenance cadence") {
+    val t = s"fastbm_docs_${System.nanoTime()}"
+    engine.registerTable(t, Tables.t(spark, sf, "documents")
+      .select("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_fastbm")
+      .toString
+    engine.buildTextIndex("fastbm", t, s"$dir/index")
+    val terms = Seq("join", "vector", "stream") // deliberately COMMON
+    def classic = {
+      val m = engine.bm25Matched("fastbm", terms)
+      m.orderBy(col("bm25").desc, col("doc_id")).limit(10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    // with the cost gate floored, the early-terminating path must
+    // ENGAGE (certify) on this corpus and agree with the classic probe
+    spark.conf.set("graft.bm25.fastPathMinRows", "0")
+    val fast = engine.fastBm25("fastbm", terms, 10)
+    assert(fast.isDefined, "fast probe declined on the documents corpus")
+    assert(fast.get.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq == classic, "fast probe diverged from the classic probe")
+    // the one-job literal plan agrees bit-for-bit too
+    assert(engine.litMatched("fastbm", terms).get
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == classic,
+      "literal-metadata plan diverged from the classic probe")
+    // public verb agrees (and serves a stable local snapshot)
+    assert(engine.bm25Search("fastbm", terms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == classic)
+    // a rare term whose df < k: fast path declines, classic pads with
+    // zero-score docs — the public verb stays exact either way
+    val rare = engine.table("fastbm_postings").groupBy("w")
+      .agg(count(lit(1)).as("df")).filter(col("df") < 5)
+      .orderBy("w").limit(1).collect()
+    rare.foreach { r =>
+      val got = engine.bm25Search("fastbm", Seq(r.getString(0)), 10)
+        .collect()
+      assert(got.length == 10)
+      assert(got.count(_.getDouble(1) > 0.0) == r.getLong(1))
+    }
+    // k <= 0 is LIMIT 0, not a crash
+    assert(engine.bm25Search("fastbm", terms, 0).collect().isEmpty)
+    // duplicate probe terms: the bound model declines; the classic
+    // pivot (which double-counts duplicates, like the SQL form) serves
+    assert(engine.fastBm25("fastbm", Seq("join", "join"), 5).isEmpty)
+    assert(engine.bm25Search("fastbm", Seq("join", "join"), 5)
+      .collect().length == 5)
+    // tail introspection: fresh build has no tail; refresh grows it;
+    // OPTIMIZE folds it back to zero
+    def tailRow = engine.indexes.filter(col("index_name") === "fastbm")
+      .select("kind", "tail_rows", "tail_frac").head()
+    assert(tailRow.getString(0) == "text" && tailRow.getLong(1) == 0L)
+    engine.insertInto(t, engine.table(t).limit(3)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+    assert(engine.refreshTextIndex("fastbm", t, s"$dir/index") == 3)
+    assert(tailRow.getLong(1) == 3L && tailRow.getDouble(2) > 0.0)
+    // refreshed artifact still serves fast and exact (vs the classic
+    // probe over the grown corpus)
+    val fast2 = engine.fastBm25("fastbm", terms, 10)
+    assert(fast2.isDefined)
+    assert(fast2.get.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq == classic)
+    // a crashed refresh (dirty marker): fast path declines, the classic
+    // probe recomputes stats LIVE, refresh refuses loudly, OPTIMIZE
+    // repairs the metadata and clears the marker
+    val marker = new java.io.File(s"$dir/index/REFRESH_DIRTY")
+    assert(marker.createNewFile())
+    assert(engine.fastBm25("fastbm", terms, 10).isEmpty,
+      "fast probe served from a dirty artifact")
+    assert(engine.bm25Search("fastbm", terms, 10).collect().length == 10)
+    val ex = intercept[IllegalStateException](
+      engine.refreshTextIndex("fastbm", t, s"$dir/index"))
+    assert(ex.getMessage.contains("OPTIMIZE TEXT INDEX"))
+    engine.optimizeTextIndex("fastbm")
+    assert(!marker.exists, "OPTIMIZE left the dirty marker up")
+    assert(engine.fastBm25("fastbm", terms, 10).isDefined)
+    assert(tailRow.getLong(1) == 0L && tailRow.getDouble(2) == 0.0)
+    spark.conf.unset("graft.bm25.fastPathMinRows")
+    engine.dropIndex("fastbm")
+    engine.unregisterTable(t)
+    Seq("postings", "doclens", "stats", "termstats").foreach(s =>
+      engine.unregisterTable(s"fastbm_$s"))
   }
 
   test("merge: NULL keys always insert and are never duplicates") {

@@ -924,7 +924,8 @@ class SqlRouterSpec extends SparkSpec {
     eng1.sql("INSERT INTO imp_docs VALUES (1, 'alpha beta'), " +
       "(2, 'beta gamma')")
     eng1.sql("CREATE TEXT INDEX imp_tix ON imp_docs (body)")
-    assert(eng1.sql(s"EXPORT DATABASE '$base/db'").head().getLong(0) == 4)
+    // 5 = docs + postings/doclens/stats/termstats artifact read-backs
+    assert(eng1.sql(s"EXPORT DATABASE '$base/db'").head().getLong(0) == 5)
     // restore: text-index metadata (path, idCol, textCol) travels, so
     // REFRESH resolves the built column on the restored engine
     val eng2 = Engine(spark)
@@ -979,6 +980,53 @@ class SqlRouterSpec extends SparkSpec {
       .contains("unknown table"))
     assert(eng3.tableNames.isEmpty, "half-imported catalog after a " +
       "manifest validation failure")
+  }
+
+  test("EXPORT DATABASE is self-contained for serving indexes: the " +
+      "artifacts travel under <dir>/artifacts, so an import whose " +
+      "ORIGINALS are gone still probes and refreshes without rebuild") {
+    val base = java.nio.file.Files.createTempDirectory("graft_selfexp")
+      .toString
+    val eng1 = Engine.scratch(spark)
+    eng1.sql("CREATE TABLE se_docs (doc_id BIGINT, text STRING)")
+    eng1.sql("INSERT INTO se_docs VALUES (1, 'alpha beta'), " +
+      "(2, 'beta gamma'), (3, 'alpha alpha')")
+    val tixPath = java.nio.file.Files
+      .createTempDirectory("graft_setix").toString + "/idx"
+    eng1.buildTextIndex("se_tix", "se_docs", tixPath)
+    eng1.registerTable("se_vecs", graft.Tables.t(spark, sf, "embeddings")
+      .limit(200).select(col("vec_id"), col("embedding")))
+    val annDir = java.nio.file.Files
+      .createTempDirectory("graft_seann").toString + "/ann"
+    eng1.buildAnnIndex("se_ann", "se_vecs", path = annDir)
+    val before = eng1.bm25Search("se_tix", Seq("alpha"), 2).collect()
+      .map(_.toString).toSeq
+    val qv = eng1.table("se_vecs").select("embedding").head()
+      .getSeq[Float](0).toArray
+    val abefore = eng1.annSearch("se_ann", qv, 3).collect()
+      .map(_.toString).toSeq
+    eng1.sql(s"EXPORT DATABASE '$base/db'")
+    // destroy the originals — the restore must not depend on them
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tixPath), true)
+    fs.delete(new org.apache.hadoop.fs.Path(annDir), true)
+    val eng2 = Engine.scratch(spark)
+    eng2.sql(s"IMPORT DATABASE '$base/db'")
+    assert(eng2.bm25Search("se_tix", Seq("alpha"), 2).collect()
+      .map(_.toString).toSeq == before,
+      "text probe diverged after a self-contained restore")
+    assert(eng2.annSearch("se_ann", qv, 3).collect()
+      .map(_.toString).toSeq == abefore,
+      "ANN probe diverged after a self-contained restore")
+    // refresh appends to the artifact COPY (the whole point of the verb)
+    eng2.sql("INSERT INTO se_docs VALUES (4, 'alpha alpha alpha')")
+    assert(eng2.sql("REFRESH TEXT INDEX se_tix").head().getLong(0) == 1)
+    assert(eng2.bm25Search("se_tix", Seq("alpha"), 1).head()
+      .getLong(0) == 4L)
+    eng2.sql("INSERT INTO se_vecs SELECT vec_id + 1000000, embedding " +
+      "FROM se_vecs LIMIT 3")
+    assert(eng2.sql("REFRESH ANN INDEX se_ann").head().getLong(0) == 3)
   }
 
   test("bm25Search pads zero-score docs in doc_id order when fewer " +
