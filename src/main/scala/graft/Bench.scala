@@ -36,6 +36,27 @@ object Bench {
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.max(cpus.toInt, math.min(2048L,
         tierBytes / (128L << 20) + 1).toInt).toString)
+    // Tier fingerprint: (relative path, size) of every file under the
+    // tier dir, hashed — cross-round ratio moves then separate CODE
+    // from DATA (the r16 q68 attribution burned a worktree-control
+    // round on exactly this ambiguity; testdata regeneration between
+    // rounds moved scans in both directions).
+    val tierHash = {
+      val dir = java.nio.file.Paths.get(sfDir)
+      if (!java.nio.file.Files.isDirectory(dir)) "absent"
+      else {
+        val s = java.nio.file.Files.walk(dir)
+        val entries =
+          try s.filter(java.nio.file.Files.isRegularFile(_))
+            .map[String](p => dir.relativize(p).toString + ":" +
+              java.nio.file.Files.size(p))
+            .sorted().toArray.mkString("\n")
+          finally s.close()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(entries.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(16)
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -265,6 +286,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread":$spreads,"stages":$stages,"stages_min":$stagesMin,""" +
         s""""calibration":$calibration,"cal_per_query":$calQ,""" +
+        s""""tier_hash":"$tierHash","tier_bytes":$tierBytes,""" +
         s""""sf":"$sfDir"}"""
     // the FULL artifact (spreads + stages) goes to the file; stdout gets
     // a COMPACT line — the driver tail-captures stdout with a bounded
@@ -276,6 +298,7 @@ object Bench {
     val compactLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""queries":$qsCompact,"calibration":$calibration,""" +
+        s""""tier_hash":"$tierHash","tier_bytes":$tierBytes,""" +
         s""""sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -31,6 +31,7 @@ private[graft] trait EngineIndexes { self: Engine =>
       throw new IllegalArgumentException(
         s"Catalog Error: Index with name \"$indexName\" does not exist!")
     invalidateTextCaches(indexName)
+    invalidateAnnCaches(indexName)
     annMeta.remove(indexName); annPath.remove(indexName)
     textMeta.remove(indexName); tokenizerMeta.remove(indexName)
     classifierMeta.remove(indexName); servingIndexes.remove(indexName)
@@ -108,6 +109,7 @@ private[graft] trait EngineIndexes { self: Engine =>
     createIndex(indexName, tableName, Seq(embCol), ifNotExists = true)
     servingIndexes.put(indexName, ())
     indexTail.put(indexName, (0L, n))
+    invalidateAnnCaches(indexName)
     ()
   }
 
@@ -176,12 +178,34 @@ private[graft] trait EngineIndexes { self: Engine =>
     }.toSeq.toDF("subspace", "code", "cb")
   }
 
-  private def booksOf(indexName: String): Array[Array[Array[Float]]] = {
-    import spark.implicits._
-    table(s"${indexName}_codebooks").as[(Int, Int, Array[Float])]
-      .collect().groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
+  /** Driver-side centroid/codebook caches: both are FROZEN under
+    * refresh (the frozen-quantizer law), so a serving deployment keeps
+    * them resident instead of re-collecting metadata-sized tables on
+    * every probe (measured: 2 jobs per q189 dense probe). Invalidated
+    * on build/refresh/OPTIMIZE/drop. */
+  private val annCentsCache = TrieMap.empty[String, Array[Array[Float]]]
+  private val annBooksCache =
+    TrieMap.empty[String, Array[Array[Array[Float]]]]
+
+  private[graft] def invalidateAnnCaches(indexName: String): Unit = {
+    annCentsCache.remove(indexName); annBooksCache.remove(indexName); ()
   }
+
+  /** The index's IVF centroids, indexed by cell id. */
+  private[graft] def annCentroids(indexName: String): Array[Array[Float]] =
+    annCentsCache.getOrElseUpdate(indexName, {
+      import spark.implicits._
+      table(s"${indexName}_centroids").as[(Long, Array[Float])]
+        .collect().sortBy(_._1).map(_._2)
+    })
+
+  private def booksOf(indexName: String): Array[Array[Array[Float]]] =
+    annBooksCache.getOrElseUpdate(indexName, {
+      import spark.implicits._
+      table(s"${indexName}_codebooks").as[(Int, Int, Array[Float])]
+        .collect().groupBy(_._1).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3))
+    })
 
   /** Incremental refresh of a [[buildAnnIndex]] artifact after new
     * vectors arrived: only vectors absent from the cells table are
@@ -266,6 +290,7 @@ private[graft] trait EngineIndexes { self: Engine =>
     requireArtifact(s"$p/cells", indexName, "ANN")
     resortParquet(s"$p/cells", Seq("cell"))
     put(s"${indexName}_cells", spark.read.parquet(s"$p/cells"))
+    invalidateAnnCaches(indexName)
     indexTail.put(indexName, (0L,
       indexTail.get(indexName).map { case (t0, b) => t0 + b }
         .getOrElse(0L)))
@@ -1077,11 +1102,12 @@ private[graft] trait EngineIndexes { self: Engine =>
       val queries = Seq((-1L, query)).toDF("qid", "q_emb")
       return SimilarityOps.pqSearch(queries, table(s"${indexName}_cells"),
         table(s"${indexName}_centroids"), booksOf(indexName), raw,
-        k = k, nprobe = nprobe, shortlist = math.max(4 * k, 40))
+        k = k, nprobe = nprobe, shortlist = math.max(4 * k, 40),
+        centsArr = annCentroids(indexName))
         .select(col("neighbor").as("vec_id"), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
     }
-    val cents = table(s"${indexName}_centroids").collect()
+    val cents = annCentroids(indexName)
     def cos(v: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val m = math.min(v.length, query.length)
@@ -1092,8 +1118,8 @@ private[graft] trait EngineIndexes { self: Engine =>
       }
       dot / math.max(1e-12, math.sqrt(na) * math.sqrt(nb))
     }
-    val probed = cents
-      .map(r => (r.getLong(0), cos(r.getSeq[Float](1).toArray)))
+    val probed = cents.zipWithIndex
+      .map { case (v, ci) => (ci.toLong, cos(v)) }
       .sortBy(-_._2).take(nprobe).map(_._1)
     table(s"${indexName}_cells")
       .filter(col("cell").isin(probed: _*))

@@ -182,10 +182,13 @@ private[graft] trait SimilarityPq extends Serializable {
     * `shortlist` raw fetches — the IVF-PQ serving shape. */
   def pqSearch(queries: DataFrame, cells: DataFrame, cents: DataFrame,
       books: Array[Array[Array[Float]]], raw: DataFrame, k: Int = 10,
-      nprobe: Int = 4, shortlist: Int = 40): DataFrame = {
+      nprobe: Int = 4, shortlist: Int = 40,
+      centsArr: Array[Array[Float]] = null): DataFrame = {
     val spark = cells.sparkSession
     import spark.implicits._
-    val centArr = centArray(cents)
+    // a serving engine passes its cached centroid array (frozen under
+    // refresh) so the probe skips the metadata re-collect job
+    val centArr = Option(centsArr).getOrElse(centArray(cents))
     val qs: Array[(Long, Array[Float])] =
       queries.select("qid", "q_emb").as[(Long, Array[Float])].collect()
     // per-query probe set + LUT, computed once on the driver

@@ -140,7 +140,7 @@ private[graft] trait TextRetrieval extends Serializable {
       eng.buildAnnIndex("hyb_ann", "hyb_embeddings", pq = true)
       eng.servedIndexDir("hyb_ann") = d
     }
-    val nlist = eng.table("hyb_ann_centroids").count().toInt
+    val nlist = eng.annCentroids("hyb_ann").length
     val nprobe = math.max(8, (nlist + 2) / 3)
     eng.annSearch("hyb_ann", qv, k = 21, nprobe = nprobe)
       .filter(col("vec_id") =!= 1)

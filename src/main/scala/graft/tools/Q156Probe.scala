@@ -174,7 +174,33 @@ object Q156Probe {
     med(q155(shj = false), "q155_smj")
     med(q155(shj = true), "q155_shj")
 
-    spark.sql(s"DROP TABLE IF EXISTS $plain")
+    // r16 verdict item 3: the 64-bucket variant — double the files per
+    // fact table (finer SMJ grains, two scan waves on 32 cores) against
+    // the same zero-exchange plan shape
+    val pid = ProcessHandle.current.pid
+    val (li64, o64) = (s"bk_li64_$pid", s"bk_o64_$pid")
+    val t64 = time {
+      BucketedOps.writeBucketed(t(spark, sfDir, "lineitem"), li64,
+        Seq("l_orderkey"), buckets = 64)
+      BucketedOps.writeBucketed(t(spark, sfDir, "orders")
+          .withColumn("o_year", year(col("o_orderdate"))), o64,
+        Seq("o_orderkey"), buckets = 64, partitionCol = Some("o_year"))
+    }
+    println(f"[q156probe] 64bucket_layout_write $t64%6.2f s")
+    def o64Y = spark.table(o64)
+      .filter(col("o_year") >= 1996 && col("o_year") <= 1998 && dateCond)
+    q156(spark, sfDir, spark.table(li64), o64Y, shj = false)
+      .write.mode("overwrite").format("noop").save()
+    med(q156(spark, sfDir, spark.table(li64), o64Y, shj = false),
+      "q156_64bucket_smj")
+    med(q156(spark, sfDir, spark.table(li64), o64Y, shj = true),
+      "q156_64bucket_shj")
+    val got64 = q156(spark, sfDir, spark.table(li64), o64Y, shj = false)
+      .collect().map(_.toString).sorted.toSeq
+    println(s"[q156probe] variant 64bucket identical=${got64 == base}")
+
+    Seq(plain, li64, o64)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     spark.stop()
   }
 }

@@ -59,7 +59,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(pushed.contains("In(w") || pushed.contains("EqualTo(w"),
       s"term filter not pushed to the postings scan: $pushed")
     eng.unregisterTable(t)
-    Seq("postings", "doclens", "stats").foreach(s =>
+    Seq("postings", "doclens", "stats", "termstats").foreach(s =>
       eng.unregisterTable(s"pq_tix_$s"))
   }
 

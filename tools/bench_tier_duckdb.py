@@ -75,7 +75,20 @@ def run_once(sf_dir, sql, q, tmp_dir):
     q.put(times)
 
 
+def tier_hash(sf_dir):
+    """(relative path, size) fingerprint matching graft.Bench's
+    tier_hash, so the two engines' artifacts pin the same data."""
+    import hashlib
+    entries = []
+    for root, _, files in os.walk(sf_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            entries.append(f"{os.path.relpath(p, sf_dir)}:{os.path.getsize(p)}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+
+
 def main(sf_dir, oracle_dir, only=None):
+    print(f"tier={sf_dir} tier_hash={tier_hash(sf_dir)}")
     oracle = json.load(open(f"{oracle_dir}/oracle_sql.json"))
     oracle["q94_approx_quantile"] = Q94_APPROX
     results = {}
@@ -105,6 +118,7 @@ def main(sf_dir, oracle_dir, only=None):
         print(f"{name:28s} median={med:8.3f} s  "
               f"min={times[0]:.3f}  max={times[-1]:.3f}")
     print(json.dumps({"metric": "duckdb_tier", "sf": sf_dir,
+                      "tier_hash": tier_hash(sf_dir),
                       "spread": results}))
 
 
