@@ -79,11 +79,14 @@ private[graft] trait EngineExport { self: Engine =>
 
   private def copyArtifactDir(src: String, dst: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val sp = new org.apache.hadoop.fs.Path(src)
-    val sfs = sp.getFileSystem(conf)
+    val (sfs, sp) = hadoopFs(src)
     if (!sfs.exists(sp)) return
-    val dp = new org.apache.hadoop.fs.Path(dst)
-    val dfs = dp.getFileSystem(conf)
+    val (dfs, dp) = hadoopFs(dst)
+    // a re-export to the same dir must REPLACE the artifact copy:
+    // FileUtil.copy into an existing directory NESTS the source under
+    // it, which would leave the previous export's postings in place —
+    // an import would then silently serve the stale corpus
+    dfs.delete(dp, true)
     org.apache.hadoop.fs.FileUtil.copy(sfs, sp, dfs, dp,
       false /* keep source */, true /* overwrite */, conf)
     ()
@@ -106,11 +109,7 @@ private[graft] trait EngineExport { self: Engine =>
     val hasKind = idx.columns.contains("kind") // pre-r16 manifests lack it
     val idxRows = idx.collect()
     // ---- validate everything up front (no catalog writes yet) ----
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def exists(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).exists(hp)
-    }
+    def exists(p: String): Boolean = artifactExists(p)
     cat.foreach { t =>
       if (tableExists(t))
         throw new IllegalArgumentException(

@@ -102,7 +102,9 @@ private[graft] trait EngineIndexes { self: Engine =>
         SimilarityOps.pqEncode(assigned, cents, books)
       } else SimilarityOps.ivfAssign(df, cents)
     cells.repartitionByRange(col("cell")).sortWithinPartitions("cell")
-      .write.mode("overwrite").parquet(s"$p/cells")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 8L << 20) // finer cell-IN pruning
+      .parquet(s"$p/cells")
     put(s"${indexName}_cells", spark.read.parquet(s"$p/cells"), n)
     annMeta.put(indexName, (idCol, embCol))
     annPath.put(indexName, p)
@@ -264,7 +266,9 @@ private[graft] trait EngineIndexes { self: Engine =>
             // (an IMPORTed index whose path didn't travel) would mint
             // a batch-only artifact and silently drop the corpus
             requireArtifact(s"$p/cells", indexName, "ANN")
-            enc.write.mode("append").parquet(s"$p/cells")
+            enc.write.mode("append")
+              .option("parquet.block.size", 8L << 20)
+              .parquet(s"$p/cells")
             put(s"${indexName}_cells", spark.read.parquet(s"$p/cells"))
           case None => insertInto(s"${indexName}_cells", enc)
         }
@@ -349,7 +353,11 @@ private[graft] trait EngineIndexes { self: Engine =>
 
   private def writeTmp(df: org.apache.spark.sql.DataFrame,
       path: String): Unit =
-    df.write.mode("overwrite").parquet(path + "_opt_tmp")
+    // same 8 MB row groups as the build writers: OPTIMIZE must not
+    // coarsen the pruning grain it exists to restore (no effect on
+    // the sub-8 MB metadata files)
+    df.write.mode("overwrite").option("parquet.block.size", 8L << 20)
+      .parquet(path + "_opt_tmp")
 
   private def installTmp(path: String): Unit = {
     val tmp = path + "_opt_tmp"
@@ -508,49 +516,44 @@ private[graft] trait EngineIndexes { self: Engine =>
     val docs = table(docsTable).select(col(idCol).as("doc_id"),
       col(textCol).as("text"))
     val known = table(s"${indexName}_doclens").select("doc_id")
-    val newDocs = docs.join(known, Seq("doc_id"), "left_anti")
-    val added = newDocs.count()
-    if (added > 0) {
-      // persist the batch once: the postings append and the O(vocab)
-      // metadata merge both re-derive from it, and re-tokenizing the
-      // batch is the only repeatable cost worth caching (O(batch))
-      val batch = newDocs.persist()
-      try {
+    // persist before the count: the count IS the cache
+    // materialization, so the corpus-scale anti-join runs once per
+    // refresh, not twice
+    val batch = docs.join(known, Seq("doc_id"), "left_anti").persist()
+    try {
+      val added = batch.count()
+      if (added > 0) {
         if (spark.read.parquet(s"$path/postings").columns.contains("qi")) {
           // marker bounds the merge→append→install window: a crash
           // inside leaves probes on the classic live-stats path
           // (correct), never on stale metadata; OPTIMIZE recomputes
           // from the postings and clears it. The merge STAGES before
           // the append (see [[mergeTextMetaToTmp]]).
-          setDirty(path)
-          mergeTextMetaToTmp(path, batch)
-          writeTextIndex(batch, path, append = true)
-          installTextMeta(path)
-          clearDirty(path)
+          // tokenize the batch ONCE: the persisted postings frame
+          // feeds both the metadata merge and the artifact append
+          val bp = textPostings(batch).persist()
+          try {
+            setDirty(path)
+            mergeTextMetaToTmp(path, bp, batch)
+            writePostingsAndDoclens(bp, batch, path, append = true,
+              withQi = true)
+            installTextMeta(path)
+            clearDirty(path)
+          } finally { bp.unpersist(); () }
         } else {
           // pre-qi artifact: append in its own layout (a mixed-schema
           // parquet dir would corrupt read-back); OPTIMIZE upgrades it
-          val toks = batch.select(col("doc_id"),
-            graft.functions.TokenCount.tokenCount(col("text")).cast("long")
-              .as("dl"),
-            explode(split(col("text"), " ")).as("w"))
-          toks.groupBy("w", "doc_id").agg(count(lit(1)).as("tf"),
-              first(col("dl")).as("dl"))
-            .repartitionByRange(col("w")).sortWithinPartitions("w")
-            .write.mode("append").parquet(s"$path/postings")
-          batch.select(col("doc_id"),
-              graft.functions.TokenCount.tokenCount(col("text"))
-                .cast("long").as("dl"))
-            .write.mode("append").parquet(s"$path/doclens")
+          writePostingsAndDoclens(textPostings(batch), batch, path,
+            append = true, withQi = false)
         }
         registerTextIndex(indexName, path)
         invalidateTextCaches(indexName)
         indexTail.put(indexName, indexTail.get(indexName)
           .map { case (tail, base) => (tail + added, base) }
           .getOrElse((added, 0L)))
-      } finally { batch.unpersist(); () }
-    }
-    added
+      }
+      added
+    } finally { batch.unpersist(); () }
   }
 
   /** The persisted artifact a refresh appends to must exist — a
@@ -600,16 +603,32 @@ private[graft] trait EngineIndexes { self: Engine =>
   }
 
   private def writeTextIndex(docs: org.apache.spark.sql.DataFrame,
-      path: String, append: Boolean): Unit = {
+      path: String, append: Boolean): Unit =
+    writePostingsAndDoclens(textPostings(docs), docs, path, append,
+      withQi = true)
+
+  /** One pipeline for builds and BOTH refresh branches (qi and pre-qi
+    * legacy layouts), so tokenization can never diverge between them.
+    * Range-sort on the term so row-group stats prune term probes, qi
+    * second so an impact-cut probe prunes a term's own suffix, doc_id
+    * third so a shortlist fetch prunes within (term, bucket); 32
+    * partitions on the small tiers, data-proportional via AQE. */
+  private def writePostingsAndDoclens(post: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame, path: String,
+      append: Boolean, withQi: Boolean): Unit = {
     val mode = if (append) "append" else "overwrite"
-    // range-sort on the term so row-group stats prune term probes,
-    // qi second so an impact-cut probe prunes a term's own suffix,
-    // doc_id third so a shortlist fetch prunes within (term, bucket);
-    // 32 on the small tiers, data-proportional via AQE coalescing
-    textPostings(docs)
-      .repartitionByRange(col("w"))
-      .sortWithinPartitions("w", "qi", "doc_id")
-      .write.mode(mode).parquet(s"$path/postings")
+    val (p, sorts) =
+      if (withQi) (post, Seq("w", "qi", "doc_id")) else (post.drop("qi"), Seq("w"))
+    p.repartitionByRange(col("w"))
+      .sortWithinPartitions(sorts.map(col): _*)
+      .write.mode(mode)
+      // 8 MB row groups (vs the 128 MB default): the probes' (w, qi)
+      // min/max pruning works at row-group grain, and a sf100 term
+      // slice spans only a couple of default-sized groups — finer
+      // groups cut the sf100 probe 2.37 → 1.95 s (Bm25Probe A/B) for
+      // ~2% artifact-size cost
+      .option("parquet.block.size", 8L << 20)
+      .parquet(s"$path/postings")
     docs.select(col("doc_id"),
         graft.functions.TokenCount.tokenCount(col("text")).cast("long")
           .as("dl"))
@@ -655,8 +674,8 @@ private[graft] trait EngineIndexes { self: Engine =>
     * mid-merge. [[installTextMeta]] swaps the staged files in after the
     * append. */
   private def mergeTextMetaToTmp(path: String,
+      bp: org.apache.spark.sql.DataFrame,
       batchDocs: org.apache.spark.sql.DataFrame): Unit = {
-    val bp = textPostings(batchDocs)
     val ts = spark.read.parquet(s"$path/termstats").unionByName(
         bp.groupBy("w").agg(count(lit(1)).as("df"),
           max("tf").as("max_tf"), min("dl").as("min_dl")))
@@ -682,12 +701,12 @@ private[graft] trait EngineIndexes { self: Engine =>
     Seq("termstats", "impacts", "stats")
       .foreach(s => installTmp(s"$path/$s"))
 
-  private def hadoopFs(path: String) = {
+  private[graft] def hadoopFs(path: String) = {
     val hp = new org.apache.hadoop.fs.Path(path)
     (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 
-  private def artifactExists(path: String): Boolean = {
+  private[graft] def artifactExists(path: String): Boolean = {
     val (fs, hp) = hadoopFs(path); fs.exists(hp)
   }
 
@@ -977,6 +996,10 @@ private[graft] trait EngineIndexes { self: Engine =>
   private[graft] def fastBm25(indexName: String, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): Option[DataFrame] = {
     if (terms.distinct.size != terms.size) return None
+    // the suffix bound drops the (1-b)k1/tf term, which is only
+    // conservative for b in [0,1] (and tf-monotonicity needs k1 >= 0);
+    // exotic parameters take the uncut plans, which are always exact
+    if (b < 0 || b > 1 || k1 < 0) return None
     val path = textMeta.get(indexName).map(_._1).getOrElse(return None)
     if (isDirty(path)) return None
     if (!artifactExists(s"$path/termstats") ||
@@ -1052,6 +1075,8 @@ private[graft] trait EngineIndexes { self: Engine =>
         val thetaLow = top.last.getDouble(1)
         val margin = 2e-4 + 1e-9 * math.abs(thetaLow)
         if (bigU < thetaLow - margin) {
+          // ad-hoc term sets would otherwise grow the map forever
+          if (textFracCache.size > 4096) textFracCache.clear()
           textFracCache.put(fracKey, targetFrac)
           val cands = p1.filter(
             col("partial") + (lit(bigU) - col("seensb")) >=

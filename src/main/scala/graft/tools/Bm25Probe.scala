@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
 object Bm25Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/benchdata/sf10")
+    // optional: parquet block size (bytes) for the artifact build —
+    // smaller row groups give the probes' (w, qi) predicates finer
+    // min/max pruning grains at the cost of write amplification
+    val blockSize = args.lift(1).map(_.toInt)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,6 +31,10 @@ object Bm25Probe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     val eng = graft.Engine(spark)
+    blockSize.foreach { bs =>
+      spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", bs)
+      println(s"[bm25probe] parquet.block.size=$bs")
+    }
     eng.registerTable("probe_docs", s"$sfDir/documents.parquet")
     val path = s"${sys.props("java.io.tmpdir")}/graft_bm25probe"
     val build = time { eng.buildTextIndex("bp_tix", "probe_docs", path) }

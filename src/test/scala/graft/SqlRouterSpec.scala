@@ -1027,6 +1027,22 @@ class SqlRouterSpec extends SparkSpec {
     eng2.sql("INSERT INTO se_vecs SELECT vec_id + 1000000, embedding " +
       "FROM se_vecs LIMIT 3")
     assert(eng2.sql("REFRESH ANN INDEX se_ann").head().getLong(0) == 3)
+    // RE-export to the SAME dir after a further refresh: the artifact
+    // copy must be REPLACED, not nested under the stale one (Hadoop's
+    // FileUtil.copy nests into an existing destination) — an import of
+    // the re-export must serve the newest doc, not the first export's
+    // corpus
+    eng2.sql(s"EXPORT DATABASE '$base/db2'")
+    eng2.sql("INSERT INTO se_docs VALUES (5, 'alpha alpha alpha alpha')")
+    assert(eng2.sql("REFRESH TEXT INDEX se_tix").head().getLong(0) == 1)
+    eng2.sql(s"EXPORT DATABASE '$base/db3'")
+    // db3 is fresh; the REPLACE path is exercised by re-exporting db2
+    eng2.sql(s"EXPORT DATABASE '$base/db2'")
+    val eng3 = Engine.scratch(spark)
+    eng3.sql(s"IMPORT DATABASE '$base/db2'")
+    assert(eng3.bm25Search("se_tix", Seq("alpha"), 1).head()
+      .getLong(0) == 5L,
+      "re-export served a stale serving-index artifact copy")
   }
 
   test("bm25Search pads zero-score docs in doc_id order when fewer " +
