@@ -762,14 +762,21 @@ private[graft] trait EngineIndexes { self: Engine =>
   def bm25Search(indexName: String, terms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 probe needs at least one term")
-    try bm25SearchImpl(indexName, terms, k, k1, b)
-    catch {
-      // a probe racing OPTIMIZE's artifact swap can transiently fail to
-      // list the replaced files — OPTIMIZE re-registered the artifact
-      // tables, so re-planning once lands on the installed layout
-      case e: Throwable if isFileGone(e) =>
-        bm25SearchImpl(indexName, terms, k, k1, b)
-    }
+    val t0 = System.nanoTime()
+    val res =
+      try bm25SearchImpl(indexName, terms, k, k1, b)
+      catch {
+        // a probe racing OPTIMIZE's artifact swap can transiently fail
+        // to list the replaced files — OPTIMIZE re-registered the
+        // artifact tables, so re-planning once lands on the installed
+        // layout
+        case e: Throwable if isFileGone(e) =>
+          bm25SearchImpl(indexName, terms, k, k1, b)
+      }
+    recordProbe(indexName, "bm25_search",
+      s"terms=${terms.mkString(",")} k=$k", res._3,
+      (System.nanoTime() - t0) / 1000000L, res._2)
+    res._1
   }
 
   private def isFileGone(e: Throwable): Boolean = {
@@ -781,22 +788,27 @@ private[graft] trait EngineIndexes { self: Engine =>
     false
   }
 
+  /** (result, row count, plan path taken) — the path tag feeds the
+    * probe-stats surface so an operator can SEE which plan served
+    * ("cut" / "one_job" / "classic", "+pad" when the zero-score pad
+    * ran, "empty" for k ≤ 0). */
   private def bm25SearchImpl(indexName: String, terms: Seq[String],
-      k: Int, k1: Double, b: Double): DataFrame = {
+      k: Int, k1: Double, b: Double): (DataFrame, Long, String) = {
     if (k <= 0) // LIMIT 0 semantics, not a last-row crash
-      return spark.createDataFrame(
+      return (spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
-        bm25Matched(indexName, terms, k1, b).schema)
+        bm25Matched(indexName, terms, k1, b).schema), 0L, "empty")
     fastBm25(indexName, terms, k, k1, b) match {
-      case Some(res) => return res
+      case Some(res) => return (res, k.toLong, "cut")
       case None => ()
     }
     // metadata-bearing artifact but the early-termination path declined
     // (un-certifiable cut, duplicate terms, pad semantics): serve the
     // ONE-JOB plan — same pivot, df/n/avgdl as literals off the
     // persisted metadata instead of two extra aggregation jobs
-    val matched = litMatched(indexName, terms, k1, b)
-      .getOrElse(bm25Matched(indexName, terms, k1, b))
+    val lit0 = litMatched(indexName, terms, k1, b)
+    val pathTag = if (lit0.isDefined) "one_job" else "classic"
+    val matched = lit0.getOrElse(bm25Matched(indexName, terms, k1, b))
     val top = matched.orderBy(col("bm25").desc, col("doc_id")).limit(k)
     // ONE probe execution decides the result: k rows whose k-th score
     // is positive cannot be displaced by any zero-score doc, so the
@@ -807,7 +819,7 @@ private[graft] trait EngineIndexes { self: Engine =>
     // doclens scan runs only on that small/filtered-corpus branch.
     val topRows = top.collect()
     if (topRows.length == k && topRows.last.getDouble(1) > 0.0)
-      localFrame(topRows, top.schema)
+      (localFrame(topRows, top.schema), topRows.length.toLong, pathTag)
     else {
       val pad = table(s"${indexName}_doclens").select(col("doc_id"))
         .join(matched.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -818,7 +830,9 @@ private[graft] trait EngineIndexes { self: Engine =>
       // collected like the fast branch: both paths return a stable
       // snapshot, so a caller holding the frame across a refresh never
       // re-executes a moved plan
-      localFrame(padded.collect(), padded.schema)
+      val padRows = padded.collect()
+      (localFrame(padRows, padded.schema), padRows.length.toLong,
+        pathTag + "+pad")
     }
   }
 
@@ -1114,6 +1128,18 @@ private[graft] trait EngineIndexes { self: Engine =>
     * `cos_sim` is exact either way. */
   def annSearch(indexName: String, query: Array[Float], k: Int = 10,
       nprobe: Int = 4): DataFrame = {
+    val t0 = System.nanoTime()
+    val (df, pathTag) = annSearchImpl(indexName, query, k, nprobe)
+    // rows = -1: annSearch returns a lazy plan (the caller executes
+    // it), so the recorded duration covers probe planning + driver-side
+    // cell ranking, not the scan
+    recordProbe(indexName, "ann_search", s"k=$k nprobe=$nprobe",
+      pathTag, (System.nanoTime() - t0) / 1000000L, -1L)
+    df
+  }
+
+  private def annSearchImpl(indexName: String, query: Array[Float],
+      k: Int, nprobe: Int): (DataFrame, String) = {
     if (registry.contains(s"${indexName}_codebooks")) {
       import graft.operators.SimilarityOps
       import spark.implicits._
@@ -1125,12 +1151,12 @@ private[graft] trait EngineIndexes { self: Engine =>
       val raw = table(base)
         .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
       val queries = Seq((-1L, query)).toDF("qid", "q_emb")
-      return SimilarityOps.pqSearch(queries, table(s"${indexName}_cells"),
+      return (SimilarityOps.pqSearch(queries, table(s"${indexName}_cells"),
         table(s"${indexName}_centroids"), booksOf(indexName), raw,
         k = k, nprobe = nprobe, shortlist = math.max(4 * k, 40),
         centsArr = annCentroids(indexName))
         .select(col("neighbor").as("vec_id"), col("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id")), "ivf_pq")
     }
     val cents = annCentroids(indexName)
     def cos(v: Array[Float]): Double = {
@@ -1146,14 +1172,52 @@ private[graft] trait EngineIndexes { self: Engine =>
     val probed = cents.zipWithIndex
       .map { case (v, ci) => (ci.toLong, cos(v)) }
       .sortBy(-_._2).take(nprobe).map(_._1)
-    table(s"${indexName}_cells")
+    (table(s"${indexName}_cells")
       .filter(col("cell").isin(probed: _*))
       .select(col("vec_id"),
         graft.functions.CosineSimilarity.cosineSim(col("embedding"),
           typedLit(query)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+      .limit(k), "ivf")
   }
+
+  // ---- probe observability ---------------------------------------------
+
+  private case class ProbeStat(index: String, verb: String, arg: String,
+      path: String, durationMs: Long, rows: Long,
+      start: java.sql.Timestamp)
+  private val probeStatsQ =
+    new java.util.concurrent.ConcurrentLinkedQueue[ProbeStat]()
+
+  private[graft] def recordProbe(index: String, verb: String,
+      arg: String, path: String, durationMs: Long, rows: Long): Unit = {
+    probeStatsQ.add(ProbeStat(index, verb, arg, path, durationMs, rows,
+      new java.sql.Timestamp(System.currentTimeMillis())))
+    ()
+  }
+
+  /** Serving-probe execution stats — the index-serving analog of
+    * [[EngineSqlStats.executionStats]] (the reference's observability
+    * anchor: probes are the recorded COMMON case, so they get their
+    * own surface instead of riding the SQL listener, which cannot see
+    * an internally-executed probe). One row per [[bm25Search]] /
+    * [[annSearch]] call: which index, which verb, the probe argument,
+    * which plan path served (`cut` / `one_job` / `classic` [+`pad`] /
+    * `empty` for text; `ivf_pq` / `ivf` for dense), duration, and
+    * returned rows (−1 marks a lazily-executed plan — annSearch
+    * returns the plan and the CALLER executes it, so its duration
+    * covers probe planning + driver-side cell ranking). */
+  def probeStats: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    probeStatsQ.asScala.toSeq
+      .map(p => (p.index, p.verb, p.arg, p.path, p.durationMs, p.rows,
+        p.start))
+      .toDF("index_name", "verb", "arg", "plan_path", "duration_ms",
+        "rows", "started_at")
+  }
+
+  def clearProbeStats(): Unit = probeStatsQ.clear()
 
   /** (refresh-appended tail rows, rows at last build/OPTIMIZE) per
     * serving index — the maintenance-cadence signal. Probe pruning

@@ -491,6 +491,21 @@ class EngineSpec extends SparkSpec {
     assert(!marker.exists, "OPTIMIZE left the dirty marker up")
     assert(engine.fastBm25("fastbm", terms, 10).isDefined)
     assert(tailRow.getLong(1) == 0L && tailRow.getDouble(2) == 0.0)
+    // probe observability: every bm25Search above was recorded with
+    // the plan path that served it — the serving-stats surface an
+    // operator reads (the reference's probes-are-the-recorded-common-
+    // case contract)
+    val ps = engine.probeStats.filter(col("index_name") === "fastbm")
+      .collect()
+    assert(ps.nonEmpty, "no probe stats recorded")
+    val paths = ps.map(_.getAs[String]("plan_path")).toSet
+    assert(paths.contains("cut"), s"no cut-path probe recorded: $paths")
+    assert(paths.contains("empty"), s"k<=0 probe not recorded: $paths")
+    assert(ps.forall(_.getAs[Long]("duration_ms") >= 0L))
+    assert(ps.filter(_.getAs[String]("plan_path") == "cut")
+      .forall(_.getAs[Long]("rows") == 10L))
+    engine.clearProbeStats()
+    assert(engine.probeStats.count() == 0L)
     spark.conf.unset("graft.bm25.fastPathMinRows")
     engine.dropIndex("fastbm")
     engine.unregisterTable(t)
