@@ -56,6 +56,8 @@ private[graft] trait EngineExport { self: Engine =>
             ("ann", i, e, annPath.get(ix).orNull) })
           .orElse(tokenizerMeta.get(ix).map(c => ("tokenizer", c, null, null)))
           .orElse(classifierMeta.get(ix).map(c => ("classifier", c, null, null)))
+          .orElse(shingleMeta.get(ix).map { case (p, dt, mdf) =>
+            ("shingle", p, dt, mdf.toString) })
           .getOrElse(if (servingIndexes.contains(ix))
             ("serving", null, null, null) else ("plain", null, null, null))
       (ix, t, cols.mkString(","), kind, m1, m2, m3)
@@ -70,9 +72,10 @@ private[graft] trait EngineExport { self: Engine =>
     // unreachable exports metadata-only, preserving the import-side
     // rebuild refusal.
     indexRegistry.keys.foreach { ix =>
-      textMeta.get(ix).map(_._1).orElse(annPath.get(ix)).foreach { src =>
-        copyArtifactDir(src, s"$dir/artifacts/$ix")
-      }
+      textMeta.get(ix).map(_._1).orElse(annPath.get(ix))
+        .orElse(shingleMeta.get(ix).map(_._1)).foreach { src =>
+          copyArtifactDir(src, s"$dir/artifacts/$ix")
+        }
     }
     names.size.toLong
   }
@@ -182,16 +185,37 @@ private[graft] trait EngineExport { self: Engine =>
               else m(4)
             textMeta.put(name, (p, m(5), m(6)))
             servingIndexes.put(name, ())
-            if (p != null && exists(s"$p/postings"))
+            if (p != null && exists(s"$p/postings")) {
               registerTextIndex(name, p)
+              // seed the maintenance introspection: without a base,
+              // the first post-import refresh reads tail_frac as
+              // tail/(tail+0) = 1.0 and the OPTIMIZE-cadence signal is
+              // garbage (ADVICE r17)
+              indexTail.put(name,
+                (0L, statsOf(name).map(_._1).getOrElse(0L)))
+            }
           case "ann" =>
             annMeta.put(name, (m(4), m(5)))
             val p = if (exists(s"$artifactCopy/cells")) artifactCopy
               else m(6)
             Option(p).foreach(annPath.put(name, _))
-            if (p != null && exists(s"$p/cells"))
-              put(s"${name}_cells", spark.read.parquet(s"$p/cells"))
+            if (p != null && exists(s"$p/cells")) {
+              val cells = spark.read.parquet(s"$p/cells")
+              put(s"${name}_cells", cells)
+              // parquet footer count — metadata-only, no data scan
+              indexTail.put(name, (0L, cells.count()))
+            }
             servingIndexes.put(name, ())
+          case "shingle" =>
+            // prefer the export's artifact copy, like text/ANN: the
+            // restored engine refreshes (and re-registers on refresh)
+            // against the copy, so the artifact travels with the db
+            val p = if (exists(artifactCopy)) artifactCopy else m(4)
+            shingleMeta.put(name, (p, m(5),
+              Option(m(6)).map(_.toInt).getOrElse(1000)))
+            servingIndexes.put(name, ())
+            if (p != null && exists(p))
+              put(name, spark.read.parquet(p))
           case "tokenizer" =>
             tokenizerMeta.put(name, m(4)); servingIndexes.put(name, ())
           case "classifier" =>

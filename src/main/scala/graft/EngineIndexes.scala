@@ -35,6 +35,7 @@ private[graft] trait EngineIndexes { self: Engine =>
     annMeta.remove(indexName); annPath.remove(indexName)
     textMeta.remove(indexName); tokenizerMeta.remove(indexName)
     classifierMeta.remove(indexName); servingIndexes.remove(indexName)
+    shingleMeta.remove(indexName)
     indexTail.remove(indexName)
     ()
   }
@@ -318,9 +319,20 @@ private[graft] trait EngineIndexes { self: Engine =>
       withTableLock(indexName) {
     val (p, _, _) = textIndexMeta(indexName)
     requireArtifact(s"$p/postings", indexName, "TEXT")
+    val wasDirty = isDirty(p)
     val hasQi = spark.read.parquet(s"$p/postings").columns.contains("qi")
     resortParquet(s"$p/postings", Seq("w", "qi", "doc_id"),
       addQi = !hasQi)
+    // a crashed refresh can die between the postings append and the
+    // doclens append — postings then carry batch docs doclens doesn't.
+    // Recomputing termstats/impacts from the postings but leaving the
+    // doclens stale would let the NEXT refresh's anti-join re-detect
+    // the batch and append DUPLICATE (w, doc) postings rows (double
+    // counted tf/df). Reconcile doclens against the postings before
+    // clearing the marker: every postings doc gets its (one) dl; docs
+    // with zero postings (possible only for null-text rows) keep their
+    // existing doclens row.
+    if (wasDirty) reconcileDoclens(p)
     writeTextMeta(p)
     clearDirty(p)
     registerTextIndex(indexName, p)
@@ -329,6 +341,18 @@ private[graft] trait EngineIndexes { self: Engine =>
       indexTail.get(indexName).map { case (t0, b) => t0 + b }
         .getOrElse(0L)))
     ()
+  }
+
+  /** Rebuild doclens from the postings' denormalized dl (exactly one
+    * dl per doc — every posting of a doc carries the same value),
+    * keeping any doclens-only docs (zero-posting null-text rows). Used
+    * by [[optimizeTextIndex]] to repair a crashed refresh. */
+  private def reconcileDoclens(path: String): Unit = {
+    val fromPost = spark.read.parquet(s"$path/postings")
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+    val orphan = spark.read.parquet(s"$path/doclens")
+      .join(fromPost.select("doc_id"), Seq("doc_id"), "left_anti")
+    writeSwapped(fromPost.unionByName(orphan), s"$path/doclens")
   }
 
   private def resortParquet(path: String, sortCols: Seq[String],
@@ -393,7 +417,34 @@ private[graft] trait EngineIndexes { self: Engine =>
     put(indexName, spark.read.parquet(path))
     createIndex(indexName, docsTable, Seq("text"), ifNotExists = true)
     servingIndexes.put(indexName, ())
+    shingleMeta.put(indexName, (path, docsTable, maxDf))
     ()
+  }
+
+  /** (path, docsTable, maxDf) a shingle index was built with — the
+    * same serving-index metadata the text/ANN indexes carry: the
+    * no-arg [[refreshShingleIndex]] resolves build parameters from it,
+    * refresh refuses mismatched parameters (a different path/column
+    * set would corrupt the artifact), and EXPORT DATABASE ships it so
+    * a restored engine refreshes the artifact COPY without being told
+    * where it landed. */
+  private[graft] val shingleMeta = TrieMap.empty[String, (String, String, Int)]
+
+  /** Refresh a shingle index against the table/path/maxDf it was built
+    * with (resolved from [[shingleMeta]]) — the spelling a restored
+    * engine uses, where the artifact lives at the import's copy path
+    * the caller never chose. */
+  def refreshShingleIndex(indexName: String): Long = {
+    val (p, dt, mdf) = shingleMeta.getOrElse(indexName, {
+      if (!indexRegistry.contains(indexName))
+        throw new IllegalArgumentException(
+          s"""Catalog Error: Index with name "$indexName" does not """ +
+            "exist!")
+      throw new IllegalArgumentException(
+        s"""Catalog Error: "$indexName" is not a shingle index — """ +
+          "build it with buildShingleIndex first")
+    })
+    refreshShingleIndex(indexName, dt, p, mdf)
   }
 
   /** Incremental refresh of a [[buildShingleIndex]] artifact after new
@@ -414,6 +465,22 @@ private[graft] trait EngineIndexes { self: Engine =>
     * versioned source of truth. Returns newly indexed doc count. */
   def refreshShingleIndex(indexName: String, docsTable: String,
       path: String, maxDf: Int = 1000): Long = withTableLock(indexName) {
+    // the index remembers its build parameters: refreshing a different
+    // table/path/cap would silently merge foreign shingles or change
+    // the cap semantics mid-artifact — fail loudly (the text/ANN
+    // refresh contract)
+    shingleMeta.get(indexName).foreach { case (p, dt, mdf) =>
+      if (p != path || dt != docsTable || mdf != maxDf)
+        throw new IllegalArgumentException(
+          s"""Binder Error: Shingle index "$indexName" was built at """ +
+            s""""$p" over table "$dt" with maxDf=$mdf — refresh must """ +
+            "use the same path, table, and cap")
+    }
+    // appending into a missing artifact dir (an IMPORTed index whose
+    // path didn't travel) would mint a batch-only artifact and
+    // silently drop the corpus — refuse with the serving-index error,
+    // not a raw Spark PATH_NOT_FOUND
+    requireArtifact(path, indexName, "SHINGLE")
     val docs = table(docsTable)
     val known = table(indexName).select("doc_id").distinct()
     val newDocs = docs.join(known, Seq("doc_id"), "left_anti")
@@ -425,9 +492,7 @@ private[graft] trait EngineIndexes { self: Engine =>
         maxDf = Int.MaxValue)
       val old = spark.read.parquet(path)
       val combined = old.unionByName(newSh)
-      val hotDelta = combined.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf).select("s")
+      val hotDelta = shingleHotDelta(combined, newSh, maxDf)
       if (hotDelta.isEmpty) {
         newSh.write.mode("append").parquet(path)
       } else {
@@ -447,6 +512,23 @@ private[graft] trait EngineIndexes { self: Engine =>
     }
     added
   }
+
+  /** Shingles the refresh batch pushes over the df cap. df is monotone
+    * under appends, so only shingles the BATCH touches can newly cross
+    * — the check semi-joins the combined corpus to the batch's shingle
+    * set BEFORE aggregating: shuffle/aggregation state is
+    * O(batch-touched occurrences), never O(corpus vocabulary), which
+    * is what keeps a daily refresh O(batch) on a 100 TB corpus (the
+    * columnar single-column corpus scan remains, like every anti-join
+    * here; it carries no aggregation state). PlanQualitySpec pins the
+    * semi-join-below-aggregate shape. */
+  private[graft] def shingleHotDelta(combined: DataFrame,
+      newSh: DataFrame, maxDf: Int): DataFrame =
+    combined
+      .join(newSh.select("s").distinct(), Seq("s"), "left_semi")
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("s")
 
   /** Build a DURABLE BM25 inverted index over a managed documents
     * table, persisted to parquet at `path` and registered as managed
@@ -542,9 +624,15 @@ private[graft] trait EngineIndexes { self: Engine =>
           } finally { bp.unpersist(); () }
         } else {
           // pre-qi artifact: append in its own layout (a mixed-schema
-          // parquet dir would corrupt read-back); OPTIMIZE upgrades it
+          // parquet dir would corrupt read-back); OPTIMIZE upgrades it.
+          // The same postings-then-doclens crash window exists here, so
+          // the same dirty marker bounds it — a crash mid-append leaves
+          // refresh refusing until OPTIMIZE reconciles the doclens
+          // (instead of silently re-appending the batch next refresh)
+          setDirty(path)
           writePostingsAndDoclens(textPostings(batch), batch, path,
             append = true, withQi = false)
+          clearDirty(path)
         }
         registerTextIndex(indexName, path)
         invalidateTextCaches(indexName)
@@ -1186,15 +1274,21 @@ private[graft] trait EngineIndexes { self: Engine =>
   private case class ProbeStat(index: String, verb: String, arg: String,
       path: String, durationMs: Long, rows: Long,
       start: java.sql.Timestamp)
-  private val probeStatsQ =
-    new java.util.concurrent.ConcurrentLinkedQueue[ProbeStat]()
+  // probes are the high-QPS path: unlike the SQL stats queues (cleared
+  // by an explicit reference verb), this buffer is bounded — a
+  // long-running serving process keeps the newest window instead of
+  // leaking one row per probe until clearProbeStats
+  private[graft] val ProbeStatsCap = 4096
+  private val probeStatsQ = new java.util.ArrayDeque[ProbeStat]()
 
   private[graft] def recordProbe(index: String, verb: String,
-      arg: String, path: String, durationMs: Long, rows: Long): Unit = {
-    probeStatsQ.add(ProbeStat(index, verb, arg, path, durationMs, rows,
-      new java.sql.Timestamp(System.currentTimeMillis())))
-    ()
-  }
+      arg: String, path: String, durationMs: Long, rows: Long): Unit =
+    probeStatsQ.synchronized {
+      probeStatsQ.addLast(ProbeStat(index, verb, arg, path, durationMs,
+        rows, new java.sql.Timestamp(System.currentTimeMillis())))
+      if (probeStatsQ.size > ProbeStatsCap) probeStatsQ.pollFirst()
+      ()
+    }
 
   /** Serving-probe execution stats — the index-serving analog of
     * [[EngineSqlStats.executionStats]] (the reference's observability
@@ -1206,18 +1300,22 @@ private[graft] trait EngineIndexes { self: Engine =>
     * `empty` for text; `ivf_pq` / `ivf` for dense), duration, and
     * returned rows (−1 marks a lazily-executed plan — annSearch
     * returns the plan and the CALLER executes it, so its duration
-    * covers probe planning + driver-side cell ranking). */
+    * covers probe planning + driver-side cell ranking). Bounded ring:
+    * only the newest [[ProbeStatsCap]] probes are retained. Also
+    * reachable from SQL as the table function `graft_probe_stats()`. */
   def probeStats: DataFrame = {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
-    probeStatsQ.asScala.toSeq
+    val snap = probeStatsQ.synchronized { probeStatsQ.asScala.toVector }
+    snap
       .map(p => (p.index, p.verb, p.arg, p.path, p.durationMs, p.rows,
         p.start))
       .toDF("index_name", "verb", "arg", "plan_path", "duration_ms",
         "rows", "started_at")
   }
 
-  def clearProbeStats(): Unit = probeStatsQ.clear()
+  def clearProbeStats(): Unit =
+    probeStatsQ.synchronized { probeStatsQ.clear() }
 
   /** (refresh-appended tail rows, rows at last build/OPTIMIZE) per
     * serving index — the maintenance-cadence signal. Probe pruning
@@ -1234,6 +1332,7 @@ private[graft] trait EngineIndexes { self: Engine =>
     else if (annMeta.contains(ix)) "ann"
     else if (tokenizerMeta.contains(ix)) "tokenizer"
     else if (classifierMeta.contains(ix)) "classifier"
+    else if (shingleMeta.contains(ix)) "shingle"
     else if (servingIndexes.contains(ix)) "serving"
     else "plain"
 

@@ -139,6 +139,15 @@ private[graft] trait EngineSqlStats { self: Engine =>
     * literals only when the engine actually owns interval columns. */
   private def parseStatement(q: String): DataFrame = {
     var q2 = DuckSyntax.rewriteCasts(q)
+    // serving-observability table function (the index-probe analog of
+    // duckherder_get_query_execution_stats, which the reference exposes
+    // as a SQL table function — query_execution_stats_query_function
+    // .cpp:22-60): the probe buffer is driver-local metadata, so the
+    // substitution view is a local frame, never a scan
+    if (q2.contains("graft_probe_stats()")) {
+      probeStats.createOrReplaceTempView("graft_probe_stats_view")
+      q2 = q2.replace("graft_probe_stats()", "graft_probe_stats_view")
+    }
     if (typeOrigins.values.exists(_ == "INTERVAL"))
       q2 = DuckSyntax.rewriteIntervals(q2)
     if (q2.toUpperCase.contains("ASOF"))

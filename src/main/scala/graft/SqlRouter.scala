@@ -148,6 +148,13 @@ private[graft] object SqlRouter {
     """(?is)\s*CREATE\s+ANN\s+INDEX\s+([\w.]+)\s+ON\s+([\w.]+)(?:\s*\((\w+)\))?(?:\s+(PQ))?\s*;?\s*""".r
   private val RefreshAnnIndexSql =
     """(?is)\s*REFRESH\s+ANN\s+INDEX\s+([\w.]+)\s*;?\s*""".r
+  // durable shingle index (incremental dedup serving artifact) — same
+  // lifecycle spellings as text/ANN; refresh resolves the build's
+  // path/table/cap from the recorded meta
+  private val CreateShingleIndexSql =
+    """(?is)\s*CREATE\s+SHINGLE\s+INDEX\s+([\w.]+)\s+ON\s+([\w.]+)(?:\s+MAXDF\s+(\d+))?\s*;?\s*""".r
+  private val RefreshShingleIndexSql =
+    """(?is)\s*REFRESH\s+SHINGLE\s+INDEX\s+([\w.]+)\s*;?\s*""".r
   // serving-index maintenance: re-sort the refresh-appended tail back
   // into pruning order (the table-OPTIMIZE analog). Matched BEFORE the
   // generic OptimizeSql in the route order below.
@@ -202,6 +209,7 @@ private[graft] object SqlRouter {
       CreateClassifierSql, DropClassifierSql, ClassifySql,
       CreateTextIndexSql, RefreshTextIndexSql,
       CreateAnnIndexSql, RefreshAnnIndexSql,
+      CreateShingleIndexSql, RefreshShingleIndexSql,
       OptimizeTextIndexSql, OptimizeAnnIndexSql,
       CopyToSql, CopyFromSql, CopyQueryHead,
       ExportDbSql, ImportDbSql)
@@ -398,6 +406,14 @@ private[graft] object SqlRouter {
       val n = e.refreshAnnIndex(name, e.indexTable(name), idCol, embCol)
       import e.spark.implicits._
       Some(Seq(n).toDF("indexed_vecs"))
+    case CreateShingleIndexSql(name0, table, mdf) =>
+      val name = unq(name0)
+      e.buildShingleIndex(name, unq(table), e.defaultIndexPath(name),
+        maxDf = Option(mdf).map(_.toInt).getOrElse(1000))
+      Some(emptyOk(e))
+    case RefreshShingleIndexSql(name0) =>
+      import e.spark.implicits._
+      Some(Seq(e.refreshShingleIndex(unq(name0))).toDF("indexed_docs"))
     case CopyToSql(name, path, opts) =>
       val n = e.copyTo(e.table(unq(name)), path, copyOpts(opts))
       import e.spark.implicits._

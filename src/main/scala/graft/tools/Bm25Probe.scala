@@ -71,6 +71,32 @@ object Bm25Probe {
     bench("serving-default") {
       eng.bm25Search("bp_tix", terms, 10).collect(); ()
     }
+    // VERDICT r17 #7: what does a COLD probe pay when the cut cannot
+    // certify? (an ad-hoc term set on a near-tied tail: phase-1 runs at
+    // frac 0.25, fails certification, deepens to 0.5, fails again, and
+    // the serving path falls to the one-job plan). Emulated by
+    // deepening k: the k-th partial approaches the score plateau and
+    // the suffix bound can't clear it. Cold = metadata + frac caches
+    // dropped, the first-ever-probe cost a serving deployment sees.
+    spark.conf.set("graft.bm25.fastPathMinRows", "0")
+    val matchedDocs = eng.bm25Matched("bp_tix", terms).count()
+    Seq(100, 1000, math.max(1000, (matchedDocs / 2).toInt)).distinct
+      .foreach { k =>
+        eng.invalidateTextCaches("bp_tix")
+        var certified = false
+        val t = time { certified =
+          eng.fastBm25("bp_tix", terms, k).isDefined }
+        // cost of the same result on the plan a decline falls to
+        val tLit = time {
+          eng.litMatched("bp_tix", terms).get
+            .orderBy(col("bm25").desc, col("doc_id")).limit(k).collect()
+          ()
+        }
+        println(f"[bm25probe] $sfDir cold-probe k=$k certified=" +
+          f"$certified cut_or_decline=$t%.3f s one_job=$tLit%.3f s " +
+          f"(decline waste = cut_or_decline when certified=false)")
+      }
+    spark.conf.unset("graft.bm25.fastPathMinRows")
     // the df-proportional contract on a genuinely rare term
     val rare = post.groupBy("w").agg(count(lit(1)).as("df"))
       .filter(col("df").between(1, 1000)).orderBy("w").limit(1)

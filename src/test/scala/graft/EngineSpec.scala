@@ -328,6 +328,79 @@ class EngineSpec extends SparkSpec {
     engine.unregisterTable("shref"); engine.unregisterTable("shref_full")
   }
 
+  test("text index crash repair: a refresh that died between the " +
+      "postings and doclens appends reconciles fully under OPTIMIZE — " +
+      "the next refresh re-appends NOTHING (no duplicate postings)") {
+    val t = s"crashix_docs_${System.nanoTime()}"
+    engine.createTable(t, "doc_id BIGINT, text STRING")
+    engine.insertValues(t, Seq(
+      Row(1L, "alpha beta alpha gamma"),
+      Row(2L, "beta beta delta"),
+      Row(3L, "epsilon zeta alpha")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_crashix")
+      .toString
+    engine.buildTextIndex("crashix", t, s"$dir/index")
+    // snapshot the pre-refresh doclens, then run a CLEAN refresh
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$dir/index/doclens"),
+      fs, p(s"$dir/doclens_save"), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    engine.insertValues(t, Seq(Row(4L, "alpha alpha omega")))
+    assert(engine.refreshTextIndex("crashix", t, s"$dir/index") == 1)
+    // reconstruct the crash state the ADVICE names: postings carry the
+    // batch, doclens do NOT, the dirty marker is up
+    fs.delete(p(s"$dir/index/doclens"), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, p(s"$dir/doclens_save"),
+      fs, p(s"$dir/index/doclens"), false, true,
+      spark.sparkContext.hadoopConfiguration)
+    assert(new java.io.File(s"$dir/index/REFRESH_DIRTY").createNewFile())
+    engine.registerTextIndex("crashix", s"$dir/index")
+    intercept[IllegalStateException](
+      engine.refreshTextIndex("crashix", t, s"$dir/index"))
+    engine.optimizeTextIndex("crashix")
+    // the repaired doclens knows the batch doc, so the SAME batch does
+    // not re-append (the pre-fix behavior duplicated every (w, doc_id)
+    // posting of doc 4 here, double-counting tf and df)
+    assert(engine.refreshTextIndex("crashix", t, s"$dir/index") == 0,
+      "repaired artifact re-appended the already-indexed batch")
+    // the whole artifact equals a from-scratch build over the grown
+    // corpus, and the probe agrees
+    engine.buildTextIndex("crashix_full", t, s"$dir/index_full")
+    def rows(n: String) = engine.table(n).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows("crashix_postings") == rows("crashix_full_postings"))
+    assert(rows("crashix_doclens") == rows("crashix_full_doclens"))
+    assert(rows("crashix_stats") == rows("crashix_full_stats"))
+    assert(engine.bm25Search("crashix", Seq("alpha"), 2).collect()
+      .map(_.toString).toSeq ==
+      engine.bm25Search("crashix_full", Seq("alpha"), 2).collect()
+        .map(_.toString).toSeq)
+    engine.dropTable(t)
+    Seq("crashix", "crashix_full").foreach { ix =>
+      engine.dropIndex(ix, ifExists = true)
+      Seq("postings", "doclens", "stats", "termstats").foreach(s =>
+        engine.unregisterTable(s"${ix}_$s"))
+    }
+  }
+
+  test("probe stats are a bounded ring: only the newest ProbeStatsCap " +
+      "probes are retained (a long-running serving process cannot leak)") {
+    engine.clearProbeStats()
+    val cap = engine.ProbeStatsCap
+    (1 to cap + 50).foreach(i =>
+      engine.recordProbe("capix", "bm25_search", s"i=$i", "cut", 1L, 1L))
+    val args = engine.probeStats.collect()
+      .map(_.getAs[String]("arg")).toSet
+    assert(args.size == cap)
+    assert(!args.contains("i=1") && !args.contains("i=50"),
+      "ring kept the oldest entries past the cap")
+    assert(args.contains(s"i=${cap + 50}"), "ring dropped the newest")
+    engine.clearProbeStats()
+    assert(engine.probeStats.count() == 0L)
+  }
+
   test("text index: persisted artifact, term-probe equals the full " +
       "BM25 pass, refresh ≡ rebuild, stats stay exact") {
     val t = s"txtidx_docs_${System.nanoTime()}"

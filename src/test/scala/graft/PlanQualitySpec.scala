@@ -28,6 +28,28 @@ class PlanQualitySpec extends SparkSpec {
       case ss: Seq[_] => ss.asInstanceOf[Seq[FileSourceScanExec]]
     }
 
+  test("shingle refresh cap sweep aggregates only batch-touched " +
+      "shingles: a semi-join sits below the aggregate (O(touched) " +
+      "state, never a corpus-wide groupBy)") {
+    val e = Engine.scratch(spark)
+    import spark.implicits._
+    val corpus = Seq((1L, 11L), (2L, 22L)).toDF("doc_id", "s")
+    val batch = Seq((3L, 22L)).toDF("doc_id", "s")
+    val hot = e.shingleHotDelta(corpus.unionByName(batch), batch, 1)
+    val plan = castToImpl(hot).queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.nonEmpty, "no aggregate in the cap-sweep plan")
+    assert(aggs.forall(a => a.child.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }.nonEmpty),
+      s"cap sweep aggregates without the batch semi-join:\n$plan")
+    // and the sweep is exact: only the batch-touched shingle 22 has
+    // combined df > 1
+    assert(hot.collect().map(_.getLong(0)).toSeq == Seq(22L))
+  }
+
   test("q03 filter is pushed to the parquet scan") {
     val df = SparkEntry.queries("q03_filter")(spark, sf)
     val scan = scans(df)

@@ -1024,9 +1024,23 @@ class SqlRouterSpec extends SparkSpec {
     assert(eng2.sql("REFRESH TEXT INDEX se_tix").head().getLong(0) == 1)
     assert(eng2.bm25Search("se_tix", Seq("alpha"), 1).head()
       .getLong(0) == 4L)
+    // IMPORT seeded the maintenance base (ADVICE r17): one refreshed
+    // doc over a 3-doc restored corpus reads tail_frac 1/4, not the
+    // tail/(tail+0)=1.0 a missing base would corrupt the OPTIMIZE
+    // cadence signal with
+    val tixTail = eng2.indexes
+      .filter(col("index_name") === "se_tix")
+      .select("tail_rows", "tail_frac").head()
+    assert(tixTail.getLong(0) == 1L && tixTail.getDouble(1) == 0.25,
+      s"text tail after import+refresh: $tixTail")
     eng2.sql("INSERT INTO se_vecs SELECT vec_id + 1000000, embedding " +
       "FROM se_vecs LIMIT 3")
     assert(eng2.sql("REFRESH ANN INDEX se_ann").head().getLong(0) == 3)
+    val annTail = eng2.indexes
+      .filter(col("index_name") === "se_ann")
+      .select("tail_rows", "tail_frac").head()
+    assert(annTail.getLong(0) == 3L && annTail.getDouble(1) < 0.1,
+      s"ANN tail after import+refresh: $annTail")
     // RE-export to the SAME dir after a further refresh: the artifact
     // copy must be REPLACED, not nested under the stale one (Hadoop's
     // FileUtil.copy nests into an existing destination) — an import of
@@ -1043,6 +1057,84 @@ class SqlRouterSpec extends SparkSpec {
     assert(eng3.bm25Search("se_tix", Seq("alpha"), 1).head()
       .getLong(0) == 5L,
       "re-export served a stale serving-index artifact copy")
+  }
+
+  test("shingle index gets the serving-index treatment: meta + " +
+      "artifact travel with EXPORT DATABASE, the restored engine " +
+      "refreshes the COPY, and a wrong-parameter refresh refuses") {
+    val base = java.nio.file.Files.createTempDirectory("graft_shexp")
+      .toString
+    val eng1 = Engine.scratch(spark)
+    eng1.sql("CREATE TABLE sh_docs (doc_id BIGINT, text STRING)")
+    eng1.sql("INSERT INTO sh_docs VALUES " +
+      "(1, 'common words here alpha beta gamma delta'), " +
+      "(2, 'common words here epsilon zeta eta theta'), " +
+      "(3, 'wholly unrelated text about iota kappa lambda')")
+    val shPath = java.nio.file.Files
+      .createTempDirectory("graft_shart").toString + "/shidx"
+    eng1.buildShingleIndex("sh_ix", "sh_docs", shPath, maxDf = 2)
+    assert(eng1.indexes.filter(col("index_name") === "sh_ix")
+      .head().getAs[String]("kind") == "shingle")
+    eng1.sql(s"EXPORT DATABASE '$base/db'")
+    // destroy the original artifact — the restore must not depend on it
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(shPath), true)
+    // refreshing the destroyed original refuses with the serving-index
+    // error, not a raw Spark PATH_NOT_FOUND (r17 verdict wrong #3)
+    val gone = intercept[IllegalArgumentException](
+      eng1.refreshShingleIndex("sh_ix"))
+    assert(gone.getMessage.contains("unreachable"), gone.getMessage)
+    val eng2 = Engine.scratch(spark)
+    eng2.sql(s"IMPORT DATABASE '$base/db'")
+    assert(eng2.indexes.filter(col("index_name") === "sh_ix")
+      .head().getAs[String]("kind") == "shingle")
+    // the recorded meta points at the artifact COPY now — a refresh
+    // spelled with the ORIGINAL path refuses loudly instead of
+    // corrupting the copy
+    val wrong = intercept[IllegalArgumentException](
+      eng2.refreshShingleIndex("sh_ix", "sh_docs", shPath, 2))
+    assert(wrong.getMessage.contains("Binder Error"), wrong.getMessage)
+    // the no-arg spelling resolves build parameters from the meta and
+    // refreshes the copy — including the df-cap sweep ('common words
+    // here' crosses maxDf=2 with the batch's third copy)
+    eng2.sql("INSERT INTO sh_docs VALUES " +
+      "(4, 'common words here mu nu xi omicron')")
+    assert(eng2.refreshShingleIndex("sh_ix") == 1)
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_shfull").toString + "/full"
+    eng2.buildShingleIndex("sh_full", "sh_docs", full, maxDf = 2)
+    def rows(e: Engine, n: String) = e.table(n).collect()
+      .map(r => (r.get(0).toString.toLong, r.getLong(1))).sorted.toSeq
+    assert(rows(eng2, "sh_ix") == rows(eng2, "sh_full"),
+      "post-restore refresh diverged from a from-scratch build")
+    // a non-shingle name refuses the no-arg refresh with a catalog hint
+    val notSh = intercept[IllegalArgumentException](
+      eng2.refreshShingleIndex("sh_docs"))
+    assert(notSh.getMessage.contains("does not exist"))
+  }
+
+  test("graft_probe_stats() is reachable from SQL: the serving-probe " +
+      "surface rides the table-function spelling like the reference's " +
+      "stats tables") {
+    val eng = Engine.scratch(spark)
+    eng.sql("CREATE TABLE ps_docs (doc_id BIGINT, text STRING)")
+    eng.sql("INSERT INTO ps_docs VALUES (1, 'alpha beta'), " +
+      "(2, 'beta gamma'), (3, 'alpha alpha gamma')")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pssql")
+      .toString
+    eng.buildTextIndex("ps_tix", "ps_docs", s"$dir/idx")
+    eng.clearProbeStats()
+    eng.bm25Search("ps_tix", Seq("alpha"), 2).collect()
+    val got = eng.sql("SELECT index_name, verb, plan_path, rows " +
+      "FROM graft_probe_stats() WHERE index_name = 'ps_tix'").collect()
+    assert(got.length == 1, s"probe rows: ${got.length}")
+    assert(got.head.getString(1) == "bm25_search")
+    assert(got.head.getString(2).nonEmpty)
+    assert(got.head.getLong(3) == 2L)
+    // aggregation over the function composes like any relation
+    assert(eng.sql("SELECT count(*) AS n FROM graft_probe_stats()")
+      .head().getLong(0) >= 1L)
   }
 
   test("bm25Search pads zero-score docs in doc_id order when fewer " +

@@ -76,15 +76,26 @@ def run_once(sf_dir, sql, q, tmp_dir):
 
 
 def tier_hash(sf_dir):
-    """(relative path, size) fingerprint matching graft.Bench's
-    tier_hash, so the two engines' artifacts pin the same data."""
+    """(relative path, size, head+tail 4 KB blocks) fingerprint
+    matching graft.Bench's content-strengthened tier_hash (r18), so the
+    two engines' artifacts pin the same data BY CONTENT — a
+    size-preserving regeneration cannot collide."""
     import hashlib
-    entries = []
-    for root, _, files in os.walk(sf_dir):
-        for f in files:
+    md = hashlib.md5()
+    files = []
+    for root, _, fs in os.walk(sf_dir):
+        for f in fs:
             p = os.path.join(root, f)
-            entries.append(f"{os.path.relpath(p, sf_dir)}:{os.path.getsize(p)}")
-    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+            files.append((os.path.relpath(p, sf_dir), p))
+    for rel, p in sorted(files):
+        size = os.path.getsize(p)
+        md.update(f"{rel}:{size}:".encode())
+        with open(p, "rb") as fh:
+            md.update(fh.read(4096))
+            if size > 4096:
+                fh.seek(size - 4096)
+                md.update(fh.read(4096))
+    return md.hexdigest()[:16]
 
 
 def main(sf_dir, oracle_dir, only=None):
