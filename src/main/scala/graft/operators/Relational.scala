@@ -75,6 +75,35 @@ object NamedQuery {
     if (sz <= maxBytes) broadcast(df) else df
   }
 
+  /** Run independent once-per-snapshot build/write actions CONCURRENTLY
+    * (guide §2.6: Spark's scheduler happily runs several jobs at once —
+    * actions are only sequential because driver code calls them
+    * sequentially; a later job's tasks back-fill executors freed by an
+    * earlier job's straggler tail). Only for tasks with independent
+    * inputs and disjoint output paths, and only where a partial failure
+    * has no recovery contract tied to ordering (fresh builds — never
+    * the refresh/append paths, whose dirty-marker recovery assumes
+    * postings-before-doclens ordering). The pool is task-sized, every
+    * task runs to completion before return, first failure propagates. */
+  def inParallel(tasks: (() => Unit)*): Unit = {
+    if (tasks.sizeIs <= 1) { tasks.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val fs = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        }))
+      fs.foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+      ()
+    }
+  }
+
   private val footprints =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
