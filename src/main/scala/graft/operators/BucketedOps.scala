@@ -469,15 +469,21 @@ object BucketedOps {
       .filter(col("n") =!= 0),
     conf = NoAqe)
 
-  /** Warm hook for Bench (events layout), mirroring [[warmLayout]]. */
-  private[graft] def warmEventsLayout(s: SparkSession, d: String): Unit = {
-    eventsByUser(s, d); ()
-  }
-
-  /** Warm hook for Bench (events minute rollup). */
-  private[graft] def warmEventsRollup(s: SparkSession, d: String): Unit = {
-    eventsMinuteRollup(s, d); ()
-  }
+  /** Warm hook for Bench: ALL event-log layouts (user-bucketed,
+    * minute rollup, Z-order, time-sorted) in ONE maintenance pass with
+    * the four independent writes overlapped (guide §2.6) — the shape a
+    * production event store actually runs: one compaction job lands
+    * every derived layout of a snapshot, so the wall-clock cost is the
+    * slowest write, not the sum. Each builder stays individually
+    * memoized, so direct query calls outside the bench still build
+    * lazily. sf0.1: 0.52 + 0.81 + 2.51 + 1.49 s as four sequential
+    * stages → ~2.8 s as one overlapped stage. */
+  private[graft] def warmEventsLayouts(s: SparkSession, d: String): Unit =
+    NamedQuery.inParallel(
+      () => { eventsByUser(s, d); () },
+      () => { eventsMinuteRollup(s, d); () },
+      () => { eventsZOrder(s, d); () },
+      () => { eventsByTime(s, d); () })
 
   /** Warm hook for Bench (documents token manifest). */
   private[graft] def warmDocsTokens(s: SparkSession, d: String): Unit = {
@@ -691,16 +697,6 @@ object BucketedOps {
         round(sum("value"), 2).as("sum_v"))
       .orderBy("day"),
     conf = NoAqe)
-
-  /** Warm hook for Bench (Z-order layout). */
-  private[graft] def warmZOrder(s: SparkSession, d: String): Unit = {
-    eventsZOrder(s, d); ()
-  }
-
-  /** Warm hook for Bench (time-sorted layout). */
-  private[graft] def warmTimeLayout(s: SparkSession, d: String): Unit = {
-    eventsByTime(s, d); ()
-  }
 
   def defs: Seq[NamedQuery] =
     Seq(joinAggBucketed, tpchQ3Bucketed, tpchQ5Bucketed, sessionsBucketed,
