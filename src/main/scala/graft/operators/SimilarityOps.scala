@@ -251,11 +251,29 @@ object SimilarityOps extends SimilarityPq {
   def ivfNlist(n: Long): Int =
     math.max(4, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** IVF coarse quantizer: distributed k-means (MLlib Lloyd's) over a
-    * bounded sample of L2-normalized vectors — Euclidean on the unit
-    * sphere orders like cosine. The sample cap keeps training cost flat
-    * as the corpus grows; centroids (≈√N rows) are metadata-sized and
-    * feed a broadcast argmax. */
+  /** IVF coarse quantizer: Lloyd k-means over a bounded sample of
+    * L2-normalized vectors — Euclidean on the unit sphere orders like
+    * cosine. The sample cap keeps training cost flat as the corpus
+    * grows; centroids (≈√N rows) are metadata-sized and feed a
+    * broadcast argmax.
+    *
+    * Training runs as ONE distributed job (the sample collect — ≤
+    * 65536×dim floats ≈ 16 MB, driver-safe by the cap) plus a local
+    * MULTI-THREADED Lloyd loop, replacing the r17 MLlib KMeans fit:
+    * kmeans‖ init + 5 iterations launched ~12 tiny Spark jobs over the
+    * same bounded sample, pure scheduling floor at every tier
+    * (StagesProbe2 sf0.1: 1.3–3.2 s; the local loop trains in < 0.1 s
+    * and ~0.7 s at the sf100 sizing of 65536×2236×64×5 flops across
+    * the cores). Same trade [[pqTrain]] adopted for the codebooks in
+    * r16 — the sample is metadata-sized BY CONSTRUCTION, so driver
+    * training is the scale-correct shape, and the assignment/encode
+    * stages stay distributed. Deterministic: seeded sample,
+    * evenly-strided init, fixed-chunk parallel accumulation (partials
+    * reduced in chunk order, so thread count never changes the sums).
+    * Centroid VALUES differ from the MLlib fit (different init); every
+    * consumer is an engine-defined ANN path whose contracts are the
+    * recall-floored audit twins (q121/q122/q172/q177/q188) — all green
+    * under this quantizer, margins in OPTIMIZATION_r18.md. */
   def ivfCentroids(s: SparkSession, e: DataFrame, nlist: Int,
       sampleCap: Int = 65536): DataFrame = {
     val spark = s
@@ -265,20 +283,95 @@ object SimilarityOps extends SimilarityPq {
     val frac = math.min(1.0, sampleCap.toDouble / est.toDouble)
     val sample =
       if (frac >= 1.0) e else e.sample(withReplacement = false, frac, 7L)
-    val feats = sample.select("embedding").as[Array[Float]].map { v =>
-      var n2 = 0.0; var i = 0
-      while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
-      val nm = math.sqrt(n2)
-      v.map(x => if (nm == 0.0) 0.0 else x / nm)
-    }.toDF("arr").select(
-      org.apache.spark.ml.functions.array_to_vector(col("arr"))
-        .as("features"))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(7L).setMaxIter(5).setTol(1e-3)
-      .fit(feats)
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+    val normed: Array[Array[Double]] = sample.select("embedding")
+      .as[Array[Float]].map { v =>
+        var n2 = 0.0; var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+        val nm = math.sqrt(n2)
+        v.map(x => if (nm == 0.0) 0.0 else x / nm)
+      }.collect()
+    val k = math.min(nlist, normed.length)
+    val cents = parallelKMeans(normed, k, iters = 5)
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
       .toSeq.toDF("cid", "cent")
+  }
+
+  /** Deterministic multi-threaded Lloyd over a metadata-sized sample:
+    * evenly-strided init (stable under the seeded sample), point
+    * assignment parallelized over FIXED index chunks, per-chunk partial
+    * sums folded sequentially in chunk order — bit-reproducible for any
+    * thread count. Empty clusters keep their center (the
+    * [[SimilarityPq.localKMeans]] convention, which this generalizes
+    * with a thread pool because the coarse quantizer's k·sample·dim is
+    * ~100× the codebooks'). */
+  private[graft] def parallelKMeans(data: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val n = data.length
+    require(n > 0 && k > 0, s"parallelKMeans on n=$n k=$k")
+    val dim = data(0).length
+    val cents = Array.tabulate(k)(i => data(((i.toLong * n) / k).toInt).clone())
+    val nChunks = math.min(256, n)
+    val bounds = Array.tabulate(nChunks + 1)(c => ((c.toLong * n) / nChunks).toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, Runtime.getRuntime.availableProcessors - 1))
+    try {
+      var it = 0
+      while (it < iters) {
+        val tasks = (0 until nChunks).map { c =>
+          pool.submit(new java.util.concurrent.Callable[
+              (Array[Array[Double]], Array[Long])] {
+            def call(): (Array[Array[Double]], Array[Long]) = {
+              val sums = Array.ofDim[Double](k, dim)
+              val counts = new Array[Long](k)
+              var p = bounds(c)
+              while (p < bounds(c + 1)) {
+                val v = data(p)
+                var best = 0; var bestD = Double.MaxValue
+                var ci = 0
+                while (ci < k) {
+                  val ct = cents(ci)
+                  var dsq = 0.0; var i = 0
+                  while (i < dim) {
+                    val df = v(i) - ct(i); dsq += df * df; i += 1
+                  }
+                  if (dsq < bestD) { bestD = dsq; best = ci }
+                  ci += 1
+                }
+                val sb = sums(best)
+                var i = 0
+                while (i < dim) { sb(i) += v(i); i += 1 }
+                counts(best) += 1
+                p += 1
+              }
+              (sums, counts)
+            }
+          })
+        }
+        val sums = Array.ofDim[Double](k, dim)
+        val counts = new Array[Long](k)
+        tasks.foreach { f => // folded in chunk order: deterministic sums
+          val (ps, pc) = f.get()
+          var ci = 0
+          while (ci < k) {
+            var i = 0
+            while (i < dim) { sums(ci)(i) += ps(ci)(i); i += 1 }
+            counts(ci) += pc(ci)
+            ci += 1
+          }
+        }
+        var ci = 0
+        while (ci < k) {
+          if (counts(ci) > 0L) {
+            var i = 0
+            while (i < dim) { cents(ci)(i) = sums(ci)(i) / counts(ci); i += 1 }
+          }
+          ci += 1
+        }
+        it += 1
+      }
+    } finally { pool.shutdown(); () }
+    cents
   }
 
   /** Cell assignment: argmax cosine over the broadcast centroid
