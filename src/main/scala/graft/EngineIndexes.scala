@@ -685,7 +685,16 @@ private[graft] trait EngineIndexes { self: Engine =>
       graft.functions.TokenCount.tokenCount(col("text")).cast("long")
         .as("dl"),
       explode(split(col("text"), " ")).as("w"))
-    toks.groupBy("w", "doc_id").agg(count(lit(1)).as("tf"),
+    // Range-exchange BEFORE the aggregation, not after it: range
+    // partitioning on `w` satisfies the (w, doc_id) clustering the
+    // aggregate needs (w ⊆ grouping keys), so ONE exchange serves both
+    // the groupBy and the artifact's range layout — the old
+    // agg-then-repartitionByRange shape paid the exchange twice AND
+    // re-ran the whole tokenize+aggregate lineage inside the range
+    // sampler's separate job (the sampler now samples the narrow
+    // explode, no shuffle). sf0.1 postings write 1.31 → 0.93 s.
+    toks.repartitionByRange(col("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"),
         first(col("dl")).as("dl"))
       .withColumn("qi", qiCol)
   }
@@ -708,8 +717,9 @@ private[graft] trait EngineIndexes { self: Engine =>
     val (p, sorts) =
       if (withQi) (post, Seq("w", "qi", "doc_id")) else (post.drop("qi"), Seq("w"))
     val writePostings = () => {
-      p.repartitionByRange(col("w"))
-        .sortWithinPartitions(sorts.map(col): _*)
+      // [[textPostings]] already range-partitioned on w — only the
+      // within-partition sort remains before the write
+      p.sortWithinPartitions(sorts.map(col): _*)
         .write.mode(mode)
         // 8 MB row groups (vs the 128 MB default): the probes' (w, qi)
         // min/max pruning works at row-group grain, and a sf100 term
@@ -758,12 +768,14 @@ private[graft] trait EngineIndexes { self: Engine =>
     // dirty marker (set by the callers that need it) keeps probes on
     // the classic live-stats path. sf0.1: 1.10 s sequential → ~0.5 s.
     graft.operators.NamedQuery.inParallel(
-      () => writeSwapped(post.groupBy("w").agg(count(lit(1)).as("df"),
+      () => writeSwapped(post.repartitionByRange(col("w"))
+        .groupBy("w").agg(count(lit(1)).as("df"),
           max("tf").as("max_tf"), min("dl").as("min_dl"))
-        .repartitionByRange(col("w")).sortWithinPartitions("w"),
+        .sortWithinPartitions("w"),
         s"$path/termstats"),
-      () => writeSwapped(post.groupBy("w", "qi").agg(count(lit(1)).as("cnt"))
-        .repartitionByRange(col("w")).sortWithinPartitions("w", "qi"),
+      () => writeSwapped(post.repartitionByRange(col("w"))
+        .groupBy("w", "qi").agg(count(lit(1)).as("cnt"))
+        .sortWithinPartitions("w", "qi"),
         s"$path/impacts"),
       () => writeSwapped(spark.read.parquet(s"$path/doclens")
         .agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).coalesce(1),

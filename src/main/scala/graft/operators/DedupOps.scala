@@ -336,6 +336,23 @@ object DedupOps {
       .filter(col("a") =!= col("b")).distinct()
       .as[(Long, Long)].cache()
     var nEdges = edges.count()
+    // The loop's shuffles carry the (shrinking) edge list — a few
+    // hundred 16-byte rows at sf0.1 — but ran at the session's
+    // tier-sized shuffle width under AQE's per-stage barriers: pure
+    // scheduling floor, ~6 jobs/round (CcProbe sf0.1: 1.3-3.3 s as
+    // shipped, 0.7-0.9 s at NoAqe + width 4). Size the reducer count
+    // to the MEASURED edge count (guide §2.2 — partitions from data,
+    // not a constant: ~1M 16-byte edges per task, floored at 4, never
+    // above the session width) and drop AQE inside the loop: its only
+    // lever here is coalescing tiny shuffles — which the measured
+    // width already does without the barriers — and skew-split applies
+    // to joins, not the loop's groupByKey aggregations.
+    val loopWidth = math.max(4L, math.min(
+      sess.conf.get("spark.sql.shuffle.partitions", "32").toLong,
+      nEdges / 1000000L + 1L)).toString
+    NamedQuery.withConf(sess, Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> loopWidth)) {
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -382,6 +399,7 @@ object DedupOps {
       nEdges = nSmall
       round += 1
     }
+    } // withConf(loop profile)
     edges.toDF("rep", "doc_id")
   }
 
