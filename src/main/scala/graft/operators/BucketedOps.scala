@@ -478,12 +478,20 @@ object BucketedOps {
     * memoized, so direct query calls outside the bench still build
     * lazily. sf0.1: 0.52 + 0.81 + 2.51 + 1.49 s as four sequential
     * stages → ~2.8 s as one overlapped stage. */
-  private[graft] def warmEventsLayouts(s: SparkSession, d: String): Unit =
-    NamedQuery.inParallel(
+  private[graft] def warmEventsLayouts(s: SparkSession, d: String): Unit = {
+    // one events scan feeds all four builders: the cache is plan-keyed,
+    // so each builder's own t(s, d, "events") (and the range samplers'
+    // re-reads) resolve to it; dropped before return so the TIMED
+    // queries afterwards compute from the written layouts/parquet, not
+    // a warm cache (the stage itself is a timed bench entry)
+    val ev = t(s, d, "events").cache()
+    try NamedQuery.inParallel(
       () => { eventsByUser(s, d); () },
       () => { eventsMinuteRollup(s, d); () },
       () => { eventsZOrder(s, d); () },
       () => { eventsByTime(s, d); () })
+    finally { ev.unpersist(); () }
+  }
 
   /** Warm hook for Bench (documents token manifest). */
   private[graft] def warmDocsTokens(s: SparkSession, d: String): Unit = {

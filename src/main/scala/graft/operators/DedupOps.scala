@@ -222,8 +222,14 @@ object DedupOps {
     // shuffle files are reclaimed only after their stage objects are
     // GC'd (ContextCleaner); the generation lineage is dead the moment
     // this method returns, so collect it NOW — verification's spill
-    // needs the disk back before the 2-minute periodic GC would fire
-    System.gc()
+    // needs the disk back before the 2-minute periodic GC would fire.
+    // Gated on corpus footprint: the forced full GC costs ~0.1 s per
+    // invocation (GcCostProbe) and disk pressure only exists when the
+    // generation shuffles are within an order of magnitude of free
+    // disk — the sf100 ENOSPC this defends against had a ~580 MB
+    // documents table; below 256 MB the transient spill is MBs and the
+    // 2-minute periodic GC handles reclamation fine.
+    if (NamedQuery.footprintOf(d, "documents") >= (256L << 20)) System.gc()
     base
   }
 

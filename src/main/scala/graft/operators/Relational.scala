@@ -115,8 +115,13 @@ object NamedQuery {
     * Same scale-safety as the stats gate (file bytes >= in-plan bytes
     * for a pruned/projected side), none of the per-call plan work. */
   def maybeBroadcastByFootprint(df: DataFrame, dir: String, table: String,
-      maxBytes: Long = 100L << 20): DataFrame = {
-    val sz = footprints.getOrElseUpdate(s"$dir/$table", {
+      maxBytes: Long = 100L << 20): DataFrame =
+    if (footprintOf(dir, table) <= maxBytes) broadcast(df) else df
+
+  /** On-disk byte footprint of `dir/table.parquet` (memoized filesystem
+    * metadata — no plan work, no job). */
+  def footprintOf(dir: String, table: String): Long =
+    footprints.getOrElseUpdate(s"$dir/$table", {
       val root = new java.io.File(s"$dir/$table.parquet")
       def size(f: java.io.File): Long =
         if (f.isDirectory)
@@ -125,8 +130,6 @@ object NamedQuery {
         else f.length
       size(root)
     })
-    if (sz <= maxBytes) broadcast(df) else df
-  }
 }
 
 /** The reference's delegated SQL surface (SURVEY.md §2.2), re-expressed as
