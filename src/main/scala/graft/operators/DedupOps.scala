@@ -799,28 +799,16 @@ object DedupOps {
         posexplode(graft.functions.ShingleHashArray
           .positionalShingleHashArray(col("text"), k)))
         .toDF("doc_id", "pos", "h")
-      // ~94% of windows are DISTINCT grams (Q173Probe): map-side
-      // combine buys nothing, so the aggregation hash tables carry the
-      // full keyspace and a tier-sized reducer count spills (sf100:
-      // 88 s at 121 partitions, 44 s at 256). Width derived from the
-      // corpus footprint (~1 reducer per 512 KB of raw text ⇒ ~4 MB of
-      // hash-table state each; sf100 lands at its measured-best ~1024,
-      // small tiers at the session width) — replaces the r15 static
-      // initialPartitionNum=1024 profile, which started EVERY shuffle
-      // of the query 1024-wide and cost the small tiers 0.2-7 s of
-      // coalescing/scheduling per run (Q173Probe2). One explicit
-      // exchange serves BOTH consumers of the gram stream: the
-      // duplicate-gram aggregation rides it, and the mark semi-join's
-      // probe side is the identical subtree, so it re-plans as
-      // ReusedExchange instead of a second corpus shuffle.
-      val width = math.max(
-        s.conf.get("spark.sql.shuffle.partitions", "32").toLong,
-        NamedQuery.footprintOf(d, "documents") / (512L << 10))
-        .min(4096L).toInt
-      val toksH = toks.repartition(width, col("h"))
-      val dup = toksH.groupBy("h").agg(count(lit(1)).as("cnt"))
+      // (r18 A/B note: an explicit footprint-derived exchange on the
+      // gram stream — shared by aggregation and semi-join via
+      // ReusedExchange — was tried in place of the wide-start profile
+      // below; it was a wash at sf0.1/sf1 but regressed sf10 4.6 →
+      // 6.8 s back-to-back, because the wide start helps EVERY shuffle
+      // of this distinct-heavy plan and AQE's coalescing already makes
+      // it scale-adaptive downward. Reverted to the measured profile.)
+      val dup = toks.groupBy("h").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") > 1).select("h")
-      val marked = toksH.join(dup, Seq("h"), "left_semi")
+      val marked = toks.join(dup, Seq("h"), "left_semi")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
       val cov = marked.withColumn("prev", lag("pos", 1).over(w))
@@ -835,7 +823,16 @@ object DedupOps {
           coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
           round(coalesce(col("dup_tokens"), lit(0L)) * lit(1.0) /
             col("n_tokens"), 4).as("dup_fraction"))
-    })
+    }, conf = Map(
+      // ~94% of windows are DISTINCT grams (Q173Probe): map-side
+      // combine buys nothing, so the aggregation hash tables carry the
+      // full keyspace and the tier-sized default partition count
+      // spills (sf100: 88 s at 121 partitions, 44 s at 256). Start the
+      // shuffle wide and let AQE coalesce small tiers back down — the
+      // per-query analog of sizing reducers to the DISTINCT keyspace,
+      // not the input bytes.
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        -> "1024"))
 
   def defs: Seq[NamedQuery] =
     Seq(exact, ngramJaccard, minhashLsh, simhash, nearDupClusters,
