@@ -297,7 +297,15 @@ object CurationOps {
         .join(broadcast(rates), Seq("lang"))
         .filter(col("doc_id") % 97 < col("pct"))
       packShards(kept.select("doc_id", "lang", "tok"))
-    })
+    }, conf = Map(
+      // the pair stage is q41's (ngramJaccard.fn is called directly,
+      // which does NOT carry q41's execution profile — profiles apply
+      // per declared query): without this, the per-doc size-table
+      // joins fall off the 10 MB default broadcast cliff at the
+      // decade tiers (~78 MB at sf100) and re-shuffle the pair stream
+      // twice — the exact q41 decade superlinearity Q41Probe
+      // diagnosed. Same gated value, same fallback semantics (r18).
+      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
 
   /** Train/eval contamination check — the n-gram-overlap audit every
     * LLM data pipeline runs before training (an eval document whose

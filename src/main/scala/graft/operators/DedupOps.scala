@@ -455,7 +455,11 @@ object DedupOps {
         .select(col("doc_id"), col("rep").as("cluster_rep"),
           col("n_members"))
         .orderBy("doc_id")
-    })
+    }, conf = Map(
+      // q41's pair-stage profile (ngramJaccard.fn is called directly,
+      // which does not carry q41's own conf): keeps the size-table
+      // joins broadcast through the decade tiers — see q41 (r18)
+      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
 
   /** Oracle-checked audit of the MinHash-LSH pass against the exact
     * Jaccard formulation: precision must be perfect (every LSH pair is
@@ -592,7 +596,8 @@ object DedupOps {
         .select(col("cluster_rep"), (-col("m.negid")).as("kept_doc"),
           col("m.n_chars").as("kept_chars"), col("n_members"))
         .orderBy("cluster_rep")
-    })
+    }, conf = Map( // same pair-stage profile as q95 (see q41, r18)
+      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
 
   /** Incremental snapshot dedup — the production cadence: a NEW batch
     * (here source 'src0') arrives and must be deduped against the
@@ -696,7 +701,8 @@ object DedupOps {
         .join(sz.toDF("id_b", "nb"), "id_b")
         .filter(cont >= 0.9)
         .select(col("id_a"), col("id_b"), round(cont, 3).as("containment"))
-    })
+    }, conf = Map( // same pair-stage profile as q41 (r18)
+      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
 
   /** Cross-source overlap matrix — dataset-level diagnostics: for every
     * (source_a, source_b) pair, how many near-dup pairs (Jaccard ≥ 0.5)
@@ -748,7 +754,8 @@ object DedupOps {
           greatest(col("src_a"), col("src_b")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("source_a", "source_b")
-    })
+    }, conf = Map( // same pair-stage profile as q41 (r18)
+      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
 
   /** Exact-substring span dedup (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", arXiv 2107.06499 —
