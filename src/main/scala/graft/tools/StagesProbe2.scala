@@ -20,6 +20,10 @@ object StagesProbe2 {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.ui.enabled", "false")
+      // A/B hook: FOC=2 switches the MR output committer to task-side
+      // renames (v2) for the many-file layout writes
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("FOC", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.DuckAliases.register(spark)
