@@ -283,8 +283,10 @@ object CurationOps {
     (s, d) => {
       val spark = s
       import spark.implicits._
-      val pairs = DedupOps.ngramJaccard.fn(s, d)
-        .filter(col("jaccard") >= 0.9).select("id_a", "id_b")
+      // q41's pair stage with the size band tightened to the ≥ 0.9
+      // threshold (DedupOps.jaccardPairs09 — lossless, ~5× fewer pair
+      // rows through the exchange at sf0.1, BandProbe r19)
+      val pairs = DedupOps.jaccardPairs09(s, d).select("id_a", "id_b")
       // star edges are (rep, member): members with a smaller rep drop
       val drop = DedupOps.connectedComponents(pairs).select("doc_id")
       val rates = Seq(("en", 10), ("de", 50), ("fr", 50), ("es", 80),
@@ -297,15 +299,11 @@ object CurationOps {
         .join(broadcast(rates), Seq("lang"))
         .filter(col("doc_id") % 97 < col("pct"))
       packShards(kept.select("doc_id", "lang", "tok"))
-    }, conf = Map(
-      // the pair stage is q41's (ngramJaccard.fn is called directly,
-      // which does NOT carry q41's execution profile — profiles apply
-      // per declared query): without this, the per-doc size-table
-      // joins fall off the 10 MB default broadcast cliff at the
-      // decade tiers (~78 MB at sf100) and re-shuffle the pair stream
-      // twice — the exact q41 decade superlinearity Q41Probe
-      // diagnosed. Same gated value, same fallback semantics (r18).
-      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
+      // no conf profile: the pair stage's size attach carries its own
+      // footprint-gated broadcast hint (DedupOps.jaccardPairs, r19) —
+      // the r18 raised-threshold profile is gone because it leaked
+      // onto the pair join itself and broadcast the index stream
+    })
 
   /** Train/eval contamination check — the n-gram-overlap audit every
     * LLM data pipeline runs before training (an eval document whose

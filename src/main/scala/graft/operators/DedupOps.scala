@@ -112,6 +112,127 @@ object DedupOps {
     (s, d) => t(s, d, "documents").groupBy("lang", "n_chars")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies")))
 
+  /** Shared exact pair stage (q41/q95/q123/q142/q153): inverted-index
+    * join on the shingle index, then J = |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.5.
+    *
+    * `bandJ` is the LOSSLESS size-band candidate prune (prefix-filtering
+    * by set size, the standard bound for similarity self-joins): since
+    * |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), J ≤ min/max — a pair
+    * whose sizes differ by more than 1/bandJ can NEVER reach bandJ, so
+    * it is dropped INSIDE the inverted-index join, before the pair
+    * exchange and aggregation (guide §3: shrink the join input before
+    * the shuffle). Callers pass the downstream threshold minus a small
+    * slack that absorbs double-rounding at the boundary (0.4999 for the
+    * ≥ 0.5 output here; 0.899 for consumers that keep only rounded
+    * jaccard ≥ 0.9, since round3(J) ≥ 0.9 ⟹ J ≥ 0.8995): the prune is
+    * provably result-identical. Measured selectivity at sf0.1
+    * (BandProbe; doc shingle sizes spread 8–98, median 52):
+    * co-occurrence rows 1.27M → 0.97M at 0.4999 and → 0.25M at 0.899;
+    * aggregated pairs 1.13M → 0.85M / 0.21M; true positives (256 at
+    * ≥0.5, 249 at ≥0.9) all survive by construction.
+    *
+    * Two regimes on one footprint gate (16 MB of documents ≈ a ~300 MiB
+    * index), both returning identical rows:
+    *
+    *  - SMALL: the r18 plan, hints made explicit — one side of the pair
+    *    join broadcasts whole (no s-exchange, no sort) and the 16 B/doc
+    *    size table broadcast-joins onto the aggregated pairs. The band
+    *    buys nothing here (the pair exchange is already tiny) and its
+    *    size attach costs a visible extra job at the driver tier
+    *    (q123 sf0.1: 2.59 → 2.98 s when banded — reverted), so the
+    *    small regime stays band-free.
+    *  - LARGE (the 100 TB direction): banded shuffle join. Sizes ride
+    *    the index stream (ONE explicit broadcast attach of the size
+    *    table — ~78 MB at sf100 — with a shuffle fallback past 2 GB of
+    *    documents) and stay in the grouping keys (na/nb are functions
+    *    of id_a/id_b, so the groups are unchanged), which also deletes
+    *    the two post-aggregation size joins over the ~91%-distinct
+    *    pair stream. Controlled sf10 A/B (RunQ, same tier): q41
+    *    13.3 → 8.3 s, q123 19.6 → 11.2 s.
+    *
+    * The hints are explicit because the r18 conf profile (session
+    * autoBroadcastJoinThreshold=256m) leaked onto every join in the
+    * plan: combined with the size attach it built three ~130–190 MiB
+    * broadcasts of the INDEX stream at sf1 (measured 2.2 → 8.2 s, the
+    * r19 first-cut regression). Explicit footprint-gated hints pin
+    * exactly the intended build sides. */
+  private[graft] def jaccardPairs(s: SparkSession, d: String,
+      bandJ: Double): DataFrame = {
+    val sh = sharedShingles(s, d)
+    // repartition the raw 16-byte index rows on doc_id BEFORE the
+    // per-doc size count: the index comes out of the hot-shingle
+    // anti-join partitioned by SHINGLE, so each doc's ~50 rows
+    // scatter across every partition and the partial aggregate
+    // builds a doc-cardinality hash map per partition that reduces
+    // nothing (the q42-sf100 signature law; Q41Probe measured the
+    // un-exchanged form at 35.3 s for this stage at sf100)
+    val sz = sh.repartition(col("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    if (NamedQuery.footprintOf(d, "documents") <= (16L << 20))
+      pairsSmall(sh, sz)
+    else {
+      // size table is 16 B × n_docs (~78 MB at sf100): broadcast
+      // through the decade tiers, shuffle fallback past 2 GB of docs
+      val szHinted =
+        NamedQuery.maybeBroadcastByFootprint(sz, d, "documents", 2L << 30)
+      pairsBanded(sh, szHinted, bandJ)
+    }
+  }
+
+  private def jacCol = col("inter") * lit(1.0) /
+    (col("na") + col("nb") - col("inter"))
+
+  /** SMALL regime: broadcast pair join, post-agg size joins. */
+  private[graft] def pairsSmall(sh: DataFrame, sz: DataFrame): DataFrame = {
+    val a = sh.toDF("id_a", "s")
+    val b = sh.toDF("id_b", "s")
+    val pairs = a.join(broadcast(b), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .repartition(col("id_a"), col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sz.toDF("id_a", "na")), "id_a")
+      .join(broadcast(sz.toDF("id_b", "nb")), "id_b")
+      .filter(jacCol >= 0.5)
+      .select(col("id_a"), col("id_b"), round(jacCol, 3).as("jaccard"))
+  }
+
+  /** LARGE regime: banded shuffle join, sizes riding the index stream
+    * and the grouping keys (na/nb are functions of id_a/id_b — groups
+    * unchanged). */
+  private[graft] def pairsBanded(sh: DataFrame, sz: DataFrame,
+      bandJ: Double): DataFrame = {
+    val shN = sh.join(sz, Seq("doc_id"))
+    val a = shN.toDF("id_a", "s", "na")
+    val b = shN.toDF("id_b", "s", "nb")
+    val band = col("na") >= lit(bandJ) * col("nb") &&
+      col("nb") >= lit(bandJ) * col("na")
+    // exchange the raw pair rows and aggregate clustered — the
+    // co-occurrence stream is ~91% DISTINCT pairs (431 M rows →
+    // 395 M groups at sf100, avg 1.09 — Q41Probe), so the fused
+    // partial aggregate reduces nothing; q42's verification pairs
+    // are candidate-restricted with ~50× multiplicity — THERE the
+    // partial aggregate earns its keep. (sf10: 7.6 → 6.3 s,
+    // Q41Probe2.)
+    val pairs = a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b") && band)
+      .select("id_a", "na", "id_b", "nb")
+      .repartition(col("id_a"), col("id_b"))
+      .groupBy("id_a", "na", "id_b", "nb").agg(count(lit(1)).as("inter"))
+    pairs
+      .filter(jacCol >= 0.5)
+      .select(col("id_a"), col("id_b"), round(jacCol, 3).as("jaccard"))
+  }
+
+  /** The ≥ 0.9 pair graph consumed by q95/q123/q142 — q41's exact pair
+    * semantics (unrounded ≥ 0.5, round to 3dp, keep rounded ≥ 0.9) with
+    * the size band tightened to the 0.9 threshold: 0.899 < 0.8995 =
+    * min J that rounds to 0.9, so no qualifying pair is pruned, and the
+    * pair exchange shrinks ~5× (BandProbe). */
+  private[graft] def jaccardPairs09(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d, 0.899).filter(col("jaccard") >= 0.9)
+
   /** N-gram Jaccard near-dup pairs ≥ 0.5, exact: inverted-index join on
     * shingles, then |A∩B| / (|A|+|B|−|A∩B|). The maxDf cap bounds the
     * per-shingle fan-out, so the shuffle is O(Σ df²) over rare shingles
@@ -132,45 +253,10 @@ object DedupOps {
            |FROM pair
            |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
            |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5""".stripMargin),
-    (s, d) => {
-      val sh = sharedShingles(s, d)
-      // repartition the raw 16-byte index rows on doc_id BEFORE the
-      // per-doc size count: the index comes out of the hot-shingle
-      // anti-join partitioned by SHINGLE, so each doc's ~50 rows
-      // scatter across every partition and the partial aggregate
-      // builds a doc-cardinality hash map per partition that reduces
-      // nothing (the q42-sf100 signature law; Q41Probe measured the
-      // un-exchanged form at 35.3 s for this stage at sf100)
-      val sz = sh.repartition(col("doc_id"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("id_a", "s")
-      val b = sh.toDF("id_b", "s")
-      // same law on the pair stream: the co-occurrence rows are ~91%
-      // DISTINCT pairs (431 M rows → 395 M groups at sf100, avg 1.09 —
-      // Q41Probe), so the fused partial aggregate reduces nothing;
-      // exchange the raw 16-byte pair rows and aggregate clustered
-      // (sf10: 7.6 → 6.3 s for this stage, Q41Probe2). q42's
-      // verification pairs are candidate-restricted with ~50×
-      // multiplicity — THERE the partial aggregate earns its keep.
-      val pairs = a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .repartition(col("id_a"), col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      val jac = col("inter") * lit(1.0) / (col("na") + col("nb") - col("inter"))
-      pairs
-        .join(sz.toDF("id_a", "na"), "id_a")
-        .join(sz.toDF("id_b", "nb"), "id_b")
-        .filter(jac >= 0.5)
-        .select(col("id_a"), col("id_b"), round(jac, 3).as("jaccard"))
-    }, conf = Map(
-      // the per-doc size table is 16 B × n_docs — 7.5 MB at sf10 but
-      // 78 MB at sf100, where it falls off AQE's 10 MB broadcast cliff
-      // and the two size joins re-shuffle the ~400 M-row pair stream
-      // TWICE (Q41Probe: the decade superlinearity). Raising the
-      // runtime threshold keeps the joins broadcast through the decade
-      // tiers while staying size-gated: a corpus whose size table
-      // outgrows 256 MB falls back to shuffle joins automatically.
-      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
+    // no conf profile: the r18 raised broadcast threshold existed for
+    // the post-agg size joins, which the banded stage subsumes with an
+    // explicit footprint-gated hint — see [[jaccardPairs]]
+    (s, d) => jaccardPairs(s, d, bandJ = 0.4999))
 
   /** Candidate generation for q42, STAGED to parquet: signatures →
     * banding → banded bucket equi-join → distinct pairs, written as a
@@ -442,8 +528,7 @@ object DedupOps {
            |FROM rep ORDER BY doc_id""".stripMargin),
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val pairs = ngramJaccard.fn(s, d).filter(col("jaccard") >= 0.9)
-        .select("id_a", "id_b")
+      val pairs = jaccardPairs09(s, d).select("id_a", "id_b")
       val stars = connectedComponents(pairs)
       // star edges label members; each rep labels itself
       val labels = stars.select(col("doc_id"), col("rep"))
@@ -455,11 +540,7 @@ object DedupOps {
         .select(col("doc_id"), col("rep").as("cluster_rep"),
           col("n_members"))
         .orderBy("doc_id")
-    }, conf = Map(
-      // q41's pair-stage profile (ngramJaccard.fn is called directly,
-      // which does not carry q41's own conf): keeps the size-table
-      // joins broadcast through the decade tiers — see q41 (r18)
-      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
+    })
 
   /** Oracle-checked audit of the MinHash-LSH pass against the exact
     * Jaccard formulation: precision must be perfect (every LSH pair is
@@ -596,8 +677,7 @@ object DedupOps {
         .select(col("cluster_rep"), (-col("m.negid")).as("kept_doc"),
           col("m.n_chars").as("kept_chars"), col("n_members"))
         .orderBy("cluster_rep")
-    }, conf = Map( // same pair-stage profile as q95 (see q41, r18)
-      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
+    })
 
   /** Incremental snapshot dedup — the production cadence: a NEW batch
     * (here source 'src0') arrives and must be deduped against the
@@ -642,18 +722,23 @@ object DedupOps {
     (s, d) => {
       val srcOf = t(s, d, "documents").select(col("doc_id"), col("source"))
       val idx = coldShingleIndex(s, d)
-      val sh = idx.join(srcOf, Seq("doc_id"))
       val sz = idx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // sizes ride the index stream so the 0.899 size band (lossless
+      // for the ≥ 0.9 unrounded filter below — J ≤ min/max, see
+      // [[jaccardPairs]]) prunes candidate pairs INSIDE the join,
+      // before the (nid, kid) aggregation
+      val sh = idx.join(srcOf, Seq("doc_id")).join(sz, Seq("doc_id"))
       val newSh = sh.filter(col("source") === "src0")
-        .select(col("doc_id").as("nid"), col("s"))
+        .select(col("doc_id").as("nid"), col("s"), col("n").as("na"))
       val keptSh = sh.filter(col("source") =!= "src0")
-        .select(col("doc_id").as("kid"), col("s"))
+        .select(col("doc_id").as("kid"), col("s"), col("n").as("nb"))
+      val band = col("na") >= lit(0.899) * col("nb") &&
+        col("nb") >= lit(0.899) * col("na")
       val jac = col("inter") * lit(1.0) /
         (col("na") + col("nb") - col("inter"))
       newSh.join(keptSh, Seq("s"))
-        .groupBy("nid", "kid").agg(count(lit(1)).as("inter"))
-        .join(sz.toDF("nid", "na"), "nid")
-        .join(sz.toDF("kid", "nb"), "kid")
+        .filter(band)
+        .groupBy("nid", "na", "kid", "nb").agg(count(lit(1)).as("inter"))
         .filter(jac >= 0.9)
         .select(col("nid"), col("kid"), jac.as("jac"))
         .groupBy("nid").agg(
@@ -735,17 +820,9 @@ object DedupOps {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     (s, d) => {
       val srcOf = t(s, d, "documents").select(col("doc_id"), col("source"))
-      val sh = sharedShingles(s, d)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = sh.toDF("id_a", "s")
-      val b = sh.toDF("id_b", "s")
-      val jac = col("inter") * lit(1.0) /
-        (col("na") + col("nb") - col("inter"))
-      a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-        .join(sz.toDF("id_a", "na"), "id_a")
-        .join(sz.toDF("id_b", "nb"), "id_b")
-        .filter(jac >= 0.5)
+      // q41's shared pair stage (size-band pruned, result-identical)
+      jaccardPairs(s, d, bandJ = 0.4999)
+        .select("id_a", "id_b")
         .join(NamedQuery.maybeBroadcast(srcOf.toDF("id_a", "src_a"),
           t(s, d, "documents"), 100L << 20), "id_a")
         .join(NamedQuery.maybeBroadcast(srcOf.toDF("id_b", "src_b"),
@@ -754,8 +831,7 @@ object DedupOps {
           greatest(col("src_a"), col("src_b")).as("source_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("source_a", "source_b")
-    }, conf = Map( // same pair-stage profile as q41 (r18)
-      "spark.sql.autoBroadcastJoinThreshold" -> "256m"))
+    })
 
   /** Exact-substring span dedup (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better", arXiv 2107.06499 —

@@ -18,6 +18,25 @@ class PipelineSpec extends SparkSpec {
     assert(exactPairs.nonEmpty)
   }
 
+  test("pair-stage regimes agree: banded shuffle join ≡ broadcast join " +
+    "(size band is lossless)") {
+    import org.apache.spark.sql.functions.{count => cnt, lit}
+    val sh = operators.DedupOps.sharedShingles(spark, sf)
+    val sz = sh.repartition(col("doc_id"))
+      .groupBy("doc_id").agg(cnt(lit(1)).as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val small = rows(operators.DedupOps.pairsSmall(sh, sz))
+    val banded05 = rows(operators.DedupOps.pairsBanded(sh, sz, 0.4999))
+    assert(banded05 == small)
+    // the 0.9-band variant must keep exactly the rounded-≥0.9 subset
+    val banded09 = rows(operators.DedupOps.pairsBanded(sh, sz, 0.899)
+      .filter(col("jaccard") >= 0.9))
+    assert(banded09 == small.filter(_._3 >= 0.9))
+    assert(banded09.nonEmpty)
+  }
+
   test("minhash-LSH recovers the high-jaccard pairs") {
     val lsh = run("q42_dedup_minhash_lsh")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
