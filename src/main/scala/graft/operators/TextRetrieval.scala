@@ -114,9 +114,16 @@ private[graft] trait TextRetrieval extends Serializable {
     * repeated q188/q189/q196 pays the probe, not a re-train, and two
     * dirs in one session can never serve a stale index (the new dir's
     * build overwrites the tables and the memo). */
+  private val engineLock = new Object
   private def servingEngine(
       s: org.apache.spark.sql.SparkSession): graft.Engine =
-    graft.Engine.forSession(s).getOrElse(graft.Engine(s))
+    // atomic check-then-act (ADVICE r18): two warmServing threads on a
+    // fresh session would otherwise BOTH construct an Engine, the
+    // loser's index build landing in a discarded instance and being
+    // silently rebuilt sequentially afterwards
+    engineLock.synchronized {
+      graft.Engine.forSession(s).getOrElse(graft.Engine(s))
+    }
 
   /** Bench shared stage: build (or re-point) both hyb_* serving
     * artifacts for `d` so the timed q189/q196 rows measure the probe —
@@ -129,6 +136,7 @@ private[graft] trait TextRetrieval extends Serializable {
     * sf0.1 A/B (StagesProbe2): 5.23 s sequential → 2.39 s threaded. */
   private[graft] def warmServing(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = {
+    servingEngine(s) // resolve ONCE ahead of the fan-out (ADVICE r18)
     NamedQuery.inParallel(
       () => { ensureLexIndex(s, d); () },
       () => { ensureAnnIndex(s, d); () })
