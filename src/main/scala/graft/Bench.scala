@@ -235,7 +235,14 @@ object Bench {
     // same-run gate that tight would reject genuinely idle hosts.
     val windowTol =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW", "1.5").toDouble
-    val baselinePath = java.nio.file.Paths.get("tools/floor_baseline.txt")
+    // r19: keyed by dir AND tier_hash — a regenerated tier under the
+    // same path must not inherit the old tier's quiet anchor (its
+    // sentinel cost is tier-content-specific); and persisted under the
+    // system tmpdir, not the repo tree, so a bench run no longer
+    // dirties the worktree (both r18 verdict item 3).
+    val baselinePath = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_floor_baseline.txt")
+    val baselineKey = s"$sfDir@$tierHash"
     def readBaseline(): Map[String, Double] =
       try {
         if (!java.nio.file.Files.isRegularFile(baselinePath)) Map.empty
@@ -248,7 +255,7 @@ object Bench {
             }
           }.toMap
       } catch { case _: Throwable => Map.empty }
-    val baseFloor: Option[Double] = readBaseline().get(sfDir)
+    val baseFloor: Option[Double] = readBaseline().get(baselineKey)
     // The certification floor is the LOWER QUARTILE of all calibration
     // points, not the sample minimum. The min of N medians is a
     // biased-low order statistic that keeps tightening as passes add
@@ -350,8 +357,8 @@ object Bench {
     if (!contended && wanted.isEmpty)
       try {
         val m = readBaseline()
-        val merged = m.updated(sfDir,
-          math.min(m.getOrElse(sfDir, Double.MaxValue), calFloor))
+        val merged = m.updated(baselineKey,
+          math.min(m.getOrElse(baselineKey, Double.MaxValue), calFloor))
         java.nio.file.Files.createDirectories(baselinePath.getParent)
         java.nio.file.Files.write(baselinePath,
           merged.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
