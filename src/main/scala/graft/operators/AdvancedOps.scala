@@ -132,33 +132,32 @@ object AdvancedOps {
              |true AS med_ok, true AS p90_ok, true AS p10_ok
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       (s, d) => {
-        // counted distinct-value frame: ONE lineitem scan + one value-
-        // collapsing shuffle (~10×) feeds BOTH the sketch (weighted
-        // update) and the audit counts. Cached because the two consumers
-        // sit in different jobs (the sketch must finish before the audit
-        // compares against it), which defeats same-plan exchange reuse —
-        // the cache holds the collapsed frame, not the fact table
-        val frame = t(s, d, "lineitem")
+        // r19 (q56's lesson, verdict item 8): the audit's two consumers
+        // used to share a counted distinct-value frame through a
+        // `.cache()` (the collapsed exchange + InMemoryRelation). Both
+        // passes are map-side-only over the raw 2-column scan — the
+        // sketch updates are additive bucket counts, so the weighted
+        // update over collapsed (v, cnt) rows and the unweighted update
+        // over raw rows produce the IDENTICAL buffer (hash unchanged) —
+        // so two cheap scans replace scan + collapse exchange + cache:
+        // zero corpus shuffle, InMemoryRelation gone from the plan.
+        val raw = t(s, d, "lineitem")
           .select(col("l_returnflag"),
             col("l_extendedprice").cast("double").as("v"))
-          .groupBy("l_returnflag", "v").agg(count(lit(1)).as("cnt"))
-          .cache()
-        val sk = frame.groupBy("l_returnflag")
-          .agg(graft.functions.LogHistogramQuantile.logHistQuantileW(
-            col("v"), Seq(0.5, 0.9, 0.1), col("cnt")).as("ps"),
-            sum("cnt").as("n"))
-        val j = frame.join(broadcast(sk), "l_returnflag")
+        val sk = raw.groupBy("l_returnflag")
+          .agg(graft.functions.LogHistogramQuantile.logHistQuantile(
+            col("v"), Seq(0.5, 0.9, 0.1)).as("ps"),
+            count(lit(1)).as("n"))
+        val j = raw.join(broadcast(sk), "l_returnflag")
         def q(i: Int) = element_at(col("ps"), i)
-        def cntIf(c: org.apache.spark.sql.Column) =
-          sum(when(c, col("cnt")).otherwise(0L))
         val agg = j.groupBy("l_returnflag").agg(
           first("n").as("n"),
-          cntIf(col("v") < q(1)).as("lt1"),
-          cntIf(col("v") <= q(1)).as("le1"),
-          cntIf(col("v") < q(2)).as("lt2"),
-          cntIf(col("v") <= q(2)).as("le2"),
-          cntIf(col("v") < q(3)).as("lt3"),
-          cntIf(col("v") <= q(3)).as("le3"))
+          count_if(col("v") < q(1)).as("lt1"),
+          count_if(col("v") <= q(1)).as("le1"),
+          count_if(col("v") < q(2)).as("lt2"),
+          count_if(col("v") <= q(2)).as("le2"),
+          count_if(col("v") < q(3)).as("lt3"),
+          count_if(col("v") <= q(3)).as("le3"))
         def ok(lt: String, le: String, p: Double) =
           (col(lt) * 1.0 / col("n") <= p + 0.01) &&
             (col(le) * 1.0 / col("n") >= p - 0.01)
