@@ -1160,9 +1160,21 @@ private[graft] trait EngineIndexes { self: Engine =>
     val post = table(s"${indexName}_postings")
     // the certified cut depth is a property of the corpus's score
     // distribution, not the query instant — remember it per term set
-    // so steady-state probes never pay an uncertified round
+    // so steady-state probes never pay an uncertified round.
+    // COLD probes (no cached depth) make a SINGLE attempt: a near-tied
+    // term set that fails to certify at 0.25 declines straight to the
+    // classic plan (exact either way) instead of paying a second
+    // phase-1 job in-line, and records 0.5 so the NEXT probe on the
+    // same term set starts at the deeper cut — r17/r18 carried item,
+    // Bm25Probe A/B in OPTIMIZATION_r19.md. Warm probes keep the
+    // one-deepening retry (their cached depth certifying is the
+    // steady state; a corpus drift that breaks it re-certifies once).
     val fracKey = indexName + "|" + terms.sorted.mkString(",")
-    val fracs = Seq(textFracCache.getOrElse(fracKey, 0.25), 0.5).distinct
+    val cachedFrac = textFracCache.get(fracKey)
+    val fracs = cachedFrac match {
+      case Some(f) => Seq(f, 0.5).distinct
+      case None => Seq(0.25)
+    }
     var attempt = 0
     while (attempt < fracs.length) {
       val targetFrac = fracs(attempt)
@@ -1228,7 +1240,13 @@ private[graft] trait EngineIndexes { self: Engine =>
           else None // k-th rounds to 0 → classic pad path
         }
       } finally { p1.unpersist(); () }
-      attempt += 1 // uncertified: deepen the prefix once, then give up
+      attempt += 1 // warm: deepen the prefix once, then give up
+    }
+    // cold decline: remember the deeper cut so the next probe on this
+    // term set certifies in one attempt (bounded map, same cap rule)
+    if (cachedFrac.isEmpty) {
+      if (textFracCache.size > 4096) textFracCache.clear()
+      textFracCache.put(fracKey, 0.5)
     }
     None
   }
