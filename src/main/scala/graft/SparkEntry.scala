@@ -45,14 +45,25 @@ object SparkEntry {
     * each once per session (timed as its own JSON entry) and re-warms it
     * after its honesty cache-clear, so per-query numbers measure the
     * pass, not a re-derivation of the shared corpus artifact. */
+  /** The two documents-derived snapshot artifacts (shingle index,
+    * token manifest) land in ONE overlapped pass (guide §2.6): same
+    * input table, disjoint outputs, no ordering contract — the stage
+    * costs the slower build, not the sum (r19; replaces the former
+    * shingle_stage + docs_bucket_stage keys, reconciled in
+    * BENCH_NOTES). */
+  private def warmCorpusArtifacts(s: SparkSession, d: String): Unit =
+    NamedQuery.inParallel(
+      () => DedupOps.warmShingles(s, d),
+      () => BucketedOps.warmDocsTokens(s, d))
+
   def benchSharedStages: Map[String, (String, (SparkSession, String) => Unit)] =
     Map(
       "q41_dedup_ngram_jaccard" ->
-        (("shingle_stage", DedupOps.warmShingles _)),
+        (("corpus_stage", warmCorpusArtifacts _)),
       "q42_dedup_minhash_lsh" ->
-        (("shingle_stage", DedupOps.warmShingles _)),
+        (("corpus_stage", warmCorpusArtifacts _)),
       "q123_curation_pipeline" ->
-        (("shingle_stage", DedupOps.warmShingles _)),
+        (("corpus_stage", warmCorpusArtifacts _)),
       // the bucketed layout write is the amortized once-per-snapshot
       // cost — timed as its own stage entry, memoized after the first
       "q154_join_agg_bucketed" ->
@@ -72,7 +83,7 @@ object SparkEntry {
       "q162_asof_join_bucketed" ->
         (("events_layouts_stage", BucketedOps.warmEventsLayouts _)),
       "q163_shard_packing_bucketed" ->
-        (("docs_bucket_stage", BucketedOps.warmDocsTokens _)),
+        (("corpus_stage", warmCorpusArtifacts _)),
       "q164_events_hourly_rollup" ->
         (("events_layouts_stage", BucketedOps.warmEventsLayouts _)),
       "q174_zorder_box" ->
